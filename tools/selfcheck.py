@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Mimic the driver's correctness gate locally.
+
+Usage: python3 tools/selfcheck.py [sfdir] [outdir]
+
+Reads outdir/<name>/ parquet (written by `sbt "runMain graft.Verify
+<sfdir> <outdir>"`) plus outdir/oracle_sql.json, runs each oracle in
+DuckDB with views named after the testdata tables, and compares:
+schema (column names sorted), row count, and values (rows sorted by
+all columns, floats compared to 1e-9 relative — the driver hashes
+exactly, so we also report max float deltas to catch near-misses).
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            failed.append(name)
+            continue
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM read_parquet({files!r})")
+            spark_cols = [d[0] for d in spark_rel.description]
+            spark_rows = spark_rel.fetchall()
+            oracle_rel = con.execute(sql)
+            oracle_cols = [d[0] for d in oracle_rel.description]
+            oracle_rows = oracle_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error {e}")
+            failed.append(name)
+            continue
+        if sorted(spark_cols) != sorted(oracle_cols):
+            print(f"FAIL {name}: cols spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
+            failed.append(name)
+            continue
+        # align column order by sorted name (like the driver)
+        sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
+        oidx = [oracle_cols.index(c) for c in sorted(oracle_cols)]
+        s = sorted(tuple(norm(r[i]) for i in sidx) for r in spark_rows)
+        o = sorted(tuple(norm(r[i]) for i in oidx) for r in oracle_rows)
+        if len(s) != len(o):
+            print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
+            failed.append(name)
+            continue
+        bad = None
+        maxdelta = 0.0
+        for sr, orow in zip(s, o):
+            for a, b in zip(sr, orow):
+                if isinstance(a, float) and isinstance(b, float):
+                    if a != b:
+                        d = abs(a - b) / max(abs(a), abs(b), 1e-12)
+                        maxdelta = max(maxdelta, d)
+                        if d > 1e-9 or math.isnan(d):
+                            bad = (sr, orow)
+                elif a != b:
+                    bad = (sr, orow)
+            if bad:
+                break
+        if bad:
+            print(f"FAIL {name}: first diff\n  spark : {bad[0]}\n  oracle: {bad[1]}")
+            failed.append(name)
+        else:
+            exact = " EXACT" if maxdelta == 0.0 else f" maxrel={maxdelta:.2e} (NOT hash-exact!)"
+            print(f"PASS {name}: {len(s)} rows{exact}")
+    print(f"\n{len(oracles) - len(failed)}/{len(oracles)} passed")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
