@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Temporal sessionization / conversation-grouping family.
+  *
+  * Re-expresses the reference's time-gap clustering pipeline
+  * (terrorblade/data/preprocessing/TextPreprocessor.py:162-214
+  * `create_clusters` — gap > window ⇒ new cluster, size-qualified;
+  * :108-160 `concat_author_messages` — same-author runs within a gap
+  * concatenated; telegram_database.py:345-520 cluster stats/HAVING)
+  * on the `events` stream table: user_id ≈ chat, event_type ≈ author
+  * /kind, ts ≈ date, props ≈ text.
+  *
+  * Scale design: every operator is ONE window shuffle partitioned by
+  * user (the natural key — millions of users ⇒ good parallelism, no
+  * global ordering anywhere), followed by map-side-combinable
+  * aggregation. Timestamps are compared in epoch-ms space so
+  * semantics are engine-independent (parquet ns → Spark µs truncation
+  * can't bite at boundaries).
+  */
+object Sessions {
+
+  private def decV: Column = col("value").cast(DecimalType(12, 2))
+
+  /** events + ts_ms (ts arrives as raw ns long; see Tables.events). */
+  private def withTsMs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+
+  private val userW = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+
+  /** Gap > windowMs ⇒ new session; running count of breaks = session id.
+    * Mirrors TextPreprocessor.create_clusters (diff → breaks → cum_sum).
+    */
+  def sessionized(spark: SparkSession, dir: String, windowMs: Long = 30 * 60 * 1000L): DataFrame = {
+    withTsMs(spark, dir)
+      .withColumn("prev_ms", lag("ts_ms", 1).over(userW))
+      .withColumn("brk",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > windowMs, 1).otherwise(0))
+      .withColumn("session_id", sum("brk").over(userW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_ms", "brk")
+  }
+
+  /** q01: the session assignment itself. */
+  def temporalSessions(spark: SparkSession, dir: String): DataFrame =
+    sessionized(spark, dir)
+      .select("event_id", "user_id", "session_id")
+      .orderBy("user_id", "session_id", "event_id")
+
+  /** q02: per-session stats, size-qualified (cluster_size ≥ 3 in the
+    * reference's `create_clusters` / cluster stats queries).
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionized(spark, dir)
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_ms").as("start_ms"),
+        max("ts_ms").as("end_ms"),
+        (max("ts_ms") - min("ts_ms")).as("duration_ms"),
+        sum(decV).cast("double").as("total_value"),
+        countDistinct("event_type").as("n_kinds"))
+      .filter(col("n_events") >= 3)
+      .orderBy("user_id", "session_id")
+
+  /** q03: concat runs of same event_type within a 5m gap per user —
+    * concat_author_messages re-expressed. Ordered concatenation uses
+    * sorted struct collect (collect_list order is not deterministic
+    * under shuffle; the sort key (ts_ms, event_id) is unique).
+    */
+  def concatRuns(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 5 * 60 * 1000L
+    sessionized(spark, dir, gapMs) // reuse session machinery for the gap breaks
+      .withColumn("prev_kind", lag("event_type", 1).over(userW))
+      .withColumn("prev_ms2", lag("ts_ms", 1).over(userW))
+      .withColumn("run_brk",
+        when(col("prev_ms2").isNull || col("ts_ms") - col("prev_ms2") > gapMs
+          || col("prev_kind") =!= col("event_type"), 1).otherwise(0))
+      .withColumn("run_id", sum("run_brk").over(userW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id")
+      .agg(
+        min("event_type").as("event_type"), // constant within a run; min is engine-agnostic
+        count(lit(1)).as("n"),
+        min("ts_ms").as("start_ms"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("props")))),
+            s => s.getField("props")),
+          ". ").as("joined_props"))
+      .orderBy("user_id", "run_id")
+  }
+
+  /** q04: largest sessions — HAVING size ≥ 10, deterministic top-20
+    * (get_largest_cluster_messages / random_large_cluster's
+    * `HAVING COUNT(*) >= min_size` surface).
+    */
+  def largestSessions(spark: SparkSession, dir: String): DataFrame =
+    sessionized(spark, dir)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("size"), min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"))
+      .filter(col("size") >= 2)
+      .orderBy(col("size").desc, col("user_id"), col("session_id"))
+      .limit(20)
+
+  /** q05: activity heatmap — dow × hour counts
+    * (analyze_dialogues.create_activity_heatmap). DuckDB dow is
+    * 0=Sunday; Spark dayofweek is 1=Sunday, hence the -1.
+    */
+  def activityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val tsCol = timestamp_micros(expr("ts DIV 1000"))
+    withTsMs(spark, dir)
+      .groupBy((dayofweek(tsCol) - 1).as("dow"), hour(tsCol).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"), sum(decV).cast("double").as("total_value"))
+      .orderBy("dow", "hour_of_day")
+  }
+
+  /** q06: per-user stats — totals, distinct kinds, first/last seen
+    * (get_user_stats + user_names first/last-seen tracking).
+    */
+  def userStats(spark: SparkSession, dir: String): DataFrame =
+    withTsMs(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("event_type").as("n_kinds"),
+        min("ts_ms").as("first_seen_ms"),
+        max("ts_ms").as("last_seen_ms"),
+        sum(decV).cast("double").as("total_value"),
+        (sum(decV).cast("double") / count(lit(1))).as("avg_value"))
+      .orderBy("user_id")
+
+  /** q08: long-event group mining — filter value ≥ 50, sessionize 1h,
+    * grouped stats, HAVING n ≥ 3, global ordinal group id
+    * (analyze_dialogues.find_long_message_groups's CTE chain).
+    */
+  def longGroups(spark: SparkSession, dir: String): DataFrame = {
+    val filtered = withTsMs(spark, dir).filter(col("value") >= 50.0)
+    val gapMs = 60 * 60 * 1000L
+    val grouped = filtered
+      .withColumn("prev_ms", lag("ts_ms", 1).over(userW))
+      .withColumn("brk",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("tmp_group", sum("brk").over(userW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "tmp_group")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_ms").as("start_ms"),
+        max("ts_ms").as("end_ms"),
+        sum(decV).cast("double").as("total_value"),
+        countDistinct("event_type").as("n_kinds"),
+        (sum(decV).cast("double") / count(lit(1))).as("avg_value"))
+      .filter(col("n_events") >= 3)
+    grouped
+      .withColumn("group_id",
+        row_number().over(Window.orderBy("start_ms", "user_id")) - 1)
+      .select("group_id", "user_id", "n_events", "start_ms", "end_ms", "total_value", "n_kinds", "avg_value")
+      .orderBy("group_id")
+  }
+}
