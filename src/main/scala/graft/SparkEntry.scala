@@ -25,6 +25,17 @@ object SparkEntry {
     "q05_activity_heatmap"  -> ((s, d) => Sessions.activityHeatmap(s, d)),
     "q06_user_stats"        -> ((s, d) => Sessions.userStats(s, d)),
     "q08_long_groups"       -> ((s, d) => Sessions.longGroups(s, d)),
+    "q09_json_extract"      -> ((s, d) => Messages.jsonExtract(s, d)),
+    "q10_media_markers"     -> ((s, d) => Messages.mediaMarkers(s, d)),
+    "q11_message_filter"    -> ((s, d) => Messages.messageFilter(s, d)),
+    "q12_recipients"        -> ((s, d) => Messages.recipients(s, d)),
+    "q13_semantic_segments" -> ((s, d) => Vectors.semanticSegments(s, d)),
+    "q14_groups"            -> ((s, d) => Vectors.semanticGroups(s, d)),
+    "q15_name_mapping"      -> ((s, d) => Messages.nameMapping(s, d)),
+    "q16_vector_topk"       -> ((s, d) => Vectors.vectorTopK(s, d)),
+    "q17_vector_threshold"  -> ((s, d) => Vectors.vectorThreshold(s, d)),
+    "q18_vector_join_text"  -> ((s, d) => Vectors.vectorJoinText(s, d)),
+    "q19_ann_ivf"           -> ((s, d) => Vectors.annIvf(s, d)),
     "q20_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q21_top_orders"      -> ((s, d) => Relational.topOrders(s, d)),
     "q22_region_volume"   -> ((s, d) => Relational.regionVolume(s, d)),
@@ -117,6 +128,97 @@ object SparkEntry {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY start_ms, user_id) - 1 AS INT) AS group_id,
         |  user_id, n_events, start_ms, end_ms, total_value, n_kinds, avg_value
         |FROM s ORDER BY group_id""".stripMargin,
+    "q09_json_extract" ->
+      """SELECT CAST(json_extract_string(props, 'k') AS INT) AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q10_media_markers" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_type = 'purchase' THEN '[purchase](' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || ')'
+        |       WHEN event_type = 'error' THEN '[error](' || props || ')'
+        |       WHEN event_type = 'signup' THEN '[signup]'
+        |       ELSE event_type || ' ' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) END AS marker
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q11_message_filter" ->
+      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+        |FROM events
+        |WHERE event_type <> 'error' AND props IS NOT NULL AND value > 0.0
+        |ORDER BY event_id""".stripMargin,
+    "q12_recipients" ->
+      """SELECT a.user_id AS user_id,
+        |  list_sort(list(DISTINCT b.user_id)) AS co_users,
+        |  COUNT(DISTINCT b.user_id) AS n_co
+        |FROM (SELECT DISTINCT user_id, event_type FROM events) a
+        |JOIN (SELECT DISTINCT user_id, event_type FROM events) b
+        |  ON a.event_type = b.event_type AND a.user_id <> b.user_id
+        |GROUP BY a.user_id ORDER BY user_id""".stripMargin,
+    "q13_semantic_segments" ->
+      """WITH je AS (
+        |  SELECT d.doc_id, d.source, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |l AS (SELECT *, LAG(embedding) OVER (PARTITION BY source ORDER BY doc_id) AS prev_emb FROM je),
+        |x AS (SELECT doc_id, source,
+        |        CASE WHEN prev_emb IS NULL THEN 0.0
+        |             ELSE round(1.0 - round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(prev_emb AS DOUBLE[])), 6), 6) END AS dist
+        |      FROM l)
+        |SELECT doc_id, source, dist,
+        |  CAST(SUM(CASE WHEN dist > 1.0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment_id
+        |FROM x ORDER BY source, doc_id""".stripMargin,
+    "q14_groups" ->
+      """WITH je AS (
+        |  SELECT d.doc_id, d.source, d.n_chars // 100 AS bucket, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |l AS (SELECT *,
+        |        LAG(embedding) OVER (PARTITION BY source ORDER BY doc_id) AS prev_emb,
+        |        LAG(bucket) OVER (PARTITION BY source ORDER BY doc_id) AS prev_bucket
+        |      FROM je),
+        |x AS (SELECT doc_id, source, bucket,
+        |        CASE WHEN prev_emb IS NULL THEN 1
+        |             WHEN round(1.0 - round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(prev_emb AS DOUBLE[])), 6), 6) > 1.0
+        |                  OR bucket <> prev_bucket THEN 1
+        |             ELSE 0 END AS brk
+        |      FROM l)
+        |SELECT doc_id, source, bucket,
+        |  CAST(SUM(brk) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS group_id
+        |FROM x ORDER BY source, doc_id""".stripMargin,
+    "q15_name_mapping" ->
+      """SELECT user_id, event_type AS last_kind, ts_ms AS last_seen_ms FROM (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q16_vector_topk" ->
+      """SELECT query_id, vec_id, sim, CAST(rk AS INT) AS rk FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rk
+        |  FROM embeddings q, embeddings e
+        |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) t
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "q17_vector_threshold" ->
+      """SELECT query_id, vec_id, sim, 1.0 - sim AS dist FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings q, embeddings e
+        |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) t
+        |WHERE sim >= 0.25
+        |ORDER BY query_id, sim DESC, vec_id""".stripMargin,
+    "q18_vector_join_text" ->
+      """SELECT query_id, vec_id, sim, CAST(rk AS INT) AS rk, lang, substr(text, 1, 40) AS preview
+        |FROM (
+        |  SELECT query_id, vec_id, sim, rk FROM (
+        |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rk
+        |    FROM embeddings q, embeddings e
+        |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) s
+        |  WHERE rk <= 5) t
+        |JOIN documents ON vec_id = doc_id
+        |ORDER BY query_id, rk""".stripMargin,
     "q20_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -40,7 +40,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      val xi = x.getFloat(i); val yi = y.getFloat(i)
+      // promote BEFORE multiplying: float*float rounds the product to
+      // float and diverges from double-accumulating engines by ~1ulp
+      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
@@ -54,7 +56,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  float xa = $x.getFloat($i); float ya = $y.getFloat($i);
+         |  double xa = (double) $x.getFloat($i); double ya = (double) $y.getFloat($i);
          |  $dot += xa * ya; $nx += xa * xa; $ny += ya * ya;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0)
@@ -74,6 +76,6 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "cosine_sim", (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)), "graft")
+      "cosine_sim", (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)), "built-in")
   }
 }

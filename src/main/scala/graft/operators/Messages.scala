@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Message normalization / extraction family — the reference's
+  * preprocessing surface re-expressed declaratively on `events`.
+  */
+object Messages {
+
+  private def withTsMs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("ts_ms", expr("ts DIV 1000000"))
+
+  /** q09: JSON payload extraction + aggregation — the reference
+    * flattens nested Telegram JSON into columns
+    * (TelegramPreprocessor.py:444-522 `load_json`, :524-555
+    * `parse_links`); here the nested payload is `props` and the
+    * extraction is a codegen'd JSON path, aggregated by payload key.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    withTsMs(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("k")
+
+  /** q10: media-marker rewrite — `handle_media`/`handle_location`/
+    * `handle_contacts` (TelegramPreprocessor.py:706-980) render a
+    * compact `[kind](payload)` marker into the text column per media
+    * kind. Same CASE-cascade here keyed on event_type. The payload
+    * is the DECIMAL-rendered value, so the string is engine-exact.
+    */
+  def mediaMarkers(spark: SparkSession, dir: String): DataFrame = {
+    val vs = col("value").cast(DecimalType(12, 2)).cast("string")
+    withTsMs(spark, dir)
+      .withColumn("marker",
+        when(col("event_type") === "purchase", concat(lit("[purchase]("), vs, lit(")")))
+          .when(col("event_type") === "error", concat(lit("[error]("), col("props"), lit(")")))
+          .when(col("event_type") === "signup", lit("[signup]"))
+          .otherwise(concat(col("event_type"), lit(" "), vs)))
+      .select("event_id", "event_type", "marker")
+      .orderBy("event_id")
+  }
+
+  /** q11: declarative message filtering — `delete_service_messages` /
+    * `delete_empty_messages` (TelegramPreprocessor.py:982-1029).
+    * Plain pushdown-able predicates; values pass through untouched.
+    */
+  def messageFilter(spark: SparkSession, dir: String): DataFrame =
+    withTsMs(spark, dir)
+      .filter(col("event_type") =!= "error" && col("props").isNotNull && col("value") > 0.0)
+      .select("event_id", "user_id", "event_type", "ts_ms", "value")
+      .orderBy("event_id")
+
+  /** q12: recipients — for each user, the other users co-occurring on
+    * a shared kind (create_recipient_column,
+    * TelegramPreprocessor.py:677-704: "all unique authors except the
+    * current row's author"). Arrays are sorted — collect_set order is
+    * engine/partitioning-dependent.
+    */
+  def recipients(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = withTsMs(spark, dir).select("user_id", "event_type").distinct()
+    val others = pairs.as("a")
+      .join(pairs.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.user_id") =!= col("b.user_id"))
+      .select(col("a.user_id").as("user_id"), col("b.user_id").as("co_user"))
+    others.groupBy("user_id")
+      .agg(sort_array(collect_set("co_user")).as("co_users"), countDistinct("co_user").as("n_co"))
+      .orderBy("user_id")
+  }
+
+  /** q15: latest-name resolution — the reference tracks name history
+    * per id and resolves the latest via ROW_NUMBER
+    * (telegram_database.py:331-343 `_latest_chat_names_cte`,
+    * vector_store.py:346-359). Same SCD pattern: latest kind per user.
+    */
+  def nameMapping(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").desc, col("event_id").desc)
+    withTsMs(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_kind"), col("ts_ms").as("last_seen_ms"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector search family — re-expresses the reference's embedding
+  * store + cosine search surface
+  * (terrorblade/data/database/vector_store.py:224-302
+  * `similarity_search`/`distance_search`/`get_all_distances`,
+  * :315-414 `get_similar_messages_with_text`) and the semantic
+  * segmentation pipeline
+  * (terrorblade/data/preprocessing/TextPreprocessor.py:248-302
+  * `calculate_sliding_distances`, :461-499 `calculate_segments`,
+  * :429-459 `calculate_groups`).
+  *
+  * Scale design: query sets are tiny and broadcast; the corpus is
+  * scanned ONCE per operator with the cosine computed by a codegen'd
+  * Catalyst expression (no UDF boxing). Top-k is a per-query window
+  * over a corpus scored scan — at 1000 executors this is a
+  * map-side-scored scan + one k-bounded shuffle. The IVF variant is
+  * the 100TB path: it prunes the scan to nProbe/nLists of the data
+  * via a label-partitioned candidate join.
+  *
+  * Similarities are rounded to 6dp at the surface: rank order is
+  * taken on the rounded value with a unique key tie-break, so
+  * results are reproducible across engines and partitionings.
+  */
+object Vectors {
+
+  private def scored(spark: SparkSession, dir: String, nQueries: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(expr("cosine_sim(embedding, qvec)"), 6))
+  }
+
+  /** q16: brute-force cosine top-k per query (similarity_search). */
+  def vectorTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored(spark, dir, nQueries)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "sim", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  /** q17: threshold search with similarity + distance surface
+    * (distance_search / get_all_distances).
+    */
+  def vectorThreshold(spark: SparkSession, dir: String, minSim: Double = 0.25, nQueries: Int = 5): DataFrame =
+    scored(spark, dir, nQueries)
+      .filter(col("sim") >= minSim)
+      .select(col("query_id"), col("vec_id"), col("sim"), (lit(1.0) - col("sim")).as("dist"))
+      .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+
+  /** q18: top-k joined back to document text + metadata
+    * (get_similar_messages_with_text's join surface). The k-bounded
+    * hit set broadcasts to the documents join.
+    */
+  def vectorJoinText(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5): DataFrame = {
+    val hits = vectorTopK(spark, dir, k, nQueries)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 40).as("preview"))
+    broadcast(hits).join(docs, col("vec_id") === col("doc_id"))
+      .select("query_id", "vec_id", "sim", "rk", "lang", "preview")
+      .orderBy("query_id", "rk")
+  }
+
+  /** q19: IVF approximate search — the scale path standing in for the
+    * reference's HNSW index (vector_store.py:191-214). Coarse cells =
+    * exact per-label centroids; each query probes the nProbe nearest
+    * cells and searches exactly within them. At 100TB the corpus
+    * would be written bucketed by cell id, so the candidate join
+    * becomes a partition-pruned scan of nProbe/nLists of the data.
+    */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 10, nProbe: Int = 3, nQueries: Int = 5): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg("v").as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).cast("array<float>").as("cvec"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("label"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", expr("cosine_sim(qvec, cvec)"))
+      .withColumn("crk", row_number().over(probeW))
+      .filter(col("crk") <= nProbe)
+      .select("query_id", "qvec", "label")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(expr("cosine_sim(embedding, qvec)"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "label", "sim", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  /** q13: semantic segmentation — sliding cosine distance to the
+    * previous message, break when distance > threshold, running sum =
+    * segment id (calculate_segments with window_size=1, as used by
+    * the reference pipeline at TextPreprocessor.py:489).
+    */
+  def semanticSegments(spark: SparkSession, dir: String, threshold: Double = 1.0): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.join(e, col("doc_id") === col("vec_id"))
+      .withColumn("prev_emb", lag("embedding", 1).over(w))
+      .withColumn("dist",
+        when(col("prev_emb").isNull, 0.0)
+          .otherwise(round(lit(1.0) - round(expr("cosine_sim(embedding, prev_emb)"), 6), 6)))
+      .withColumn("brk", when(col("dist") > threshold, 1).otherwise(0))
+      .withColumn("segment_id", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "source", "dist", "segment_id")
+      .orderBy("source", "doc_id")
+  }
+
+  /** q14: group merge — a new group starts when EITHER the semantic
+    * segment breaks OR the coarse length-bucket changes
+    * (calculate_groups' OR-of-boundaries at TextPreprocessor.py:452).
+    */
+  def semanticGroups(spark: SparkSession, dir: String, threshold: Double = 1.0): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.join(e, col("doc_id") === col("vec_id"))
+      .withColumn("bucket", expr("n_chars DIV 100"))
+      .withColumn("prev_emb", lag("embedding", 1).over(w))
+      .withColumn("prev_bucket", lag("bucket", 1).over(w))
+      .withColumn("dist",
+        when(col("prev_emb").isNull, 0.0)
+          .otherwise(round(lit(1.0) - round(expr("cosine_sim(embedding, prev_emb)"), 6), 6)))
+      .withColumn("brk",
+        when(col("prev_emb").isNull, 1)
+          .when(col("dist") > threshold || col("bucket") =!= col("prev_bucket"), 1)
+          .otherwise(0))
+      .withColumn("group_id",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .select("doc_id", "source", "bucket", "group_id")
+      .orderBy("source", "doc_id")
+  }
+}
