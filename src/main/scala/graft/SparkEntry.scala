@@ -36,12 +36,32 @@ object SparkEntry {
     "q17_vector_threshold"  -> ((s, d) => Vectors.vectorThreshold(s, d)),
     "q18_vector_join_text"  -> ((s, d) => Vectors.vectorJoinText(s, d)),
     "q19_ann_ivf"           -> ((s, d) => Vectors.annIvf(s, d)),
+    "q07_word_quantiles"    -> ((s, d) => TextAnalysis.wordQuantiles(s, d)),
+    "q25_dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
+    "q26_dedup_ngram"       -> ((s, d) => Dedup.dedupNgram(s, d)),
+    "q27_dedup_minhash"     -> ((s, d) => Dedup.dedupMinHash(s, d)),
+    "q28_dedup_simhash"     -> ((s, d) => Dedup.dedupSimHash(s, d)),
+    "q29_dedup_embedding"   -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    "q30_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    "q31_quality_score"     -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "q32_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q33_fingerprint"       -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "q34_media_pipeline"    -> ((s, d) => Multimodal.mediaPipeline(s, d)),
     "q20_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q21_top_orders"      -> ((s, d) => Relational.topOrders(s, d)),
     "q22_region_volume"   -> ((s, d) => Relational.regionVolume(s, d)),
     "q23_windowed_topn"   -> ((s, d) => Relational.windowedTopN(s, d)),
     "q24_order_priority"  -> ((s, d) => Relational.orderPriority(s, d))
   )
+
+  /** Reference word-count formula (analyze_dialogues.py:273). */
+  private val wcSql =
+    "CASE WHEN TRIM(text) = '' THEN 0 ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END"
+
+  /** Distinct bigram shingles of `text` (DuckDB side of q26). */
+  private val shinglesSql =
+    """list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))""".stripMargin
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
@@ -128,6 +148,61 @@ object SparkEntry {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY start_ms, user_id) - 1 AS INT) AS group_id,
         |  user_id, n_events, start_ms, end_ms, total_value, n_kinds, avg_value
         |FROM s ORDER BY group_id""".stripMargin,
+    "q07_word_quantiles" ->
+      s"""SELECT MIN(wc) AS min_wc,
+         |  quantile_cont(wc, 0.25) AS q25, quantile_cont(wc, 0.5) AS median,
+         |  quantile_cont(wc, 0.75) AS q75, quantile_cont(wc, 0.9) AS q90,
+         |  quantile_cont(wc, 0.95) AS q95, quantile_cont(wc, 0.997) AS q997,
+         |  MAX(wc) AS max_wc,
+         |  CAST(SUM(wc) AS DOUBLE) / COUNT(*) AS mean_wc
+         |FROM (SELECT $wcSql AS wc FROM documents
+         |      WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0) t""".stripMargin,
+    "q25_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n, MIN(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+    "q26_dedup_ngram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM t)
+         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))), 6) AS jac
+         |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+         |WHERE round(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q29_dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q30_token_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs, SUM(wc) AS total_tokens,
+         |  SUM(LENGTH(text)) AS total_chars,
+         |  CAST(SUM(LENGTH(REPLACE(text, ' ', ''))) AS DOUBLE) / SUM(wc) AS avg_word_len,
+         |  CAST(SUM(wc) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
+         |FROM (SELECT lang, text, $wcSql AS wc FROM documents) t
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q31_quality_score" ->
+      s"""SELECT doc_id, wc, n_stop,
+         |  CAST(n_stop AS DOUBLE) / wc AS stop_ratio,
+         |  LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) AS len_score,
+         |  round(CAST(n_stop AS DOUBLE) / wc * 0.5 + LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) * 0.5, 6) AS quality
+         |FROM (SELECT doc_id, text, $wcSql AS wc,
+         |        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS n_stop
+         |      FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+    "q32_lang_id" ->
+      """SELECT lang, pred_lang, COUNT(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+        |         WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS pred_lang
+        |  FROM (
+        |    SELECT lang,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and'))) AS h_en,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','y'))) AS h_es,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('le','et','un','du'))) AS h_fr
+        |    FROM documents) t) s
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
     "q09_json_extract" ->
       """SELECT CAST(json_extract_string(props, 'k') AS INT) AS k, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass hashing expressions for the dedup family (SURVEY.md §2 D).
+  *
+  * The reference reaches near-dup semantics through embeddings +
+  * cosine clustering (vector_store.py); at 100TB-pipeline scale the
+  * standard cheap paths are MinHash-LSH / SimHash over shingles.
+  * These are single-pass expressions instead of k-fold explode/agg
+  * plans: one row in, one signature out, no shuffle amplification.
+  *
+  * Engine-internal by design (hash bit patterns are not part of the
+  * result contract); candidate pairs they generate are verified with
+  * exact Jaccard before surfacing.
+  */
+private[graft] object Hashing {
+  /** FNV-1a 64-bit over UTF-8 bytes — stable, allocation-free. */
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+  /** splitmix64 finalizer — decorrelates per-permutation seeds. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}
+
+/** MinHash signature (k permutations) over an ARRAY<STRING> of
+  * shingles → ARRAY<BIGINT>. Permutation i's hash of shingle s is
+  * mix64(fnv1a64(s) ^ seed_i); the signature element is the min.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"minhash expects ARRAY<STRING>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = Hashing.fnv1a64(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < k) {
+        val h = Hashing.mix64(base ^ (j * 0x9e3779b97f4a7c15L))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an ARRAY<STRING> of shingles → BIGINT.
+  * Classic Charikar sketch: per-bit vote of each shingle's hash,
+  * sign of the vote becomes the output bit. Near-dups have small
+  * Hamming distance.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"simhash expects ARRAY<STRING>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = Hashing.mix64(Hashing.fnv1a64(arr.getUTF8String(i).getBytes))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit polynomial rolling-hash fingerprint of a STRING → BIGINT
+  * (document fingerprinting for the text-analysis family; the
+  * reference's per-message identity is (message_id, chat_id) —
+  * content fingerprints are the content-addressed equivalent).
+  */
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other      => TypeCheckResult.TypeCheckFailure(s"fingerprint64 expects STRING, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

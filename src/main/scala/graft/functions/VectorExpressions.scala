@@ -77,5 +77,14 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "cosine_sim", (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash", (exprs: Seq[Expression]) => {
+        val k = exprs(1).eval(null).asInstanceOf[Int]
+        MinHashSignature(exprs(0), k)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash", (exprs: Seq[Expression]) => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "fingerprint64", (exprs: Seq[Expression]) => Fingerprint64(exprs(0)), "built-in")
   }
 }

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for LLM-pipeline workloads (SURVEY.md §2 D).
+  *
+  * The reference's near-duplicate surface is embedding-cosine
+  * clustering (vector_store.py similarity search + TextPreprocessor
+  * segment merging); this family adds the standard scale paths:
+  * exact (hash), n-gram Jaccard, MinHash-LSH, SimHash, and
+  * embedding-cosine blocking.
+  *
+  * Scale design: nothing here is O(n²) on the corpus. Every
+  * candidate generator is a shuffle keyed on a block id (min-shingle,
+  * LSH band bucket, simhash band, label) so only same-block rows
+  * meet; exact verification runs on candidates only. Block keys are
+  * hash-derived ⇒ near-uniform ⇒ skew-safe; AQE handles stragglers.
+  */
+object Dedup {
+
+  /** tokens / distinct bigram shingles of the text column. */
+  private val tokens: Column = split(col("text"), " ")
+  private val shingles: Column = array_distinct(
+    transform(sequence(lit(1), size(tokens) - 1),
+      i => concat(element_at(tokens, i), lit(" "), element_at(tokens, i + 1))))
+
+  /** q25: exact dedup with survivors — group identical texts by
+    * content hash, keep min doc_id (the classic first-writer-wins).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep_doc_id"))
+      .orderBy("keep_doc_id")
+
+  /** q26: n-gram Jaccard near-dup pairs, blocked on the
+    * lexicographic min shingle (a 1-permutation MinHash with the
+    * identity hash — engine-independent, so oracle-exact). Pairs in
+    * the same block with bigram-set Jaccard ≥ threshold.
+    */
+  def dedupNgram(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles.as("sh"))
+      .withColumn("blk", array_min(col("sh")))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jac",
+        round(size(array_intersect(col("a.sh"), col("b.sh")))
+          / size(array_union(col("a.sh"), col("b.sh"))), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q27: MinHash-LSH near-dup pairs. k=32 permutations, 8 bands × 4
+    * rows: docs sharing any band bucket become candidates, then exact
+    * Jaccard ≥ threshold verifies (no false positives survive; band
+    * recall at j=0.5 is 1-(1-0.5^4)^8 ≈ 0.4, j=0.9 ≈ 0.998 — tuned
+    * for "catch true near-dups"). Engine-internal hashes ⇒ rows-only
+    * oracle; q26 cross-checks the Jaccard math.
+    */
+  def dedupMinHash(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                   k: Int = 32, bands: Int = 8): DataFrame = {
+    GraftFunctions.register(spark)
+    val rows = k / bands
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles.as("sh"))
+      .withColumn("sig", expr("minhash(sh, 32)"))
+    val banded = sh.select(
+      col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bucket")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("doc_a", "doc_b") // same pair can collide in several bands
+    cand
+      .withColumn("jac", round(size(array_intersect(col("sha"), col("shb")))
+        / size(array_union(col("sha"), col("shb"))), 6))
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q28: SimHash near-dup pairs — 64-bit sketch, candidates blocked
+    * on any of four 16-bit bands (two docs within Hamming ≤ 3 must
+    * agree on ≥1 band), verified by exact Hamming ≤ maxDist.
+    * Rows-only oracle (hash bits are engine-internal).
+    */
+  def dedupSimHash(spark: SparkSession, dir: String, maxDist: Int = 16): DataFrame = {
+    GraftFunctions.register(spark)
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles.as("sh"))
+      .withColumn("sig", expr("simhash(sh)"))
+    val banded = sh
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bucket", expr("shiftrightunsigned(sig, band * 16) & 65535"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q29: embedding-cosine near-dup pairs, blocked by label (at scale
+    * the block key is an IVF cell / LSH bucket of the vector, same
+    * join shape). Oracle-exact: cosine is bit-identical to DuckDB.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+    e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(expr("cosine_sim(a.embedding, b.embedding)"), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), col("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis family for LLM-pipeline workloads (SURVEY.md §2 E)
+  * plus the reference's word-count analytics.
+  *
+  * Word counting follows the reference's SQL formula exactly
+  * (analyze_dialogues.py:268-277: trimmed length minus space-stripped
+  * length + 1) so oracle results agree symbol-for-symbol.
+  * All scoring arithmetic is fixed-order double math on exact integer
+  * inputs — identical bits on any engine.
+  */
+object TextAnalysis {
+
+  /** Reference word-count formula (analyze_dialogues.py:273). */
+  private val wordCount: Column =
+    when(trim(col("text")) === "", 0)
+      .otherwise(length(trim(col("text"))) - length(regexp_replace(trim(col("text")), " ", "")) + 1)
+
+  private val stopwords = Seq("the", "a", "and", "of", "to")
+
+  /** q07: word-count quantile summary (analyze_word_quantiles —
+    * min/q25/median/q75/q90/q95/q99.7/max/mean over per-doc counts).
+    */
+  def wordQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(wordCount.as("wc"))
+      .agg(
+        min("wc").as("min_wc"),
+        expr("percentile(wc, 0.25)").as("q25"),
+        expr("percentile(wc, 0.5)").as("median"),
+        expr("percentile(wc, 0.75)").as("q75"),
+        expr("percentile(wc, 0.9)").as("q90"),
+        expr("percentile(wc, 0.95)").as("q95"),
+        expr("percentile(wc, 0.997)").as("q997"),
+        max("wc").as("max_wc"),
+        (sum("wc").cast("double") / count(lit(1))).as("mean_wc"))
+
+  /** q30: token/char stats per language. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("text"), wordCount.as("wc"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("wc").as("total_tokens"),
+        sum(length(col("text"))).as("total_chars"),
+        (sum(length(regexp_replace(col("text"), " ", ""))).cast("double") / sum("wc"))
+          .as("avg_word_len"),
+        (sum("wc").cast("double") / count(lit(1))).as("avg_tokens_per_doc"))
+      .orderBy("lang")
+
+  /** q31: per-doc quality score — stopword ratio + length score,
+    * the length/punct/stopword heuristic family used for pretraining
+    * data filtering. Fixed-order double arithmetic.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), wordCount.as("wc"), nStop.as("n_stop"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("wc"))
+      .withColumn("len_score", least(lit(1.0), length(col("text")).cast("double") / 500.0))
+      .withColumn("quality", round(col("stop_ratio") * 0.5 + col("len_score") * 0.5, 6))
+      .select("doc_id", "wc", "n_stop", "stop_ratio", "len_score", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** q32: n-gram-heuristic language ID vs the labeled `lang` —
+    * stopword-hit voting with a deterministic tie order, reported as
+    * a confusion matrix. (Synthetic corpus shares one vocabulary, so
+    * the interesting part is the declarative voting plan, not the
+    * accuracy.)
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("text"),
+        hits(Seq("the", "a", "and")).as("h_en"),
+        hits(Seq("el", "la", "de", "y")).as("h_es"),
+        hits(Seq("le", "et", "un", "du")).as("h_fr"))
+      .withColumn("pred_lang",
+        when(col("h_en") >= col("h_es") && col("h_en") >= col("h_fr"), "en")
+          .when(col("h_es") >= col("h_fr"), "es")
+          .otherwise("fr"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** q33: content fingerprinting via the one-pass rolling-hash
+    * expression; dup-group id = min doc_id per fingerprint. Hash bits
+    * are engine-internal ⇒ rows-only oracle.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("fingerprint64(text)").as("fp"))
+    val groups = fp.groupBy("fp").agg(min("doc_id").as("group_min"), count(lit(1)).as("group_n"))
+    fp.join(groups, "fp").select("doc_id", "fp", "group_min", "group_n").orderBy("doc_id")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming sessionization — the incremental counterpart of the
+  * batch operator (operators/Sessions.scala, from the reference's
+  * create_clusters at TextPreprocessor.py:162-214; its DB mode
+  * processes "messages arriving later" incrementally, which is
+  * exactly a stateful stream).
+  *
+  * Semantics match the batch operator: per user, a gap > gapMs opens
+  * a new session; session ids are a per-user running count. State is
+  * one (lastMs, sessionId) pair per user — O(users) state, no
+  * unbounded buffers; with event-time watermarking upstream, late
+  * data past the watermark is dropped before reaching the state
+  * function.
+  */
+object SessionizeStream {
+
+  case class Ev(user_id: Long, ts_ms: Long, event_id: Long)
+  case class SessState(lastMs: Long, sessionId: Long)
+  case class SessOut(user_id: Long, event_id: Long, session_id: Long)
+
+  /** Works on both streaming and batch Datasets (state spans
+    * micro-batches in streaming; within a micro-batch events are
+    * ordered by (ts_ms, event_id) before assignment).
+    */
+  def assign(spark: SparkSession, events: Dataset[Ev], gapMs: Long): Dataset[SessOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          var last = state.getOption.map(_.lastMs).getOrElse(Long.MinValue)
+          var sid = state.getOption.map(_.sessionId).getOrElse(0L)
+          val out = evs.map { e =>
+            if (last == Long.MinValue || e.ts_ms - last > gapMs) sid += 1
+            last = e.ts_ms
+            SessOut(uid, e.event_id, sid)
+          }
+          if (evs.nonEmpty) state.update(SessState(last, sid))
+          out.iterator
+      }
+  }
+}

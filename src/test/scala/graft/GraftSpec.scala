@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for specs (small core count: specs run at
+  * sf0.001 and fork once per suite run).
+  */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val dir = "/root/testdata/sf0.001"
+}
+
+/** Per-operator invariants at sf0.001. Value-level correctness is
+  * covered by the DuckDB oracle gate (tools/selfcheck.py); these
+  * specs pin schemas, invariants, and degenerate-input behavior so
+  * regressions fail fast in `sbt test`.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("q01: every event gets a session; ids start at 1 and are monotone per user") {
+    val df = operators.Sessions.temporalSessions(spark, dir).cache()
+    assert(df.count() == 1000)
+    assert(df.agg(min("session_id")).head.getLong(0) == 1)
+    val bad = df.groupBy("user_id").agg(max("session_id").as("mx"), countDistinct("session_id").as("nd"))
+      .filter(col("mx") =!= col("nd")).count()
+    assert(bad == 0, "session ids must be dense per user")
+  }
+
+  test("q02: session stats respect the size filter") {
+    val df = operators.Sessions.sessionStats(spark, dir)
+    assert(df.filter(col("n_events") < 3).count() == 0)
+  }
+
+  test("q03: runs never mix event types and concatenation is non-empty") {
+    val df = operators.Sessions.concatRuns(spark, dir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(length(col("joined_props")) === 0).count() == 0)
+  }
+
+  test("q05: heatmap covers only valid dow/hour cells") {
+    val df = operators.Sessions.activityHeatmap(spark, dir).cache()
+    assert(df.filter(col("dow") < 0 || col("dow") > 6 || col("hour_of_day") < 0 || col("hour_of_day") > 23).count() == 0)
+    assert(df.agg(sum("n_events")).head.getLong(0) == 1000)
+  }
+
+  test("q06: user stats total matches event count") {
+    val df = operators.Sessions.userStats(spark, dir)
+    assert(df.agg(sum("n_events")).head.getLong(0) == 1000)
+  }
+
+  test("q09: json extraction covers all events") {
+    val df = operators.Messages.jsonExtract(spark, dir)
+    assert(df.agg(sum("n")).head.getLong(0) == 1000)
+  }
+
+  test("q11: filters drop error/null rows") {
+    val df = operators.Messages.messageFilter(spark, dir)
+    assert(df.filter(col("event_type") === "error").count() == 0)
+  }
+
+  test("q15: exactly one latest kind per user") {
+    val df = operators.Messages.nameMapping(spark, dir)
+    assert(df.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("q16: top-k is k rows per query, descending sim") {
+    val df = operators.Vectors.vectorTopK(spark, dir).cache()
+    assert(df.groupBy("query_id").count().filter(col("count") =!= 10).count() == 0)
+    val nonDesc = df.withColumn("prev",
+        lag("sim", 1).over(org.apache.spark.sql.expressions.Window.partitionBy("query_id").orderBy("rk")))
+      .filter(col("prev").isNotNull && col("prev") < col("sim")).count()
+    assert(nonDesc == 0)
+  }
+
+  test("q16/q19: IVF results are a subset of brute-force candidates with equal sims") {
+    val bf = operators.Vectors.vectorTopK(spark, dir, k = 500).select("query_id", "vec_id", "sim")
+    val ivf = operators.Vectors.annIvf(spark, dir).select("query_id", "vec_id", "sim")
+    assert(ivf.join(bf, Seq("query_id", "vec_id", "sim"), "left_anti").count() == 0)
+  }
+
+  test("q13: segment ids are non-decreasing within source") {
+    val df = operators.Vectors.semanticSegments(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("doc_id")
+    val bad = df.withColumn("prev", lag("segment_id", 1).over(w))
+      .filter(col("prev").isNotNull && col("segment_id") < col("prev")).count()
+    assert(bad == 0)
+  }
+
+  test("q25: exact dedup partitions the corpus") {
+    val df = operators.Dedup.dedupExact(spark, dir)
+    assert(df.agg(sum("n")).head.getLong(0) == 500)
+  }
+
+  test("q26/q27: minhash-LSH recovers every min-shingle-blocked ngram pair") {
+    val exact = operators.Dedup.dedupNgram(spark, dir).select("doc_a", "doc_b")
+    val lsh = operators.Dedup.dedupMinHash(spark, dir).select("doc_a", "doc_b")
+    assert(exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti").count() == 0,
+      "LSH (8x4 bands) must not miss pairs the 1-permutation blocker finds")
+  }
+
+  test("q27: jaccard bounds and pair ordering hold") {
+    val df = operators.Dedup.dedupMinHash(spark, dir).cache()
+    assert(df.filter(col("jac") < 0.5 || col("jac") > 1.0).count() == 0)
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+  }
+
+  test("q28: simhash near-dups have small hamming distance") {
+    val df = operators.Dedup.dedupSimHash(spark, dir)
+    assert(df.filter(col("hamming") > 16).count() == 0)
+  }
+
+  test("q29: embedding near-dup pairs stay within label blocks") {
+    val df = operators.Dedup.dedupEmbedding(spark, dir)
+    assert(df.filter(col("sim") < 0.3).count() == 0)
+  }
+
+  test("q31: quality components stay in [0,1]") {
+    val df = operators.TextAnalysis.qualityScore(spark, dir)
+    assert(df.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1
+      || col("len_score") < 0 || col("len_score") > 1
+      || col("quality") < 0 || col("quality") > 1).count() == 0)
+  }
+
+  test("q32: confusion matrix counts every document") {
+    val df = operators.TextAnalysis.langId(spark, dir)
+    assert(df.agg(sum("n")).head.getLong(0) == 500)
+  }
+
+  test("q33: fingerprints are stable across evaluations") {
+    val a = operators.TextAnalysis.fingerprint(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = operators.TextAnalysis.fingerprint(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("q34: media pipeline keeps every doc and positive dims") {
+    val df = operators.Multimodal.mediaPipeline(spark, dir).cache()
+    assert(df.agg(sum("n_media")).head.getLong(0) == 500)
+    assert(df.filter(col("avg_width") <= 0 || col("avg_height") <= 0).count() == 0)
+  }
+
+  test("cosine_sim: self-similarity is 1, orthogonal is 0, zero-vector guarded") {
+    functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val sims = df.selectExpr("cosine_sim(a, b) as s").collect().map(_.getDouble(0))
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(math.abs(sims(1)) < 1e-12)
+    assert(sims(2) == 0.0)
+  }
+}
+
+/** Streaming sessionization must agree with the batch operator and
+  * carry state across micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.streaming.SessionizeStream._
+
+  test("stateful stream sessionization matches batch across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1000L
+    // user 1: two sessions split across batches; user 2: one session
+    val batch1 = Seq(Ev(1, 0, 1), Ev(1, 500, 2), Ev(2, 0, 3))
+    val batch2 = Seq(Ev(1, 600, 4), Ev(1, 5000, 5), Ev(2, 800, 6))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = assign(spark, stream.toDS(), gap)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    stream.addData(batch1: _*); q.processAllAvailable()
+    stream.addData(batch2: _*); q.processAllAvailable()
+    val got = spark.table("sess_out").as[SessOut].collect()
+      .map(s => (s.event_id, s.session_id)).toMap
+    q.stop()
+    // batch reference on the full data
+    val all = (batch1 ++ batch2).toDS()
+    val want = assign(spark, all, gap).collect().map(s => (s.event_id, s.session_id)).toMap
+    assert(got == want, s"stream=$got batch=$want")
+    assert(got(5) == got(4) + 1, "5s gap must open a new session for user 1")
+  }
+}
