@@ -221,12 +221,13 @@ object SparkEntry {
         |WHERE event_type <> 'error' AND props IS NOT NULL AND value > 0.0
         |ORDER BY event_id""".stripMargin,
     "q12_recipients" ->
-      """SELECT a.user_id AS user_id,
+      """WITH p AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day,
+        |             CAST(json_extract_string(props, 'k') AS INT) AS k FROM events)
+        |SELECT a.user_id AS user_id,
         |  list_sort(list(DISTINCT b.user_id)) AS co_users,
         |  COUNT(DISTINCT b.user_id) AS n_co
-        |FROM (SELECT DISTINCT user_id, event_type FROM events) a
-        |JOIN (SELECT DISTINCT user_id, event_type FROM events) b
-        |  ON a.event_type = b.event_type AND a.user_id <> b.user_id
+        |FROM p a JOIN p b
+        |  ON a.day = b.day AND a.k = b.k AND a.user_id <> b.user_id
         |GROUP BY a.user_id ORDER BY user_id""".stripMargin,
     "q13_semantic_segments" ->
       """WITH je AS (

@@ -68,6 +68,63 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements between two SORTED ARRAY<STRING> columns
+  * via a linear merge — the codegen'd kernel behind set-similarity
+  * joins. `array_intersect` builds a hash set per invocation; on
+  * millions of candidate pairs that allocation dominates. With both
+  * sides sorted once upstream (array_sort in a projection), the merge
+  * is allocation-free and stays in WholeStageCodegen.
+  * Jaccard on distinct arrays: common / (|a| + |b| - common).
+  */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _                                                   => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_count_sorted expects ARRAY<STRING> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "intersect_count_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny"); val cmp = ctx.freshName("cmp")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration of graft's native expressions on a session's function
   * registry, so plans can use them via `expr("cosine_sim(a, b)")`.
   * Idempotent.
@@ -86,5 +143,8 @@ object GraftFunctions {
       "simhash", (exprs: Seq[Expression]) => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "fingerprint64", (exprs: Seq[Expression]) => Fingerprint64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "intersect_count_sorted",
+      (exprs: Seq[Expression]) => IntersectCountSorted(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -41,19 +41,51 @@ object Dedup {
     * identity hash — engine-independent, so oracle-exact). Pairs in
     * the same block with bigram-set Jaccard ≥ threshold.
     */
+  private[operators] case class DocShingles(doc_id: Long, sh: Array[String], blk: String)
+  private[operators] case class NgramPair(doc_a: Long, doc_b: Long, jac: Double)
+
   def dedupNgram(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    // Each doc's shingle array shuffles ONCE to its block and all
+    // candidate pairs form in-memory per block — a self-join instead
+    // duplicates every array into every candidate pair row (observed
+    // ~126x shuffle amplification at sf0.1). Blocks are bounded (docs
+    // sharing one min-shingle); the linear merge keeps a pair O(|sh|).
     val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles.as("sh"))
-      .withColumn("blk", array_min(col("sh")))
-    val a = sh.as("a"); val b = sh.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("jac",
-        round(size(array_intersect(col("a.sh"), col("b.sh")))
-          / size(array_union(col("a.sh"), col("b.sh"))), 6))
-      .filter(col("jac") >= threshold)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jac"))
+      .select(col("doc_id"), array_sort(shingles).as("sh"))
+      .withColumn("blk", element_at(col("sh"), 1)) // min shingle of a sorted array
+      .as[DocShingles]
+    sh.groupByKey(_.blk)
+      .flatMapGroups { (_, it) =>
+        val docs = it.toArray.sortBy(_.doc_id)
+        for {
+          i <- docs.indices.iterator
+          j <- (i + 1 until docs.length).iterator
+          a = docs(i); b = docs(j)
+          c = sortedIntersectCount(a.sh, b.sh)
+          jac = roundHalfUp6(c.toDouble / (a.sh.length + b.sh.length - c))
+          if jac >= threshold
+        } yield NgramPair(a.doc_id, b.doc_id, jac)
+      }
+      .toDF("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Linear merge count over two sorted string arrays (JVM twin of
+    * functions.IntersectCountSorted, for typed group processing).
+    */
+  private def sortedIntersectCount(x: Array[String], y: Array[String]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < x.length && j < y.length) {
+      val cmp = x(i).compareTo(y(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 } else if (cmp < 0) i += 1 else j += 1
+    }
+    c
+  }
+
+  /** Matches Spark round() / DuckDB round(): HALF_UP at 6dp. */
+  private def roundHalfUp6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** q27: MinHash-LSH near-dup pairs. k=32 permutations, 8 bands × 4
     * rows: docs sharing any band bucket become candidates, then exact
@@ -67,12 +99,13 @@ object Dedup {
     GraftFunctions.register(spark)
     val rows = k / bands
     val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"), array_sort(shingles).as("sh"))
       .withColumn("sig", expr("minhash(sh, 32)"))
     val banded = sh.select(
       col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bucket")))
+      .repartition(col("band"), col("bucket")) // materialize sig/shingles once per (doc, band)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -81,8 +114,9 @@ object Dedup {
         col("a.sh").as("sha"), col("b.sh").as("shb"))
       .dropDuplicates("doc_a", "doc_b") // same pair can collide in several bands
     cand
-      .withColumn("jac", round(size(array_intersect(col("sha"), col("shb")))
-        / size(array_union(col("sha"), col("shb"))), 6))
+      .withColumn("common", expr("intersect_count_sorted(sha, shb)"))
+      .withColumn("jac",
+        round(col("common") / (size(col("sha")) + size(col("shb")) - col("common")), 6))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")
@@ -101,6 +135,7 @@ object Dedup {
     val banded = sh
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bucket", expr("shiftrightunsigned(sig, band * 16) & 65535"))
+      .repartition(col("band"), col("bucket")) // materialize simhash once per (doc, band)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")

@@ -58,20 +58,31 @@ object Messages {
       .select("event_id", "user_id", "event_type", "ts_ms", "value")
       .orderBy("event_id")
 
-  /** q12: recipients — for each user, the other users co-occurring on
-    * a shared kind (create_recipient_column,
+  /** q12: recipients — for each user, the other users co-occurring in
+    * the same conversation bucket (create_recipient_column,
     * TelegramPreprocessor.py:677-704: "all unique authors except the
-    * current row's author"). Arrays are sorted — collect_set order is
+    * current row's author"; the chat analog here is (event_type,
+    * payload key) — event_type alone is 5-dense and the co-occurrence
+    * join would square up). Arrays are sorted — collect_set order is
     * engine/partitioning-dependent.
     */
   def recipients(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = withTsMs(spark, dir).select("user_id", "event_type").distinct()
+    val pairs = withTsMs(spark, dir)
+      .select(col("user_id"),
+        expr("ts_ms DIV 86400000").as("day"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .distinct()
     val others = pairs.as("a")
       .join(pairs.as("b"),
-        col("a.event_type") === col("b.event_type") && col("a.user_id") =!= col("b.user_id"))
+        col("a.day") === col("b.day") && col("a.k") === col("b.k")
+          && col("a.user_id") =!= col("b.user_id"))
       .select(col("a.user_id").as("user_id"), col("b.user_id").as("co_user"))
+      // dedupe pairs in codegen'd HashAggregate BEFORE the object agg:
+      // collect_set+countDistinct on the raw 3M-pair stream would
+      // dedupe twice inside slow ObjectHashAggregate
+      .distinct()
     others.groupBy("user_id")
-      .agg(sort_array(collect_set("co_user")).as("co_users"), countDistinct("co_user").as("n_co"))
+      .agg(sort_array(collect_list("co_user")).as("co_users"), count(lit(1)).as("n_co"))
       .orderBy("user_id")
   }
 

@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Telegram Desktop export ingestion — the reference's front door
+  * (terrorblade/data/preprocessing/TelegramPreprocessor.py:444-522
+  * `load_json`: chats.list[].messages[] flattened, text_entities
+  * joined into text, per-chat minimum size filter; :1031-1081
+  * `prepare_data`: from_id prefix strip + typing; :706-1004
+  * `handle_*`: media/service/contact marker rewriting and filters).
+  *
+  * Spark-first: one multiLine JSON read with an EXPLICIT schema (no
+  * inference pass over 100TB of exports), two explodes, and a fully
+  * declarative normalization cascade. The reference loads the whole
+  * archive into driver memory (json.load) — here a directory of
+  * exports parallelizes per file, and nothing leaves the executors.
+  */
+object TelegramJson {
+
+  /** Explicit export schema (subset the reference's
+    * telegram_import_schema_short cares about, dtypes.py). `text` is
+    * declared STRING: exports where text is an entity array yield
+    * null there, and the flattened `text_entities` fallback applies —
+    * same precedence as the reference's load_json.
+    */
+  val exportSchema: StructType = {
+    val entity = StructType(Seq(
+      StructField("type", StringType), StructField("text", StringType)))
+    val message = StructType(Seq(
+      StructField("id", LongType),
+      StructField("type", StringType),
+      StructField("date", StringType),
+      StructField("from", StringType),
+      StructField("from_id", StringType),
+      StructField("actor", StringType),
+      StructField("actor_id", StringType),
+      StructField("text", StringType),
+      StructField("text_entities", ArrayType(entity)),
+      StructField("reply_to_message_id", LongType),
+      StructField("forwarded_from", StringType),
+      StructField("media_type", StringType),
+      StructField("sticker_emoji", StringType),
+      StructField("file", StringType),
+      StructField("file_name", StringType),
+      StructField("photo", StringType),
+      StructField("title", StringType),
+      StructField("performer", StringType),
+      StructField("discard_reason", StringType)))
+    val chat = StructType(Seq(
+      StructField("name", StringType),
+      StructField("type", StringType),
+      StructField("id", LongType),
+      StructField("messages", ArrayType(message))))
+    StructType(Seq(StructField("chats",
+      StructType(Seq(StructField("list", ArrayType(chat)))))))
+  }
+
+  /** Flatten an export (file or directory of exports) into one
+    * message row per line, reference column names.
+    */
+  def readExport(spark: SparkSession, path: String, minMessages: Int = 3): DataFrame = {
+    val m = col("m")
+    val flat = spark.read.schema(exportSchema).option("multiLine", true).json(path)
+      .select(explode(col("chats.list")).as("chat"))
+      .filter(size(col("chat.messages")) >= minMessages) // load_json's min_messages
+      .select(col("chat.name").as("chat_name"), col("chat.id").as("chat_id"),
+        col("chat.type").as("chat_type"), explode(col("chat.messages")).as("m"))
+    flat.select(
+      col("chat_name"), col("chat_id"), col("chat_type"),
+      m.getField("id").as("message_id"),
+      m.getField("type").as("type"),
+      to_timestamp(m.getField("date")).as("date"),
+      // service rows carry actor/actor_id instead (handle_service_messages)
+      coalesce(m.getField("from"), m.getField("actor")).as("from_name"),
+      regexp_replace(coalesce(m.getField("from_id"), m.getField("actor_id")), "^(user|channel)", "")
+        .cast(LongType).as("from_id"),
+      // text precedence: plain string, else joined entity texts (load_json)
+      coalesce(m.getField("text"),
+        array_join(transform(m.getField("text_entities"), e => e.getField("text")), " "))
+        .as("text"),
+      m.getField("reply_to_message_id").as("reply_to_message_id"),
+      m.getField("forwarded_from").as("forwarded_from"),
+      m.getField("media_type").as("media_type"),
+      m.getField("sticker_emoji").as("sticker_emoji"),
+      m.getField("file").as("file"),
+      m.getField("file_name").as("file_name"),
+      m.getField("photo").as("photo"),
+      m.getField("title").as("title"),
+      m.getField("performer").as("performer"),
+      m.getField("discard_reason").as("discard_reason"))
+  }
+
+  /** The reference's media-marker cascade (handle_media /
+    * handle_files / handle_photos / handle_service_messages,
+    * TelegramPreprocessor.py:706-980) as one declarative projection.
+    */
+  def withMediaMarkers(df: DataFrame): Column = {
+    val t = col("text")
+    when(col("media_type") === "sticker", col("sticker_emoji"))
+      .when(col("media_type") === "video_file",
+        format_string("%s [video](%s)", t, col("file_name")))
+      .when(col("media_type") === "voice_message",
+        format_string("[voice_message](%s)", col("file")))
+      .when(col("media_type") === "audio_file",
+        format_string("[audio](%s-%s)", col("title"), coalesce(col("performer"), lit(""))))
+      .when(col("media_type") === "animation",
+        format_string("%s [animation](%s)", t, col("file_name")))
+      .when(col("media_type") === "video_message",
+        format_string("[video_message](%s)", col("file_name")))
+      .when(col("media_type").isNull && col("file").isNotNull,
+        format_string("[file](%s)", col("file_name")))
+      .when(col("photo").isNotNull,
+        format_string("%s [photo](%s)", t, coalesce(col("file_name"), lit(""))))
+      .when(col("type") === "service" && col("discard_reason").isNotNull,
+        format_string("[phone_call](%s)", col("discard_reason")))
+      .otherwise(t)
+  }
+
+  /** Full normalization: marker rewrite, service-row removal,
+    * empty-text removal (prepare_data's pipeline).
+    */
+  def normalized(spark: SparkSession, path: String, minMessages: Int = 3): DataFrame = {
+    val df = readExport(spark, path, minMessages)
+    df.withColumn("text", withMediaMarkers(df))
+      .filter(col("type") =!= "service")            // delete_service_messages
+      .filter(col("text").isNotNull && length(col("text")) > 0) // delete_empty_messages
+      .drop("type", "discard_reason")
+  }
+
+  /** Per-chat message counts — the summary the reference logs after
+    * load (process_file's summary table).
+    */
+  def chatSummary(df: DataFrame): DataFrame =
+    df.groupBy("chat_id", "chat_name")
+      .agg(count(lit(1)).as("n_messages"),
+        countDistinct("from_id").as("n_authors"),
+        min("date").as("first_message"),
+        max("date").as("last_message"))
+      .orderBy("chat_id")
+}

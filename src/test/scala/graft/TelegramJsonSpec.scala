@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the Telegram export source on a synthetic export covering
+  * the reference's edge cases: entity-array text, stickers, voice,
+  * service calls, files, small-chat filtering.
+  */
+class TelegramJsonSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def writeExport(): String = {
+    val json =
+      """{"chats": {"list": [
+        |  {"name": "alpha", "type": "personal_chat", "id": 100, "messages": [
+        |    {"id": 1, "type": "message", "date": "2024-01-01T10:00:00",
+        |     "from": "Ann", "from_id": "user7", "text": "hello there"},
+        |    {"id": 2, "type": "message", "date": "2024-01-01T10:01:00",
+        |     "from": "Bob", "from_id": "user8",
+        |     "text_entities": [{"type": "plain", "text": "see"}, {"type": "link", "text": "http://x"}]},
+        |    {"id": 3, "type": "message", "date": "2024-01-01T10:02:00",
+        |     "from": "Ann", "from_id": "user7", "media_type": "sticker", "sticker_emoji": "Y"},
+        |    {"id": 4, "type": "message", "date": "2024-01-01T10:03:00",
+        |     "from": "Bob", "from_id": "user8", "media_type": "voice_message", "file": "v.ogg"},
+        |    {"id": 5, "type": "service", "date": "2024-01-01T10:04:00",
+        |     "actor": "Ann", "actor_id": "user7", "discard_reason": "missed"},
+        |    {"id": 6, "type": "message", "date": "2024-01-01T10:05:00",
+        |     "from": "Ann", "from_id": "user7", "file": "doc.pdf", "file_name": "doc.pdf"}
+        |  ]},
+        |  {"name": "tiny", "type": "personal_chat", "id": 200, "messages": [
+        |    {"id": 1, "type": "message", "date": "2024-01-02T10:00:00",
+        |     "from": "Cat", "from_id": "user9", "text": "lonely"}
+        |  ]}
+        |]}}""".stripMargin
+    val f = Files.createTempFile("tg_export", ".json")
+    Files.writeString(f, json)
+    f.toString
+  }
+
+  test("export flattens, joins entities, strips id prefixes, filters small chats") {
+    val df = sources.TelegramJson.readExport(spark, writeExport()).cache()
+    assert(df.select("chat_id").distinct().collect().map(_.getLong(0)).toSet == Set(100L),
+      "chat 'tiny' (1 msg < min_messages=3) must be dropped")
+    assert(df.count() == 6)
+    val byId = df.collect().map(r => r.getAs[Long]("message_id") -> r).toMap
+    assert(byId(1).getAs[String]("text") == "hello there")
+    assert(byId(2).getAs[String]("text") == "see http://x", "entity texts join with spaces")
+    assert(byId(1).getAs[Long]("from_id") == 7L, "user prefix stripped")
+    assert(byId(5).getAs[Long]("from_id") == 7L, "service rows map actor_id to from_id")
+  }
+
+  test("normalization applies the reference's media-marker cascade and filters") {
+    val df = sources.TelegramJson.normalized(spark, writeExport()).cache()
+    val texts = df.collect().map(r => r.getAs[Long]("message_id") -> r.getAs[String]("text")).toMap
+    assert(texts(3) == "Y", "sticker text becomes the emoji")
+    assert(texts(4) == "[voice_message](v.ogg)")
+    assert(texts(6) == "[file](doc.pdf)")
+    assert(!texts.contains(5), "service messages removed after marker pass")
+    val summary = sources.TelegramJson.chatSummary(df).collect()
+    assert(summary.length == 1 && summary(0).getAs[Long]("n_messages") == 5
+      && summary(0).getAs[Long]("n_authors") == 2)
+  }
+}
