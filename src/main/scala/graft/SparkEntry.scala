@@ -47,6 +47,7 @@ object SparkEntry {
     "q32_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),
     "q33_fingerprint"       -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q34_media_pipeline"    -> ((s, d) => Multimodal.mediaPipeline(s, d)),
+    "q35_bpe_tokens"        -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
     "q20_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q21_top_orders"      -> ((s, d) => Relational.topOrders(s, d)),
     "q22_region_volume"   -> ((s, d) => Relational.regionVolume(s, d)),
@@ -191,6 +192,15 @@ object SparkEntry {
          |        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS n_stop
          |      FROM documents) t
          |ORDER BY doc_id""".stripMargin,
+    "q35_bpe_tokens" ->
+      s"""SELECT lang, SUM(bpe) AS total_bpe_tokens, SUM(wc) AS total_ws_tokens,
+         |  CAST(SUM(bpe) AS DOUBLE) / COUNT(*) AS avg_bpe_per_doc,
+         |  CAST(SUM(bpe) AS DOUBLE) / SUM(wc) AS bpe_per_word
+         |FROM (SELECT lang,
+         |        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe,
+         |        $wcSql AS wc
+         |      FROM documents) t
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q32_lang_id" ->
       """SELECT lang, pred_lang, COUNT(*) AS n FROM (
         |  SELECT lang,

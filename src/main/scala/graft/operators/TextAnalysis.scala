@@ -95,6 +95,24 @@ object TextAnalysis {
       .orderBy("lang", "pred_lang")
   }
 
+  /** q35: BPE-ish regex tokenization — the pretraining-pipeline token
+    * counter: runs of letters, runs of digits, or single
+    * non-alphanumeric symbols (the GPT-2 pre-tokenizer shape).
+    * Compared per lang against whitespace tokens.
+    */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe"),
+        wordCount.as("wc"))
+      .groupBy("lang")
+      .agg(
+        sum("bpe").as("total_bpe_tokens"),
+        sum("wc").as("total_ws_tokens"),
+        (sum("bpe").cast("double") / count(lit(1))).as("avg_bpe_per_doc"),
+        (sum("bpe").cast("double") / sum("wc")).as("bpe_per_word"))
+      .orderBy("lang")
+
   /** q33: content fingerprinting via the one-pass rolling-hash
     * expression; dup-group id = min doc_id per fingerprint. Hash bits
     * are engine-internal ⇒ rows-only oracle.

@@ -171,6 +171,26 @@ class StreamingSpec extends AnyFunSuite {
   import TestSpark._
   import graft.streaming.SessionizeStream._
 
+  test("watermarked windowed counts emit closed windows and drop late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+    val rows = stream.toDF().toDF("ts", "kind")
+    val q = graft.streaming.WindowedCounts.perWindow(rows, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    stream.addData((t(0), "a"), (t(1), "a"), (t(6), "b")); q.processAllAvailable()
+    // watermark advances to 10:06-10m; push it past 10:05 to close the first window
+    stream.addData((t(20), "a")); q.processAllAvailable()
+    stream.addData((t(2), "late"), (t(21), "a")); q.processAllAvailable() // 10:02 < watermark => dropped
+    q.processAllAvailable()
+    val out = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(out.contains(("2024-01-01 10:00:00.0", "a", 2L)), s"closed first window missing: $out")
+    assert(!out.exists(_._2 == "late"), s"late row must be dropped by the watermark: $out")
+  }
+
   test("stateful stream sessionization matches batch across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
