@@ -94,31 +94,38 @@ object Dedup {
     * for "catch true near-dups"). Engine-internal hashes ⇒ rows-only
     * oracle; q26 cross-checks the Jaccard math.
     */
+  private[operators] case class BandedDoc(doc_id: Long, sh: Array[String], band: Int, bucket: String)
+
   def dedupMinHash(spark: SparkSession, dir: String, threshold: Double = 0.5,
                    k: Int = 32, bands: Int = 8): DataFrame = {
+    import spark.implicits._
     GraftFunctions.register(spark)
     val rows = k / bands
-    val sh = Tables.documents(spark, dir)
+    // same shape as dedupNgram: shingles shuffle once per (doc, band)
+    // — a banded self-join would duplicate them into every candidate
+    // pair. A pair colliding in several bands gets identical jac;
+    // dropDuplicates keeps one.
+    val banded = Tables.documents(spark, dir)
       .select(col("doc_id"), array_sort(shingles).as("sh"))
       .withColumn("sig", expr("minhash(sh, 32)"))
-    val banded = sh.select(
-      col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bucket")))
-      .repartition(col("band"), col("bucket")) // materialize sig/shingles once per (doc, band)
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .dropDuplicates("doc_a", "doc_b") // same pair can collide in several bands
-    cand
-      .withColumn("common", expr("intersect_count_sorted(sha, shb)"))
-      .withColumn("jac",
-        round(col("common") / (size(col("sha")) + size(col("shb")) - col("common")), 6))
-      .filter(col("jac") >= threshold)
-      .select("doc_a", "doc_b", "jac")
+      .select(col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+      .as[BandedDoc]
+    banded.groupByKey(d => (d.band, d.bucket))
+      .flatMapGroups { (_, it) =>
+        val docs = it.toArray.sortBy(_.doc_id)
+        for {
+          i <- docs.indices.iterator
+          j <- (i + 1 until docs.length).iterator
+          a = docs(i); b = docs(j)
+          c = sortedIntersectCount(a.sh, b.sh)
+          jac = roundHalfUp6(c.toDouble / (a.sh.length + b.sh.length - c))
+          if jac >= threshold
+        } yield NgramPair(a.doc_id, b.doc_id, jac)
+      }
+      .toDF("doc_a", "doc_b", "jac")
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -127,25 +134,34 @@ object Dedup {
     * agree on ≥1 band), verified by exact Hamming ≤ maxDist.
     * Rows-only oracle (hash bits are engine-internal).
     */
+  private[operators] case class SimBanded(doc_id: Long, sig: Long, band: Int, bucket: Long)
+  private[operators] case class SimPair(doc_a: Long, doc_b: Long, hamming: Int)
+
   def dedupSimHash(spark: SparkSession, dir: String, maxDist: Int = 16): DataFrame = {
+    import spark.implicits._
     GraftFunctions.register(spark)
-    val sh = Tables.documents(spark, dir)
+    // same per-group shape as dedupNgram/dedupMinHash: one shuffled
+    // row per (doc, band); pairs verify in-memory per bucket
+    val banded = Tables.documents(spark, dir)
       .select(col("doc_id"), shingles.as("sh"))
       .withColumn("sig", expr("simhash(sh)"))
-    val banded = sh
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bucket", expr("shiftrightunsigned(sig, band * 16) & 65535"))
-      .repartition(col("band"), col("bucket")) // materialize simhash once per (doc, band)
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .select("doc_id", "sig", "band", "bucket")
+      .as[SimBanded]
+    banded.groupByKey(d => (d.band, d.bucket))
+      .flatMapGroups { (_, it) =>
+        val docs = it.toArray.sortBy(_.doc_id)
+        for {
+          i <- docs.indices.iterator
+          j <- (i + 1 until docs.length).iterator
+          a = docs(i); b = docs(j)
+          h = java.lang.Long.bitCount(a.sig ^ b.sig)
+          if h <= maxDist
+        } yield SimPair(a.doc_id, b.doc_id, h)
+      }
+      .toDF("doc_a", "doc_b", "hamming")
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
-      .filter(col("hamming") <= maxDist)
-      .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 
