@@ -1,0 +1,37 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: injects graft's native expressions
+  * at session build time, so a cluster can enable the whole library
+  * surface with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (no runtime register() call needed; SQL, views, and thrift-server
+  * users see the functions too).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))))
+    ext.injectFunction((FunctionIdentifier("minhash"),
+      info("minhash", "minhash(shingles, k) - k-permutation MinHash signature"),
+      (e: Seq[Expression]) => MinHashSignature(e(0), e(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("simhash"),
+      info("simhash", "simhash(shingles) - 64-bit SimHash sketch"),
+      (e: Seq[Expression]) => SimHash64(e(0))))
+    ext.injectFunction((FunctionIdentifier("fingerprint64"),
+      info("fingerprint64", "fingerprint64(text) - 64-bit rolling-hash fingerprint"),
+      (e: Seq[Expression]) => Fingerprint64(e(0))))
+    ext.injectFunction((FunctionIdentifier("intersect_count_sorted"),
+      info("intersect_count_sorted", "intersect_count_sorted(a, b) - common-element count of sorted string arrays"),
+      (e: Seq[Expression]) => IntersectCountSorted(e(0), e(1))))
+  }
+}

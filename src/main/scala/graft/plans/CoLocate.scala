@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketing utilities — the storage-layout half of the 100TB join
+  * strategy (SURVEY.md §4): facts written bucketed+sorted on their
+  * join key co-locate, so repeated fact-fact joins run shuffle-free
+  * (SortMergeJoin reads matching buckets directly). At warehouse
+  * scale this turns the dominant recurring cost (orders⋈lineitem
+  * every query) into a scan.
+  */
+object CoLocate {
+
+  /** Write a DataFrame as a bucketed, per-bucket-sorted table. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").format("parquet").saveAsTable(table)
+
+  /** Equi-join two same-bucketed tables on their bucket keys; with
+    * matching bucket counts Catalyst plans this without an Exchange.
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   leftKey: String, rightKey: String): DataFrame =
+    spark.table(left).join(spark.table(right), col(leftKey) === col(rightKey))
+}

@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: prove the spark.sql.extensions deployment path in a
+  * fresh JVM — no runtime register() call anywhere.
+  */
+object ExtensionsDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sql(
+      """SELECT round(cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |                        array(CAST(4.0 AS FLOAT), CAST(3.0 AS FLOAT))), 6) AS cos,
+        |       simhash(array('a b', 'b c')) AS sh,
+        |       fingerprint64('hello') AS fp,
+        |       intersect_count_sorted(array('a','b','c'), array('b','c','d')) AS ic,
+        |       size(minhash(array('a b','b c'), 8)) AS mh_k
+        |""".stripMargin).show(false)
+    spark.stop()
+  }
+}

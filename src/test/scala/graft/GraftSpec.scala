@@ -12,6 +12,7 @@ object TestSpark {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -148,6 +149,54 @@ class OperatorsSpec extends AnyFunSuite {
     val df = operators.Multimodal.mediaPipeline(spark, dir).cache()
     assert(df.agg(sum("n_media")).head.getLong(0) == 500)
     assert(df.filter(col("avg_width") <= 0 || col("avg_height") <= 0).count() == 0)
+  }
+
+  test("bucketed tables co-locate the orders-lineitem join: zero shuffles in the plan") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to expose shuffles
+    try {
+      plans.CoLocate.writeBucketed(Tables.lineitem(spark, dir), "g_li_b", "l_orderkey", 4)
+      plans.CoLocate.writeBucketed(Tables.orders(spark, dir), "g_ord_b", "o_orderkey", 4)
+      val j = plans.CoLocate.bucketedJoin(spark, "g_li_b", "g_ord_b", "l_orderkey", "o_orderkey")
+      assert(j.count() > 0)
+      val finalPlan = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p                        => p.toString
+      }
+      assert(!finalPlan.contains("Exchange"),
+        s"bucketed join must be shuffle-free, got:\n$finalPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS g_li_b")
+      spark.sql("DROP TABLE IF EXISTS g_ord_b")
+    }
+  }
+
+  test("incremental: newRowsOnly skips existing keys, upsert keeps existing rows") {
+    import spark.implicits._
+    val existing = Seq((1L, 10L, "old"), (2L, 10L, "keep")).toDF("message_id", "chat_id", "text")
+    val incoming = Seq((2L, 10L, "NEW-dupe"), (3L, 10L, "new")).toDF("message_id", "chat_id", "text")
+    val fresh = operators.Incremental.newRowsOnly(incoming, existing, Seq("message_id", "chat_id"))
+    assert(fresh.collect().map(_.getString(2)).toSet == Set("new"))
+    val merged = operators.Incremental.upsertByKey(existing, incoming, Seq("message_id", "chat_id"))
+    assert(merged.count() == 3)
+    assert(merged.filter(col("message_id") === 2L).head.getString(2) == "keep",
+      "INSERT OR IGNORE: the existing row wins")
+  }
+
+  test("salted join returns exactly the unsalted join's rows") {
+    val fact = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
+    val dim = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    val salted = plans.Salt.saltedJoin(fact, dim, "l_orderkey", "o_orderkey", 4).count()
+    assert(salted == plain, s"salted=$salted plain=$plain")
+  }
+
+  test("GraftExtensions injects all five native functions into a session registry") {
+    val names = org.apache.spark.sql.GraftExtensionsProbe.injectedNames()
+    assert(names == Seq("cosine_sim", "minhash", "simhash", "fingerprint64", "intersect_count_sorted"),
+      s"injected: $names")
   }
 
   test("cosine_sim: self-similarity is 1, orthogonal is 0, zero-vector guarded") {
