@@ -23,4 +23,11 @@ object Incremental {
   /** INSERT OR IGNORE: existing rows win, new keys append. */
   def upsertByKey(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     existing.unionByName(newRowsOnly(incoming, existing, keys))
+
+  /** Resume position per group — the reference's `get_max_message_id`
+    * (telegram_database.py:1088-1133), used to fetch only messages
+    * newer than what's stored.
+    */
+  def maxKeyPerGroup(df: DataFrame, group: String, key: String): DataFrame =
+    df.groupBy(group).agg(max(key).as(s"max_$key")).orderBy(group)
 }

@@ -185,6 +185,13 @@ class OperatorsSpec extends AnyFunSuite {
       "INSERT OR IGNORE: the existing row wins")
   }
 
+  test("incremental: maxKeyPerGroup reports the resume position per chat") {
+    import spark.implicits._
+    val df = Seq((10L, 5L), (10L, 9L), (20L, 2L)).toDF("chat_id", "message_id")
+    val m = operators.Incremental.maxKeyPerGroup(df, "chat_id", "message_id").collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 9L), (20L, 2L)))
+  }
+
   test("salted join returns exactly the unsalted join's rows") {
     val fact = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
     val dim = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
