@@ -36,6 +36,8 @@ object SparkEntry {
     "q17_vector_threshold"  -> ((s, d) => Vectors.vectorThreshold(s, d)),
     "q18_vector_join_text"  -> ((s, d) => Vectors.vectorJoinText(s, d)),
     "q19_ann_ivf"           -> ((s, d) => Vectors.annIvf(s, d)),
+    "q19b_ann_ivf_seeded"   -> ((s, d) => Vectors.annIvfSeeded(s, d)),
+    "q36_top_words"         -> ((s, d) => TextAnalysis.topWords(s, d)),
     "q07_word_quantiles"    -> ((s, d) => TextAnalysis.wordQuantiles(s, d)),
     "q25_dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "q26_dedup_ngram"       -> ((s, d) => Dedup.dedupNgram(s, d)),
@@ -305,6 +307,36 @@ object SparkEntry {
         |  WHERE rk <= 5) t
         |JOIN documents ON vec_id = doc_id
         |ORDER BY query_id, rk""".stripMargin,
+    "q19b_ann_ivf_seeded" ->
+      """WITH seeds AS (
+        |  SELECT label, embedding FROM (
+        |    SELECT label, embedding, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        |    FROM embeddings) s WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT q.vec_id AS query_id, s.label,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])), 6) DESC, s.label) AS crk
+        |    FROM embeddings q, seeds s WHERE q.vec_id < 5) p
+        |  WHERE crk <= 3),
+        |cand AS (
+        |  SELECT p.query_id, e.vec_id, e.label,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qq.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM probes p
+        |  JOIN embeddings e ON e.label = p.label
+        |  JOIN embeddings qq ON qq.vec_id = p.query_id
+        |  WHERE e.vec_id <> p.query_id)
+        |SELECT query_id, vec_id, label, sim, CAST(rk AS INT) AS rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+        |  FROM cand) t
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "q36_top_words" ->
+      """SELECT lang, word, n, CAST(rk AS INT) AS rk FROM (
+        |  SELECT lang, word, COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, word) AS rk
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  GROUP BY lang, word) s
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     "q20_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -113,6 +113,22 @@ object TextAnalysis {
         (sum("bpe").cast("double") / sum("wc")).as("bpe_per_word"))
       .orderBy("lang")
 
+  /** q36: top words per language — the reference TUI's word-analysis
+    * display (analyze_dialogues.py:311-335, word frequency views).
+    * Count-desc with word tie-break, top 5 per lang.
+    */
+  def topWords(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("word"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .orderBy("lang", "rk")
+  }
+
   /** q33: content fingerprinting via the one-pass rolling-hash
     * expression; dup-group id = min doc_id per fingerprint. Hash bits
     * are engine-internal ⇒ rows-only oracle.

@@ -105,6 +105,38 @@ object Vectors {
       .orderBy("query_id", "rk")
   }
 
+  /** q19b: seed-vector IVF — same probe/prune shape as annIvf but
+    * cells are represented by their min-vec_id member instead of a
+    * float mean, making every step engine-exact (ORACLE-CHECKED,
+    * unlike mean-centroid IVF where cross-engine float averaging
+    * diverges). At scale, seeded cells are how you bootstrap IVF
+    * before a k-means refinement pass anyway.
+    */
+  def annIvfSeeded(spark: SparkSession, dir: String, k: Int = 10, nProbe: Int = 3,
+                   nQueries: Int = 5): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val seedW = Window.partitionBy("label").orderBy("vec_id")
+    val seeds = e.withColumn("rn", row_number().over(seedW)).filter(col("rn") === 1)
+      .select(col("label"), col("embedding").as("svec"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("label"))
+    val probes = q.crossJoin(broadcast(seeds))
+      .withColumn("csim", round(expr("cosine_sim(qvec, svec)"), 6))
+      .withColumn("crk", row_number().over(probeW))
+      .filter(col("crk") <= nProbe)
+      .select("query_id", "qvec", "label")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(expr("cosine_sim(embedding, qvec)"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "label", "sim", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** q13: semantic segmentation — sliding cosine distance to the
     * previous message, break when distance > threshold, running sum =
     * segment id (calculate_segments with window_size=1, as used by

@@ -22,6 +22,55 @@ object SessionizeStream {
   case class SessState(lastMs: Long, sessionId: Long)
   case class SessOut(user_id: Long, event_id: Long, session_id: Long)
 
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Production-shaped variant: emits a session only when it CLOSES —
+    * i.e. the event-time watermark passes lastEvent + gap, proven by
+    * an EventTimeTimeout firing. State is one OpenSession per user;
+    * the watermark both bounds state and drops late events.
+    * Input needs an eventtime `ts` column (TimestampType) with
+    * `withWatermark` already applied by the caller's read pipeline —
+    * this operator applies it itself from `watermark`.
+    */
+  def closedSessions(spark: SparkSession, events: Dataset[Ev], gapMs: Long,
+                     watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis($"ts_ms"))
+      .withWatermark("ts", watermark)
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.startMs, s.lastMs, s.n))
+          } else {
+            val evs = it.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, e.ts_ms), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(uid, s.startMs, s.lastMs, s.n)
+                  cur = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+                case None =>
+                  cur = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Works on both streaming and batch Datasets (state spans
     * micro-batches in streaming; within a micro-batch events are
     * ordered by (ts_ms, event_id) before assignment).

@@ -247,6 +247,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.exists(_._2 == "late"), s"late row must be dropped by the watermark: $out")
   }
 
+  test("event-time-timeout sessionizer emits sessions only when the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 60_000L // 1 minute
+    def ms(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00").getTime
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = closedSessions(spark, stream.toDS(), gap, "0 seconds")
+      .writeStream.format("memory").queryName("closed_out").outputMode("append").start()
+    stream.addData(Ev(1, ms(0), 1), Ev(1, ms(1), 2)); q.processAllAvailable()
+    assert(spark.table("closed_out").count() == 0, "session still open - nothing emitted")
+    // an event far in the future advances the watermark past lastMs+gap
+    stream.addData(Ev(2, ms(30), 3)); q.processAllAvailable()
+    stream.addData(Ev(2, ms(31), 4)); q.processAllAvailable() // extra batch lets the timeout fire
+    val rows = spark.table("closed_out").as[ClosedSession].collect()
+    q.stop()
+    assert(rows.exists(s => s.user_id == 1 && s.n_events == 2 && s.start_ms == ms(0) && s.end_ms == ms(1)),
+      s"user 1's 2-event session must close via timeout, got ${rows.toSeq}")
+  }
+
   test("stateful stream sessionization matches batch across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
