@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Recommended session factory for library users: graft's extensions
+  * plus the conf this engine is designed around. On a cluster, the
+  * same settings go through spark-defaults/spark-submit and
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS); see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def getOrCreate(master: String = "local[*]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    // idempotent; covers attaching to a pre-existing session too
+    functions.GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -35,9 +35,11 @@ object SparkEntry {
     "q16_vector_topk"       -> ((s, d) => Vectors.vectorTopK(s, d)),
     "q17_vector_threshold"  -> ((s, d) => Vectors.vectorThreshold(s, d)),
     "q18_vector_join_text"  -> ((s, d) => Vectors.vectorJoinText(s, d)),
+    "q18b_context_snippets" -> ((s, d) => Vectors.contextSnippets(s, d)),
     "q19_ann_ivf"           -> ((s, d) => Vectors.annIvf(s, d)),
     "q19b_ann_ivf_seeded"   -> ((s, d) => Vectors.annIvfSeeded(s, d)),
     "q36_top_words"         -> ((s, d) => TextAnalysis.topWords(s, d)),
+    "q37_threshold_heatmap" -> ((s, d) => Sessions.thresholdHeatmap(s, d)),
     "q07_word_quantiles"    -> ((s, d) => TextAnalysis.wordQuantiles(s, d)),
     "q25_dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "q26_dedup_ngram"       -> ((s, d) => Dedup.dedupNgram(s, d)),
@@ -307,6 +309,30 @@ object SparkEntry {
         |  WHERE rk <= 5) t
         |JOIN documents ON vec_id = doc_id
         |ORDER BY query_id, rk""".stripMargin,
+    "q18b_context_snippets" ->
+      """WITH hits AS (
+        |  SELECT query_id, vec_id, sim, rk FROM (
+        |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rk
+        |    FROM embeddings q, embeddings e
+        |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) s
+        |  WHERE rk <= 5),
+        |hd AS (SELECT h.*, d.source FROM hits h JOIN documents d ON h.vec_id = d.doc_id)
+        |SELECT h.query_id, h.vec_id, h.sim, CAST(h.rk AS INT) AS rk,
+        |  string_agg(n.doc_id || ': ' || substr(n.text, 1, 30), ' | ' ORDER BY n.doc_id) AS context
+        |FROM hd h
+        |JOIN documents n ON n.source = h.source AND n.doc_id BETWEEN h.vec_id - 2 AND h.vec_id + 2
+        |GROUP BY h.query_id, h.vec_id, h.sim, h.rk
+        |ORDER BY query_id, rk""".stripMargin,
+    "q37_threshold_heatmap" ->
+      """SELECT dayofweek(ts) AS dow, hour(ts) AS hour_of_day,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE value >= 50.0
+        |GROUP BY dayofweek(ts), hour(ts)
+        |ORDER BY dow, hour_of_day""".stripMargin,
     "q19b_ann_ivf_seeded" ->
       """WITH seeds AS (
         |  SELECT label, embedding FROM (

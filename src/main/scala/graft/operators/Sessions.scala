@@ -118,6 +118,20 @@ object Sessions {
       .orderBy("dow", "hour_of_day")
   }
 
+  /** q37: threshold heatmap — dow × hour counts restricted to
+    * high-value events (analyze_dialogues.py:368-403
+    * `create_threshold_heatmap`: same grid as the activity heatmap,
+    * filtered to messages above the word-count threshold).
+    */
+  def thresholdHeatmap(spark: SparkSession, dir: String, minValue: Double = 50.0): DataFrame = {
+    val tsCol = timestamp_micros(expr("ts DIV 1000"))
+    withTsMs(spark, dir)
+      .filter(col("value") >= minValue)
+      .groupBy((dayofweek(tsCol) - 1).as("dow"), hour(tsCol).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"), sum(decV).cast("double").as("total_value"))
+      .orderBy("dow", "hour_of_day")
+  }
+
   /** q06: per-user stats — totals, distinct kinds, first/last seen
     * (get_user_stats + user_names first/last-seen tracking).
     */

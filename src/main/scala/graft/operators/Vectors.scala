@@ -137,6 +137,34 @@ object Vectors {
       .orderBy("query_id", "rk")
   }
 
+  /** q18b: context snippets — each top-k hit carries its ±window
+    * neighboring messages (same source, doc_id order), the
+    * reference's cluster-context preview
+    * (vector_store.py:416-479 `_get_cluster_context_snippet`:
+    * context_size rows around the hit, joined into one string).
+    * The neighbor join is hit-bounded (k·(2w+1) rows), so the
+    * expensive side stays a broadcast.
+    */
+  def contextSnippets(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
+                      window: Int = 2): DataFrame = {
+    val hits = vectorTopK(spark, dir, k, nQueries).select("query_id", "vec_id", "sim", "rk")
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val hitDocs = broadcast(hits).join(docs, col("vec_id") === col("doc_id"))
+      .select("query_id", "vec_id", "sim", "rk", "source")
+    val neighbors = Tables.documents(spark, dir)
+      .select(col("source").as("n_source"), col("doc_id").as("n_doc_id"),
+        substring(col("text"), 1, 30).as("n_preview"))
+    hitDocs
+      .join(neighbors, col("n_source") === col("source")
+        && col("n_doc_id").between(col("vec_id") - window, col("vec_id") + window))
+      .groupBy("query_id", "vec_id", "sim", "rk")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("n_doc_id"), col("n_preview")))),
+          s => concat(s.getField("n_doc_id"), lit(": "), s.getField("n_preview"))),
+        " | ").as("context"))
+      .orderBy("query_id", "rk")
+  }
+
   /** q13: semantic segmentation — sliding cosine distance to the
     * previous message, break when distance > threshold, running sum =
     * segment id (calculate_segments with window_size=1, as used by
