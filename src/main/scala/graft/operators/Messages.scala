@@ -66,22 +66,33 @@ object Messages {
     * join would square up). Arrays are sorted — collect_set order is
     * engine/partitioning-dependent.
     */
+  private[operators] case class Participant(user_id: Long, day: Long, k: Int)
+  private[operators] case class CoPair(user_id: Long, co_user: Long)
+
   def recipients(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = withTsMs(spark, dir)
+    import spark.implicits._
+    // co-occurring pairs form in-memory per conversation bucket (one
+    // shuffle of the distinct participant rows) instead of a
+    // self-join that re-scans and re-aggregates the input twice;
+    // pairs then dedupe in a codegen'd HashAggregate BEFORE the
+    // object agg (collect_set on the raw pair stream would dedupe
+    // inside slow ObjectHashAggregate)
+    withTsMs(spark, dir)
       .select(col("user_id"),
         expr("ts_ms DIV 86400000").as("day"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .distinct()
-    val others = pairs.as("a")
-      .join(pairs.as("b"),
-        col("a.day") === col("b.day") && col("a.k") === col("b.k")
-          && col("a.user_id") =!= col("b.user_id"))
-      .select(col("a.user_id").as("user_id"), col("b.user_id").as("co_user"))
-      // dedupe pairs in codegen'd HashAggregate BEFORE the object agg:
-      // collect_set+countDistinct on the raw 3M-pair stream would
-      // dedupe twice inside slow ObjectHashAggregate
+      .as[Participant]
+      .groupByKey(p => (p.day, p.k))
+      .flatMapGroups { (_, it) =>
+        val users = it.map(_.user_id).toArray.sorted
+        for {
+          i <- users.indices.iterator
+          j <- users.indices.iterator if i != j
+        } yield CoPair(users(i), users(j))
+      }
       .distinct()
-    others.groupBy("user_id")
+      .groupBy("user_id")
       .agg(sort_array(collect_list("co_user")).as("co_users"), count(lit(1)).as("n_co"))
       .orderBy("user_id")
   }
