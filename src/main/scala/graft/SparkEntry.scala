@@ -19,6 +19,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_temporal_sessions" -> ((s, d) => Sessions.temporalSessions(s, d)),
+    "q01b_sessions_chunked" -> ((s, d) => Sessions.temporalSessionsChunked(s, d)),
     "q02_session_stats"     -> ((s, d) => Sessions.sessionStats(s, d)),
     "q03_concat_runs"       -> ((s, d) => Sessions.concatRuns(s, d)),
     "q04_largest_sessions"  -> ((s, d) => Sessions.largestSessions(s, d)),
@@ -86,6 +87,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q01_temporal_sessions" ->
+      s"""SELECT event_id, user_id, session_id
+         |FROM (${sessionsCte(1800000)}) s
+         |ORDER BY user_id, session_id, event_id""".stripMargin,
+    "q01b_sessions_chunked" ->
       s"""SELECT event_id, user_id, session_id
          |FROM (${sessionsCte(1800000)}) s
          |ORDER BY user_id, session_id, event_id""".stripMargin,

@@ -52,6 +52,55 @@ object Sessions {
       .select("event_id", "user_id", "session_id")
       .orderBy("user_id", "session_id", "event_id")
 
+  /** Scale-path sessionization: identical session ids to
+    * `sessionized`, but the single per-user window is decomposed into
+    * per-(user, time-chunk) windows plus a tiny per-user merge pass.
+    *
+    * Why: Window.partitionBy(user) serializes ALL of a user's events
+    * into one task — a pathological user (bot, firehose channel)
+    * becomes the straggler/OOM at 100TB. Chunking bounds task input
+    * to (user × chunk) regardless of how hot a user is; the merge
+    * pass runs over per-chunk summaries (|users|·|active chunks|
+    * rows) and stitches sessions that span chunk boundaries:
+    * a chunk's first local session continues the previous chunk's
+    * last session iff first_ms - prev_last_ms ≤ gap. Global id =
+    * sessions_before_chunk + local_id - merge_flag.
+    */
+  def sessionizedChunked(spark: SparkSession, dir: String, windowMs: Long = 30 * 60 * 1000L,
+                         chunkMs: Long = 24 * 60 * 60 * 1000L): DataFrame = {
+    val wLocal = Window.partitionBy("user_id", "chunk").orderBy("ts_ms", "event_id")
+    val local = withTsMs(spark, dir)
+      .withColumn("chunk", expr(s"ts_ms DIV $chunkMs"))
+      .withColumn("prev_ms", lag("ts_ms", 1).over(wLocal))
+      .withColumn("brk",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > windowMs, 1).otherwise(0))
+      .withColumn("local_id", sum("brk").over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_ms", "brk")
+    val wChunk = Window.partitionBy("user_id").orderBy("chunk")
+    val offsets = local.groupBy("user_id", "chunk")
+      .agg(max("local_id").as("n_local"), min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"))
+      .withColumn("prev_last", lag("last_ms", 1).over(wChunk))
+      .withColumn("merge",
+        when(col("prev_last").isNotNull && col("first_ms") - col("prev_last") <= windowMs, 1)
+          .otherwise(0))
+      .withColumn("s_prev",
+        coalesce(sum(col("n_local") - col("merge"))
+          .over(wChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("user_id", "chunk", "merge", "s_prev")
+    local.join(offsets, Seq("user_id", "chunk"))
+      .withColumn("session_id", col("s_prev") + col("local_id") - col("merge"))
+      .drop("chunk", "local_id", "merge", "s_prev")
+  }
+
+  /** q01b: chunked scale-path assignment — same result contract
+    * (and same oracle) as q01. chunk=1h at test scale to exercise
+    * many boundary merges.
+    */
+  def temporalSessionsChunked(spark: SparkSession, dir: String): DataFrame =
+    sessionizedChunked(spark, dir, chunkMs = 60 * 60 * 1000L)
+      .select("event_id", "user_id", "session_id")
+      .orderBy("user_id", "session_id", "event_id")
+
   /** q02: per-session stats, size-qualified (cluster_size ≥ 3 in the
     * reference's `create_clusters` / cluster stats queries).
     */

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the custom expressions: the codegen path (via
+  * DataFrame evaluation) must agree with independent Scala reference
+  * implementations on arbitrary inputs — the eval/doGenCode pair is
+  * the most custom code in the engine and a silent divergence would
+  * poison every vector/dedup operator.
+  */
+class ExpressionPropertiesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  functions.GraftFunctions.register(spark)
+
+  /** Deterministic sample stream from a Gen (no forAll bridge in the
+    * offline dep cache; all pairs evaluate in ONE Spark job so the
+    * property check stays fast).
+    */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val floatArr = Gen.listOfN(16, Gen.chooseNum(-10f, 10f)).map(_.toArray)
+
+  test("cosine_sim codegen == double-accumulation reference on arbitrary vectors") {
+    val pairs = samples(floatArr, 40).grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    val got = pairs.toDF("a", "b").selectExpr("a", "b", "cosine_sim(a, b) AS s")
+      .collect().map(r => r.getDouble(2))
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      a.zip(b).foreach { case (x, y) =>
+        dot += x.toDouble * y.toDouble; nx += x.toDouble * x.toDouble; ny += y.toDouble * y.toDouble
+      }
+      val want = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+      assert(g == want, s"a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
+
+  private val strArr =
+    Gen.listOf(Gen.oneOf("a", "b", "cc", "d e", "ff", "g", "hh", "i")).map(_.distinct.sorted.toArray)
+
+  test("intersect_count_sorted codegen == Set-intersection reference") {
+    val pairs = samples(strArr, 60).grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    val got = pairs.toDF("a", "b").selectExpr("a", "b", "intersect_count_sorted(a, b) AS c")
+      .collect().map(_.getInt(2))
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      assert(g == a.toSet.intersect(b.toSet).size, s"a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
+
+  test("minhash signature: equal sets share all bands, similarity tracks jaccard direction") {
+    val base = (1 to 40).map(i => s"sh$i").toArray
+    val near = base.drop(2) ++ Array("x1", "x2") // jaccard ~0.9
+    val far = (100 to 140).map(i => s"zz$i").toArray
+    val df = Seq(("base", base), ("same", base), ("near", near), ("far", far)).toDF("id", "sh")
+      .selectExpr("id", "minhash(sh, 32) AS sig")
+    val sigs = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("base") == sigs("same"), "identical sets must hash identically")
+    def agree(x: Seq[Long], y: Seq[Long]) = x.zip(y).count { case (p, q) => p == q }
+    assert(agree(sigs("base"), sigs("near")) > agree(sigs("base"), sigs("far")),
+      "signature agreement must order by similarity")
+  }
+
+  test("simhash: hamming(base, near) < hamming(base, far)") {
+    val base = (1 to 40).map(i => s"sh$i").toArray
+    val near = base.drop(2) ++ Array("x1", "x2")
+    val far = (100 to 140).map(i => s"zz$i").toArray
+    val sigs = Seq(("base", base), ("near", near), ("far", far)).toDF("id", "sh")
+      .selectExpr("id", "simhash(sh) AS sig").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sigs("base"), sigs("near")) < ham(sigs("base"), sigs("far")))
+  }
+}

@@ -39,6 +39,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bad == 0, "session ids must be dense per user")
   }
 
+  test("q01b: chunked sessionization equals the single-window assignment exactly") {
+    val simple = operators.Sessions.temporalSessions(spark, dir)
+    val chunked = operators.Sessions.temporalSessionsChunked(spark, dir)
+    assert(simple.exceptAll(chunked).count() == 0 && chunked.exceptAll(simple).count() == 0,
+      "per-(user,chunk) decomposition + merge pass must reproduce session ids")
+  }
+
   test("q02: session stats respect the size filter") {
     val df = operators.Sessions.sessionStats(spark, dir)
     assert(df.filter(col("n_events") < 3).count() == 0)
