@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,8 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * result contract); candidate pairs they generate are verified with
   * exact Jaccard before surfacing.
   */
-private[graft] object Hashing {
-  /** FNV-1a 64-bit over UTF-8 bytes — stable, allocation-free. */
+object Hashing {
+  /** FNV-1a 64-bit over UTF-8 bytes — stable, allocation-free.
+    * (Public + stable-named: generated code calls these statically.)
+    */
   def fnv1a64(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -41,7 +43,7 @@ private[graft] object Hashing {
   * mix64(fnv1a64(s) ^ seed_i); the signature element is the min.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -68,6 +70,25 @@ case class MinHashSignature(child: Expression, k: Int)
     new GenericArrayData(sig)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val hashing = Hashing.getClass.getName.stripSuffix("$") + ".MODULE$"
+      val sig = ctx.freshName("sig"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val base = ctx.freshName("base"); val h = ctx.freshName("h")
+      s"""
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $base = $hashing.fnv1a64($c.getUTF8String($i).getBytes());
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $h = $hashing.mix64($base ^ ($j * -7046029254386353131L));
+         |    if ($h < $sig[$j]) $sig[$j] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -78,7 +99,7 @@ case class MinHashSignature(child: Expression, k: Int)
   * Hamming distance.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -106,6 +127,25 @@ case class SimHash64(child: Expression)
     out
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val hashing = Hashing.getClass.getName.stripSuffix("$") + ".MODULE$"
+      val votes = ctx.freshName("votes"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $h = $hashing.mix64($hashing.fnv1a64($c.getUTF8String($i).getBytes()));
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($votes[$b] > 0) $out |= (1L << $b); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -116,7 +156,7 @@ case class SimHash64(child: Expression)
   * content fingerprints are the content-addressed equivalent).
   */
 case class Fingerprint64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -132,6 +172,17 @@ case class Fingerprint64(child: Expression)
     while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
     h
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes"); val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 1125899906842597L;
+         |for (int $i = 0; $i < $bytes.length; $i++) { $h = $h * 31L + ($bytes[$i] & 0xffL); }
+         |${ev.value} = $h;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -52,6 +52,23 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("hash expressions: generated code and interpreted eval produce identical bits") {
+    val texts = (1 to 50).map(i => s"doc $i word${i % 7} tail${i % 3}")
+    val df = texts.toDF("text")
+      .selectExpr("text", "fingerprint64(text) AS fp",
+        "simhash(split(text, ' ')) AS sh", "minhash(split(text, ' '), 16) AS mh")
+    def run(): Seq[(Long, Long, Seq[Long])] =
+      df.collect().map(r => (r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toSeq
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(codegen == interpreted)
+  }
+
   test("minhash signature: equal sets share all bands, similarity tracks jaccard direction") {
     val base = (1 to 40).map(i => s"sh$i").toArray
     val near = base.drop(2) ++ Array("x1", "x2") // jaccard ~0.9
