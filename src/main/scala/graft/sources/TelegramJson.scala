@@ -48,7 +48,10 @@ object TelegramJson {
       StructField("photo", StringType),
       StructField("title", StringType),
       StructField("performer", StringType),
-      StructField("discard_reason", StringType)))
+      StructField("discard_reason", StringType),
+      StructField("reactions", ArrayType(StructType(Seq(
+        StructField("emoji", StringType), StructField("count", LongType))))),
+      StructField("members", ArrayType(StringType))))
     val chat = StructType(Seq(
       StructField("name", StringType),
       StructField("type", StringType),
@@ -90,7 +93,12 @@ object TelegramJson {
       m.getField("photo").as("photo"),
       m.getField("title").as("title"),
       m.getField("performer").as("performer"),
-      m.getField("discard_reason").as("discard_reason"))
+      m.getField("discard_reason").as("discard_reason"),
+      // parse_reactions (TelegramPreprocessor.py:592-623): first emoji
+      // only; try_element_at — ANSI element_at throws on reactions:[]
+      try_element_at(m.getField("reactions"), lit(1)).getField("emoji").as("reaction"),
+      // parse_members (:557-590): unique member set, sorted for determinism
+      array_sort(array_distinct(m.getField("members"))).as("members"))
   }
 
   /** The reference's media-marker cascade (handle_media /

@@ -16,9 +16,11 @@ class TelegramJsonSpec extends AnyFunSuite {
       """{"chats": {"list": [
         |  {"name": "alpha", "type": "personal_chat", "id": 100, "messages": [
         |    {"id": 1, "type": "message", "date": "2024-01-01T10:00:00",
-        |     "from": "Ann", "from_id": "user7", "text": "hello there"},
+        |     "from": "Ann", "from_id": "user7", "text": "hello there",
+        |     "reactions": [{"emoji": "Y", "count": 2}, {"emoji": "N", "count": 1}],
+        |     "members": ["bob", "ann", "bob"]},
         |    {"id": 2, "type": "message", "date": "2024-01-01T10:01:00",
-        |     "from": "Bob", "from_id": "user8",
+        |     "from": "Bob", "from_id": "user8", "reactions": [],
         |     "text_entities": [{"type": "plain", "text": "see"}, {"type": "link", "text": "http://x"}]},
         |    {"id": 3, "type": "message", "date": "2024-01-01T10:02:00",
         |     "from": "Ann", "from_id": "user7", "media_type": "sticker", "sticker_emoji": "Y"},
@@ -49,6 +51,11 @@ class TelegramJsonSpec extends AnyFunSuite {
     assert(byId(2).getAs[String]("text") == "see http://x", "entity texts join with spaces")
     assert(byId(1).getAs[Long]("from_id") == 7L, "user prefix stripped")
     assert(byId(5).getAs[Long]("from_id") == 7L, "service rows map actor_id to from_id")
+    assert(byId(1).getAs[String]("reaction") == "Y", "first reaction emoji only")
+    assert(byId(1).getAs[scala.collection.Seq[String]]("members").toSeq == Seq("ann", "bob"),
+      "unique sorted members")
+    assert(byId(2).getAs[String]("reaction") == null, "empty reactions list -> null (ANSI-safe)")
+    assert(byId(3).getAs[String]("reaction") == null, "missing reactions -> null")
   }
 
   test("normalization applies the reference's media-marker cascade and filters") {
