@@ -1,0 +1,61 @@
+package graft.tools
+
+import graft.operators.{Dedup, Sessions, Vectors}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure scaling slope 1x -> 10x for representative
+  * operators by synthesizing a 10x dataset from sf0.1 (ids offset per
+  * copy; document tokens and embeddings perturbed per copy so dedup
+  * and vector workload characteristics stay comparable instead of
+  * exploding with cross-copy duplicates).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/graft_scale10"
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val copies = spark.range(10).select(col("id").cast("int").as("copy"))
+    ev.crossJoin(copies)
+      .select((col("event_id") + col("copy") * 10000000L).as("event_id"), col("ts"),
+        (col("user_id") + col("copy") * 100000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    docs.crossJoin(copies)
+      .select((col("doc_id") + col("copy") * 1000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, col("copy").cast("string"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    emb.crossJoin(copies)
+      .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("copy").cast("float") * lit(0.01f)).cast("array<float>").as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    def time(name: String, dir: String)(f: String => org.apache.spark.sql.DataFrame): Unit = {
+      f(dir).write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      f(dir).write.format("noop").mode("overwrite").save()
+      println(f"$name @ $dir: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    Seq(src, dst).foreach { d =>
+      time("q01 sessionize ", d)(Sessions.temporalSessions(spark, _))
+      time("q01b chunked   ", d)(Sessions.sessionizedChunked(spark, _))
+      time("q26 ngram dedup", d)(Dedup.dedupNgram(spark, _))
+      time("q27 minhash    ", d)(Dedup.dedupMinHash(spark, _))
+      time("q16 vector topk", d)(Vectors.vectorTopK(spark, _))
+    }
+    spark.stop()
+  }
+}
