@@ -41,6 +41,8 @@ object SparkEntry {
     "q19b_ann_ivf_seeded"   -> ((s, d) => Vectors.annIvfSeeded(s, d)),
     "q36_top_words"         -> ((s, d) => TextAnalysis.topWords(s, d)),
     "q37_threshold_heatmap" -> ((s, d) => Sessions.thresholdHeatmap(s, d)),
+    "q38_doc_chunks"        -> ((s, d) => TextAnalysis.docChunks(s, d)),
+    "q39_corpus_prep"       -> ((s, d) => TextAnalysis.corpusPrep(s, d)),
     "q07_word_quantiles"    -> ((s, d) => TextAnalysis.wordQuantiles(s, d)),
     "q25_dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "q26_dedup_ngram"       -> ((s, d) => Dedup.dedupNgram(s, d)),
@@ -210,6 +212,42 @@ object SparkEntry {
          |        $wcSql AS wc
          |      FROM documents) t
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q38_doc_chunks" ->
+      """SELECT doc_id, lang, CAST(chunk_idx - 1 AS INT) AS chunk_idx,
+        |  len(chunk_toks) AS n_tokens,
+        |  array_to_string(chunk_toks, ' ') AS chunk_text
+        |FROM (
+        |  SELECT doc_id, lang, i,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS chunk_idx,
+        |    list_slice(string_split(text, ' '), i, i + 31) AS chunk_toks
+        |  FROM (
+        |    SELECT doc_id, lang, text,
+        |      unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 31, 1), 24)) AS i
+        |    FROM documents) t) s
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q39_corpus_prep" ->
+      s"""WITH quality AS (
+         |  SELECT doc_id, wc FROM (
+         |    SELECT doc_id, $wcSql AS wc,
+         |      round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+         |            / ($wcSql) * 0.5
+         |            + LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) * 0.5, 6) AS quality
+         |    FROM documents) x WHERE quality >= 0.3),
+         |survivors AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |neardrop AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM (
+         |    WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |    b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM t)
+         |    SELECT c.doc_id AS doc_b
+         |    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+         |    WHERE round(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))), 6) >= 0.5) p)
+         |SELECT d.lang, COUNT(*) AS n_docs, SUM(q.wc) AS total_tokens
+         |FROM documents d
+         |JOIN quality q ON d.doc_id = q.doc_id
+         |JOIN survivors s ON d.doc_id = s.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM neardrop)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q32_lang_id" ->
       """SELECT lang, pred_lang, COUNT(*) AS n FROM (
         |  SELECT lang,

@@ -129,6 +129,49 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** q38: document chunking — overlapping token windows (size 32,
+    * stride 24), the training-sample prep step of an LLM pipeline.
+    * One generate-and-explode pass; chunk starts at 1, 25, 49, …
+    * while a full-or-partial window remains.
+    */
+  def docChunks(spark: SparkSession, dir: String, size: Int = 32, stride: Int = 24): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(transform(
+          sequence(lit(1), greatest(org.apache.spark.sql.functions.size(toks) - (size - 1), lit(1)), lit(stride)),
+          i => slice(toks, i, lit(size)))).as(Seq("chunk_idx", "chunk_toks")))
+      .select(col("doc_id"), col("lang"), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("chunk_toks")).as("n_tokens"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** q39: composed corpus prep — the end-to-end pretraining filter
+    * chain: quality gate → exact-dup survivors → near-dup removal →
+    * per-lang corpus stats. Each stage is one of the standalone
+    * operators; this is the composition a 100TB data pipeline runs
+    * nightly.
+    */
+  def corpusPrep(spark: SparkSession, dir: String, minQuality: Double = 0.3): DataFrame = {
+    val quality = qualityScore(spark, dir)
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"), col("wc"))
+    val exactSurvivors = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nearDupDrop = Dedup.dedupNgram(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(spark, dir).select("doc_id", "lang")
+      .join(quality, "doc_id")
+      .join(exactSurvivors, Seq("doc_id"), "left_semi")
+      .join(nearDupDrop, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("wc").as("total_tokens"))
+      .orderBy("lang")
+  }
+
   /** q33: content fingerprinting via the one-pass rolling-hash
     * expression; dup-group id = min doc_id per fingerprint. Hash bits
     * are engine-internal ⇒ rows-only oracle.
