@@ -281,7 +281,7 @@ object SparkEntry {
       """WITH p AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day,
         |             CAST(json_extract_string(props, 'k') AS INT) AS k FROM events)
         |SELECT a.user_id AS user_id,
-        |  list_sort(list(DISTINCT b.user_id)) AS co_users,
+        |  array_to_string(list_sort(list(DISTINCT b.user_id)), ',') AS co_users,
         |  COUNT(DISTINCT b.user_id) AS n_co
         |FROM p a JOIN p b
         |  ON a.day = b.day AND a.k = b.k AND a.user_id <> b.user_id

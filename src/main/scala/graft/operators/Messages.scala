@@ -93,7 +93,11 @@ object Messages {
       }
       .distinct()
       .groupBy("user_id")
-      .agg(sort_array(collect_list("co_user")).as("co_users"), count(lit(1)).as("n_co"))
+      // string-joined rather than ARRAY output: the only collection-
+      // typed oracle surface would hinge on engines stringifying
+      // lists identically in the driver's hash compare
+      .agg(array_join(sort_array(collect_list("co_user")), ",").as("co_users"),
+        count(lit(1)).as("n_co"))
       .orderBy("user_id")
   }
 
