@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes RAW to stdout/stderr — without this, sbt's
+// logger prefixes every line with "[info] ", so no stdout line starts
+// with '{' and the driver's bench-JSON parse fails (BENCH_r01.json
+// came back "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

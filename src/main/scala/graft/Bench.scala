@@ -32,18 +32,28 @@ object Bench {
       .foreach(n => try force(n) catch { case _: Throwable => () })
 
     // min of two runs: local[32] on small inputs has ±20% GC/placement
-    // noise per run; the min is the steady-state throughput signal
+    // noise per run; the min is the steady-state throughput signal.
+    // Failures are NOT swallowed into flattering near-zero times: a
+    // failed query reports -1 and lands in the "errors" map.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try force(name) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { force(name); true } catch {
+          case t: Throwable =>
+            errors(name) = (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+            false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> times.min
+      val good = times.filter(_ >= 0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

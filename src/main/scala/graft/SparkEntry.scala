@@ -188,8 +188,8 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
     "q30_token_stats" ->
-      s"""SELECT lang, COUNT(*) AS n_docs, SUM(wc) AS total_tokens,
-         |  SUM(LENGTH(text)) AS total_chars,
+      s"""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(wc) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
          |  CAST(SUM(LENGTH(REPLACE(text, ' ', ''))) AS DOUBLE) / SUM(wc) AS avg_word_len,
          |  CAST(SUM(wc) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
          |FROM (SELECT lang, text, $wcSql AS wc FROM documents) t
@@ -204,7 +204,7 @@ object SparkEntry {
          |      FROM documents) t
          |ORDER BY doc_id""".stripMargin,
     "q35_bpe_tokens" ->
-      s"""SELECT lang, SUM(bpe) AS total_bpe_tokens, SUM(wc) AS total_ws_tokens,
+      s"""SELECT lang, CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens, CAST(SUM(wc) AS BIGINT) AS total_ws_tokens,
          |  CAST(SUM(bpe) AS DOUBLE) / COUNT(*) AS avg_bpe_per_doc,
          |  CAST(SUM(bpe) AS DOUBLE) / SUM(wc) AS bpe_per_word
          |FROM (SELECT lang,
@@ -242,7 +242,7 @@ object SparkEntry {
          |    SELECT c.doc_id AS doc_b
          |    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
          |    WHERE round(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))), 6) >= 0.5) p)
-         |SELECT d.lang, COUNT(*) AS n_docs, SUM(q.wc) AS total_tokens
+         |SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(q.wc) AS BIGINT) AS total_tokens
          |FROM documents d
          |JOIN quality q ON d.doc_id = q.doc_id
          |JOIN survivors s ON d.doc_id = s.doc_id

@@ -72,7 +72,10 @@ case class MinHashSignature(child: Expression, k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val hashing = Hashing.getClass.getName.stripSuffix("$") + ".MODULE$"
+      // static forwarders on the mirror class — `Hashing.MODULE$` does
+      // not exist (MODULE$ lives on Hashing$), and a bad reference here
+      // silently demotes the whole stage to the interpreted path
+      val hashing = Hashing.getClass.getName.stripSuffix("$")
       val sig = ctx.freshName("sig"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val base = ctx.freshName("base"); val h = ctx.freshName("h")
       s"""
@@ -129,7 +132,10 @@ case class SimHash64(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val hashing = Hashing.getClass.getName.stripSuffix("$") + ".MODULE$"
+      // static forwarders on the mirror class — `Hashing.MODULE$` does
+      // not exist (MODULE$ lives on Hashing$), and a bad reference here
+      // silently demotes the whole stage to the interpreted path
+      val hashing = Hashing.getClass.getName.stripSuffix("$")
       val votes = ctx.freshName("votes"); val i = ctx.freshName("i")
       val b = ctx.freshName("b"); val h = ctx.freshName("h"); val out = ctx.freshName("out")
       s"""

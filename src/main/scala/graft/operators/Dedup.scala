@@ -21,11 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** tokens / distinct bigram shingles of the text column. */
+  /** tokens / distinct bigram shingles of the text column. A
+    * single-token or empty doc has NO bigrams: without the guard,
+    * sequence(1, 0) yields descending [1, 0] and ANSI element_at
+    * throws on index 0. Empty-shingle docs are filtered out of every
+    * candidate generator below (no shingles ⇒ can never pair; the
+    * DuckDB oracle drops them the same way via its NULL block key).
+    */
   private val tokens: Column = split(col("text"), " ")
-  private val shingles: Column = array_distinct(
-    transform(sequence(lit(1), size(tokens) - 1),
-      i => concat(element_at(tokens, i), lit(" "), element_at(tokens, i + 1))))
+  private val shingles: Column =
+    when(size(tokens) >= 2,
+      array_distinct(transform(sequence(lit(1), size(tokens) - 1),
+        i => concat(element_at(tokens, i), lit(" "), element_at(tokens, i + 1)))))
+      .otherwise(array().cast("array<string>"))
 
   /** q25: exact dedup with survivors — group identical texts by
     * content hash, keep min doc_id (the classic first-writer-wins).
@@ -53,6 +61,7 @@ object Dedup {
     // sharing one min-shingle); the linear merge keeps a pair O(|sh|).
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), array_sort(shingles).as("sh"))
+      .filter(size(col("sh")) > 0)                 // degenerate docs can't pair
       .withColumn("blk", element_at(col("sh"), 1)) // min shingle of a sorted array
       .as[DocShingles]
     sh.groupByKey(_.blk)
@@ -107,7 +116,8 @@ object Dedup {
     // dropDuplicates keeps one.
     val banded = Tables.documents(spark, dir)
       .select(col("doc_id"), array_sort(shingles).as("sh"))
-      .withColumn("sig", expr("minhash(sh, 32)"))
+      .filter(size(col("sh")) > 0)                 // degenerate docs can't pair
+      .withColumn("sig", expr(s"minhash(sh, $k)"))
       .select(col("doc_id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
@@ -144,6 +154,7 @@ object Dedup {
     // row per (doc, band); pairs verify in-memory per bucket
     val banded = Tables.documents(spark, dir)
       .select(col("doc_id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)                 // degenerate docs can't pair
       .withColumn("sig", expr("simhash(sh)"))
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bucket", expr("shiftrightunsigned(sig, band * 16) & 65535"))

@@ -81,6 +81,10 @@ object Messages {
       .select(col("user_id"),
         expr("ts_ms DIV 86400000").as("day"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
+      // rows with null props / missing 'k' can never co-occur (the
+      // oracle's a.k = b.k join is null-rejecting) — and a null k
+      // would crash the non-nullable Int encoder below
+      .filter(col("k").isNotNull)
       .distinct()
       .as[Participant]
       .groupByKey(p => (p.day, p.k))

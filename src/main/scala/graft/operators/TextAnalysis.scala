@@ -64,7 +64,9 @@ object TextAnalysis {
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), wordCount.as("wc"), nStop.as("n_stop"))
-      .withColumn("stop_ratio", col("n_stop").cast("double") / col("wc"))
+      // try_divide: a zero-word doc must yield NULL (DuckDB's double/0
+      // semantics), not an ANSI DIVIDE_BY_ZERO abort of the whole job
+      .withColumn("stop_ratio", try_divide(col("n_stop").cast("double"), col("wc")))
       .withColumn("len_score", least(lit(1.0), length(col("text")).cast("double") / 500.0))
       .withColumn("quality", round(col("stop_ratio") * 0.5 + col("len_score") * 0.5, 6))
       .select("doc_id", "wc", "n_stop", "stop_ratio", "len_score", "quality")

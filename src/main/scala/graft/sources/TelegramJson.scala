@@ -22,9 +22,12 @@ object TelegramJson {
 
   /** Explicit export schema (subset the reference's
     * telegram_import_schema_short cares about, dtypes.py). `text` is
-    * declared STRING: exports where text is an entity array yield
-    * null there, and the flattened `text_entities` fallback applies —
-    * same precedence as the reference's load_json.
+    * declared STRING: when an export carries `text` as an entity
+    * array (any rich message), Spark's JSON reader STRINGIFIES the
+    * array into the raw JSON blob under the declared StringType — so
+    * `text` alone is unusable for rich messages and the joined
+    * `text_entities` must take precedence (the reference's load_json
+    * order).
     */
   val exportSchema: StructType = {
     val entity = StructType(Seq(
@@ -80,9 +83,13 @@ object TelegramJson {
       coalesce(m.getField("from"), m.getField("actor")).as("from_name"),
       regexp_replace(coalesce(m.getField("from_id"), m.getField("actor_id")), "^(user|channel)", "")
         .cast(LongType).as("from_id"),
-      // text precedence: plain string, else joined entity texts (load_json)
-      coalesce(m.getField("text"),
+      // text precedence: joined entity texts first (load_json) — for
+      // rich messages the raw `text` field is an array the JSON
+      // reader stringifies into a blob, never null, so coalesce on
+      // `text` would keep the blob
+      when(size(m.getField("text_entities")) > 0,
         array_join(transform(m.getField("text_entities"), e => e.getField("text")), " "))
+        .otherwise(m.getField("text"))
         .as("text"),
       m.getField("reply_to_message_id").as("reply_to_message_id"),
       m.getField("forwarded_from").as("forwarded_from"),

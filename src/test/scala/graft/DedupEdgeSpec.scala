@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-document regression: single-token and empty docs have
+  * NO bigram shingles. Before the guard in Dedup.shingles,
+  * sequence(1, size-1) produced a descending [1, 0] range and ANSI
+  * element_at aborted the whole job on index 0 — any real corpus
+  * contains one-word docs, so q26/q27/q28/q39 must survive them.
+  */
+class DedupEdgeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("dedup_edge").toString
+    import spark.implicits._
+    Seq(
+      (0L, "hello", "en", "s0", 5L),                      // single token: no shingles
+      (1L, "", "en", "s0", 0L),                           // empty text
+      // near-dup pair sharing 11 of 12 shingles: enough shingles that
+      // the simhash Hamming distance concentrates well under maxDist
+      // (4-shingle docs sit near E[hamming]≈24 and legitimately miss)
+      (2L, "the quick brown fox jumps over the lazy dog every single morning here", "en", "s1", 70L),
+      (3L, "the quick brown fox leaps over the lazy dog every single morning here", "en", "s1", 70L),
+      (4L, "completely different words appear in this other document about databases", "en", "s1", 72L),
+      (5L, "hello", "en", "s2", 5L),                      // exact dup of 0, still unpairable (no shingles)
+      (6L, "the quick brown fox jumps over the lazy dog every single morning here", "en", "s2", 70L) // exact dup of 2: hamming 0 ⇒ guaranteed band match
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private val foxPairs = Set((2L, 3L), (2L, 6L), (3L, 6L))
+
+  test("ngram dedup survives single-token and empty docs") {
+    val pairs = operators.Dedup.dedupNgram(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == foxPairs, s"expected the fox trio's pairs, got $pairs")
+  }
+
+  test("minhash dedup survives degenerate docs and honors k") {
+    // fallback off: a codegen compile failure must FAIL, not silently
+    // run interpreted (regression: generated code referenced
+    // Hashing.MODULE$, which does not exist on the mirror class)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val p32 = operators.Dedup.dedupMinHash(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p32.contains((2L, 6L)) && p32.subsetOf(foxPairs),
+        s"exact dup must surface, only fox pairs may, got $p32")
+      // k=16 with 8 bands (2 rows/band): must not crash and must band
+      // over a 16-element signature (regression: k was hardcoded 32)
+      val p16 = operators.Dedup.dedupMinHash(spark, dir, k = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p16.contains((2L, 6L)) && p16.subsetOf(foxPairs),
+        s"k=16 banding broke recall or leaked a bad pair: $p16")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("simhash dedup survives degenerate docs") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val pairs = operators.Dedup.dedupSimHash(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // hamming(2,6)=0 ⇒ all four bands collide ⇒ guaranteed found;
+      // the 2/3 near-dup pair may or may not band-match (no recall
+      // guarantee above hamming 3) but degenerate docs never pair
+      assert(pairs.contains((2L, 6L)) && pairs.forall(p => Set(2L, 3L, 6L)(p._1) && Set(2L, 3L, 6L)(p._2)),
+        s"exact dup must be found, degenerate docs must not pair: $pairs")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("corpus prep pipeline survives degenerate docs") {
+    val rows = operators.TextAnalysis.corpusPrep(spark, dir, minQuality = 0.0).collect()
+    assert(rows.nonEmpty)
+  }
+}

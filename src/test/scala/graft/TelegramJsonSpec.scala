@@ -29,7 +29,11 @@ class TelegramJsonSpec extends AnyFunSuite {
         |    {"id": 5, "type": "service", "date": "2024-01-01T10:04:00",
         |     "actor": "Ann", "actor_id": "user7", "discard_reason": "missed"},
         |    {"id": 6, "type": "message", "date": "2024-01-01T10:05:00",
-        |     "from": "Ann", "from_id": "user7", "file": "doc.pdf", "file_name": "doc.pdf"}
+        |     "from": "Ann", "from_id": "user7", "file": "doc.pdf", "file_name": "doc.pdf"},
+        |    {"id": 7, "type": "message", "date": "2024-01-01T10:06:00",
+        |     "from": "Bob", "from_id": "user8",
+        |     "text": ["plain part ", {"type": "link", "text": "http://y"}],
+        |     "text_entities": [{"type": "plain", "text": "plain part"}, {"type": "link", "text": "http://y"}]}
         |  ]},
         |  {"name": "tiny", "type": "personal_chat", "id": 200, "messages": [
         |    {"id": 1, "type": "message", "date": "2024-01-02T10:00:00",
@@ -45,10 +49,15 @@ class TelegramJsonSpec extends AnyFunSuite {
     val df = sources.TelegramJson.readExport(spark, writeExport()).cache()
     assert(df.select("chat_id").distinct().collect().map(_.getLong(0)).toSet == Set(100L),
       "chat 'tiny' (1 msg < min_messages=3) must be dropped")
-    assert(df.count() == 6)
+    assert(df.count() == 7)
     val byId = df.collect().map(r => r.getAs[Long]("message_id") -> r).toMap
     assert(byId(1).getAs[String]("text") == "hello there")
     assert(byId(2).getAs[String]("text") == "see http://x", "entity texts join with spaces")
+    // rich message: `text` is an entity ARRAY in the export — the JSON
+    // reader stringifies it into a blob under StringType, so the
+    // joined text_entities must win (reference load_json precedence)
+    assert(byId(7).getAs[String]("text") == "plain part http://y",
+      s"entity join must beat the stringified blob, got: ${byId(7).getAs[String]("text")}")
     assert(byId(1).getAs[Long]("from_id") == 7L, "user prefix stripped")
     assert(byId(5).getAs[Long]("from_id") == 7L, "service rows map actor_id to from_id")
     assert(byId(1).getAs[String]("reaction") == "Y", "first reaction emoji only")
@@ -66,7 +75,7 @@ class TelegramJsonSpec extends AnyFunSuite {
     assert(texts(6) == "[file](doc.pdf)")
     assert(!texts.contains(5), "service messages removed after marker pass")
     val summary = sources.TelegramJson.chatSummary(df).collect()
-    assert(summary.length == 1 && summary(0).getAs[Long]("n_messages") == 5
+    assert(summary.length == 1 && summary(0).getAs[Long]("n_messages") == 6
       && summary(0).getAs[Long]("n_authors") == 2)
   }
 }
