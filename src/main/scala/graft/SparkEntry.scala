@@ -46,6 +46,7 @@ object SparkEntry {
     "q07_word_quantiles"    -> ((s, d) => TextAnalysis.wordQuantiles(s, d)),
     "q25_dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "q26_dedup_ngram"       -> ((s, d) => Dedup.dedupNgram(s, d)),
+    "q40_dedup_allpairs"    -> ((s, d) => Dedup.dedupAllPairs(s, d)),
     "q27_dedup_minhash"     -> ((s, d) => Dedup.dedupMinHash(s, d)),
     "q28_dedup_simhash"     -> ((s, d) => Dedup.dedupSimHash(s, d)),
     "q29_dedup_embedding"   -> ((s, d) => Dedup.dedupEmbedding(s, d)),
@@ -180,6 +181,15 @@ object SparkEntry {
          |  round(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))), 6) AS jac
          |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
          |WHERE round(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q40_dedup_allpairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_sort($shinglesSql) AS sh FROM documents),
+         |s AS (SELECT doc_id, sh, len(sh) AS n FROM t WHERE len(sh) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) AS jac
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) >= 0.9
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q29_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

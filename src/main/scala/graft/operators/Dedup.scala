@@ -21,19 +21,40 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** tokens / distinct bigram shingles of the text column. A
-    * single-token or empty doc has NO bigrams: without the guard,
+  /** Distinct bigram shingles from a MATERIALIZED token-array column.
+    *
+    * The token split must be projected in a separate step first: an
+    * inline `split(text)` referenced inside the transform lambda is
+    * re-evaluated on every lambda invocation (higher-order functions
+    * are interpreted, no common-subexpression elimination), costing
+    * ~2×|tokens| full regex splits per document — measured 4.3s of
+    * q26's 5.0s at sf0.1 before this split/shingle separation.
+    *
+    * A single-token or empty doc has NO bigrams: without the guard,
     * sequence(1, 0) yields descending [1, 0] and ANSI element_at
     * throws on index 0. Empty-shingle docs are filtered out of every
     * candidate generator below (no shingles ⇒ can never pair; the
     * DuckDB oracle drops them the same way via its NULL block key).
     */
-  private val tokens: Column = split(col("text"), " ")
-  private val shingles: Column =
-    when(size(tokens) >= 2,
-      array_distinct(transform(sequence(lit(1), size(tokens) - 1),
-        i => concat(element_at(tokens, i), lit(" "), element_at(tokens, i + 1)))))
+  private def shinglesOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      array_distinct(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
       .otherwise(array().cast("array<string>"))
+
+  /** doc_id + lex-sorted shingle array, with the token split
+    * materialized in its own projection (see shinglesOf). Degenerate
+    * docs (< 2 tokens ⇔ no bigrams) are filtered HERE, on the cheap
+    * token count: a downstream filter on size(sh) would be pushed
+    * through the projection by Catalyst, substituting — and thus
+    * re-evaluating — the whole shingle expression inside the filter
+    * (measured: 0.55s → 2.5s at sf0.1).
+    */
+  private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), array_sort(shinglesOf(col("toks"))).as("sh"))
 
   /** q25: exact dedup with survivors — group identical texts by
     * content hash, keep min doc_id (the classic first-writer-wins).
@@ -59,9 +80,7 @@ object Dedup {
     // duplicates every array into every candidate pair row (observed
     // ~126x shuffle amplification at sf0.1). Blocks are bounded (docs
     // sharing one min-shingle); the linear merge keeps a pair O(|sh|).
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_sort(shingles).as("sh"))
-      .filter(size(col("sh")) > 0)                 // degenerate docs can't pair
+    val sh = docShingles(spark, dir)
       .withColumn("blk", element_at(col("sh"), 1)) // min shingle of a sorted array
       .as[DocShingles]
     sh.groupByKey(_.blk)
@@ -114,9 +133,7 @@ object Dedup {
     // — a banded self-join would duplicate them into every candidate
     // pair. A pair colliding in several bands gets identical jac;
     // dropDuplicates keeps one.
-    val banded = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_sort(shingles).as("sh"))
-      .filter(size(col("sh")) > 0)                 // degenerate docs can't pair
+    val banded = docShingles(spark, dir)
       .withColumn("sig", expr(s"minhash(sh, $k)"))
       .select(col("doc_id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -139,6 +156,91 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q40: EXACT all-pairs n-gram Jaccard join via prefix filtering
+    * (the AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et
+    * al., WWW'08 — the standard scale path for set-similarity joins).
+    *
+    * Unlike q26's min-shingle blocking (recall < 1, and block sizes
+    * grow with corpus size under a fixed vocabulary: measured 5000
+    * docs → 183 blocks, max 264 docs, 312k candidate pairs at sf0.1 —
+    * quadratic at 100TB), this finds EVERY pair with Jaccard ≥ t:
+    * two sets with |A∩B|/|A∪B| ≥ t must share a shingle within each
+    * other's first (n - ⌈t·n⌉ + 1) shingles in a GLOBAL rarity order,
+    * so candidates form only on globally rare shingles — block size
+    * is bounded by document frequency of rare tokens, not corpus
+    * size. A length filter (t·|B| ≤ |A|) prunes further.
+    *
+    * Plan shape: df-agg (shuffle by shingle) → per-doc prefix build
+    * (shuffle by doc) → ONE shuffle of (prefix token, doc arrays) —
+    * each doc's arrays move once per prefix token (p ≈ (1-t)·n rows),
+    * never once per candidate pair — then everything happens in-group:
+    * length filter, positional filter, first-common-token dedup
+    * (a pair verifies exactly once, at its globally rarest shared
+    * prefix token — PPJoin's emission rule, so no distinct pass),
+    * and the exact merge-intersect verify.
+    */
+  private[operators] case class PrefDoc(shingle: String, doc_id: Long,
+      sh: Array[String], pref: Array[String])
+
+  def dedupAllPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val docs = docShingles(spark, dir)
+      .withColumn("n", size(col("sh")))
+    val exploded = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+    val dfreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // per-doc prefix: the first (n - ⌈t·n⌉ + 1) shingles in GLOBAL
+    // (df, shingle) rarity order — built with aggregation, no window
+    val pref = exploded.join(dfreq, "shingle")
+      .groupBy("doc_id", "n")
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
+      .select(col("doc_id"),
+        slice(transform(col("ranked"), r => r.getField("shingle")),
+          lit(1), (col("n") - ceil(col("n") * threshold) + 1).cast("int")).as("pref"))
+    val rows = docs.join(pref, "doc_id") // doc-aligned 1:1 join
+      .select(explode(col("pref")).as("shingle"), col("doc_id"), col("sh"), col("pref"))
+      .as[PrefDoc]
+    rows.groupByKey(_.shingle)
+      .flatMapGroups { (cur, it) =>
+        val ds = it.toArray.sortBy(_.doc_id)
+        // per-DOC precomputation hoisted out of the O(g²) pair loop:
+        // prefix hash sets and the token's position in each prefix
+        val prefSets = ds.map(d => d.pref.toSet)
+        val pos = ds.map(_.pref.indexOf(cur) + 1)
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1 until ds.length).iterator
+          a = ds(i); b = ds(j)
+          na = a.sh.length; nb = b.sh.length
+          // length filter: jac >= t forces t*|B| <= |A| (|A| <= |B|)
+          if na >= threshold * nb && nb >= threshold * na
+          // positional filter (PPJoin): beyond this token only the
+          // suffixes can still match — prune when even a full suffix
+          // match can't reach the required overlap ⌈t/(1+t)(na+nb)⌉
+          if math.min(na - pos(i), nb - pos(j)) + 1 >=
+            math.ceil(threshold / (1 + threshold) * (na + nb))
+          // emission dedup: verify a pair only at its globally first
+          // shared prefix token (pref is rarity-ordered, so the first
+          // element of a.pref contained in b's prefix set is it)
+          if firstCommon(a.pref, prefSets(j)) == cur
+          c = sortedIntersectCount(a.sh, b.sh)
+          jac = roundHalfUp6(c.toDouble / (na + nb - c))
+          if jac >= threshold
+        } yield NgramPair(a.doc_id, b.doc_id, jac)
+      }
+      .toDF("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** First element of `a` (in its order) also present in set `b`.
+    * Both prefixes are sorted by the same global rarity key, so this
+    * is the globally smallest shared prefix token.
+    */
+  private def firstCommon(a: Array[String], b: Set[String]): String = {
+    var i = 0
+    while (i < a.length) { if (b.contains(a(i))) return a(i); i += 1 }
+    null
+  }
+
   /** q28: SimHash near-dup pairs — 64-bit sketch, candidates blocked
     * on any of four 16-bit bands (two docs within Hamming ≤ 3 must
     * agree on ≥1 band), verified by exact Hamming ≤ maxDist.
@@ -152,9 +254,7 @@ object Dedup {
     GraftFunctions.register(spark)
     // same per-group shape as dedupNgram/dedupMinHash: one shuffled
     // row per (doc, band); pairs verify in-memory per bucket
-    val banded = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles.as("sh"))
-      .filter(size(col("sh")) > 0)                 // degenerate docs can't pair
+    val banded = docShingles(spark, dir)
       .withColumn("sig", expr("simhash(sh)"))
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bucket", expr("shiftrightunsigned(sig, band * 16) & 65535"))

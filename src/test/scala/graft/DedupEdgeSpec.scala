@@ -71,6 +71,16 @@ class DedupEdgeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("all-pairs prefix join finds exactly the fox trio's pairs") {
+    val rows = operators.Dedup.dedupAllPairs(spark, dir, threshold = 0.5).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == foxPairs, s"exact all-pairs must find the full trio, got $pairs")
+    val jac = rows.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jac((2L, 6L)) == 1.0, s"exact dup jac must be 1.0: $jac")
+    // near-dup pair: 10 shared of 12+12 shingles -> 10/14
+    assert(math.abs(jac((2L, 3L)) - 10.0 / 14) < 1e-6, s"fox near-dup jac: $jac")
+  }
+
   test("corpus prep pipeline survives degenerate docs") {
     val rows = operators.TextAnalysis.corpusPrep(spark, dir, minQuality = 0.0).collect()
     assert(rows.nonEmpty)
