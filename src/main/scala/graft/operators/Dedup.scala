@@ -170,33 +170,42 @@ object Dedup {
     * is bounded by document frequency of rare tokens, not corpus
     * size. A length filter (t·|B| ≤ |A|) prunes further.
     *
-    * Plan shape: df-agg (shuffle by shingle) → per-doc prefix build
-    * (shuffle by doc) → ONE shuffle of (prefix token, doc arrays) —
-    * each doc's arrays move once per prefix token (p ≈ (1-t)·n rows),
-    * never once per candidate pair — then everything happens in-group:
-    * length filter, positional filter, first-common-token dedup
-    * (a pair verifies exactly once, at its globally rarest shared
-    * prefix token — PPJoin's emission rule, so no distinct pass),
-    * and the exact merge-intersect verify.
+    * Plan shape — exactly THREE shuffles, and the (interpreted,
+    * HOF-heavy) shingle pipeline is evaluated ONCE:
+    *   shingle rows → [shuffle by shingle] window-count df (no agg
+    *   branch + re-join: both would re-run the shingle scan) →
+    *   [shuffle by doc] ONE groupBy rebuilds BOTH the lex-sorted
+    *   array (for the merge-verify) and the rarity-ordered prefix →
+    *   [shuffle by prefix token] doc arrays move once per prefix
+    *   token (p ≈ (1-t)·n rows), never once per candidate pair —
+    *   then everything happens in-group: length filter, positional
+    *   filter, first-common-token dedup (a pair verifies exactly
+    *   once, at its globally rarest shared prefix token — PPJoin's
+    *   emission rule, so no distinct pass), and the exact
+    *   merge-intersect verify.
     */
   private[operators] case class PrefDoc(shingle: String, doc_id: Long,
       sh: Array[String], pref: Array[String])
 
   def dedupAllPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
     import spark.implicits._
-    val docs = docShingles(spark, dir)
-      .withColumn("n", size(col("sh")))
-    val exploded = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
-    val dfreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // per-doc prefix: the first (n - ⌈t·n⌉ + 1) shingles in GLOBAL
-    // (df, shingle) rarity order — built with aggregation, no window
-    val pref = exploded.join(dfreq, "shingle")
-      .groupBy("doc_id", "n")
-      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
-      .select(col("doc_id"),
-        slice(transform(col("ranked"), r => r.getField("shingle")),
-          lit(1), (col("n") - ceil(col("n") * threshold) + 1).cast("int")).as("pref"))
-    val rows = docs.join(pref, "doc_id") // doc-aligned 1:1 join
+    // document frequency via window over the exploded shingles: one
+    // shuffle by shingle, reused directly — a groupBy+join would carry
+    // a second full evaluation of the shingle pipeline on its probe side
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val ranked = docShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(wDf))
+    // ONE per-doc aggregation rebuilds both orders: lex-sorted sh for
+    // the merge-verify, (df, shingle)-sorted prefix for candidates
+    val rows = ranked
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("shingle"))).as("sh"),
+        array_sort(collect_list(struct(col("df"), col("shingle")))).as("byRarity"))
+      .select(col("doc_id"), col("sh"),
+        slice(transform(col("byRarity"), r => r.getField("shingle")), lit(1),
+          (size(col("byRarity")) - ceil(size(col("byRarity")) * threshold) + 1).cast("int"))
+          .as("pref"))
       .select(explode(col("pref")).as("shingle"), col("doc_id"), col("sh"), col("pref"))
       .as[PrefDoc]
     rows.groupByKey(_.shingle)
