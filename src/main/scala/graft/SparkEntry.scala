@@ -39,6 +39,8 @@ object SparkEntry {
     "q18b_context_snippets" -> ((s, d) => Vectors.contextSnippets(s, d)),
     "q19_ann_ivf"           -> ((s, d) => Vectors.annIvf(s, d)),
     "q19b_ann_ivf_seeded"   -> ((s, d) => Vectors.annIvfSeeded(s, d)),
+    "q41_kmeans_ivf"        -> ((s, d) => Vectors.kmeansIvf(s, d)),
+    "q42_embedding_stats"   -> ((s, d) => Vectors.embeddingStats(s, d)),
     "q36_top_words"         -> ((s, d) => TextAnalysis.topWords(s, d)),
     "q37_threshold_heatmap" -> ((s, d) => Sessions.thresholdHeatmap(s, d)),
     "q38_doc_chunks"        -> ((s, d) => TextAnalysis.docChunks(s, d)),
@@ -409,6 +411,15 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
         |  FROM cand) t
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "q42_embedding_stats" ->
+      """SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+        |  MIN(norm) AS min_norm, MAX(norm) AS max_norm
+        |FROM (
+        |  SELECT label,
+        |    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v))), 6) AS norm
+        |  FROM embeddings) t
+        |GROUP BY label ORDER BY label""".stripMargin,
     "q36_top_words" ->
       """SELECT lang, word, n, CAST(rk AS INT) AS rk FROM (
         |  SELECT lang, word, COUNT(*) AS n,

@@ -285,6 +285,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental MinHash-LSH dedup — the nightly-pipeline case: only
+    * documents with doc_id >= minNewDocId are NEW; pairs between two
+    * old documents are already known and must not be recomputed or
+    * re-emitted. Candidate groups form over the full banded corpus
+    * (at 100TB the old side's band buckets are precomputed and stored
+    * bucketed by (band, bucket), so the shuffle only moves the new
+    * batch), but the in-group pair loop skips old-old pairs before
+    * any verification work.
+    */
+  def dedupMinHashIncremental(spark: SparkSession, dir: String, minNewDocId: Long,
+                              threshold: Double = 0.5, k: Int = 32, bands: Int = 8): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rows = k / bands
+    val banded = docShingles(spark, dir)
+      .withColumn("sig", expr(s"minhash(sh, $k)"))
+      .select(col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+      .as[BandedDoc]
+    banded.groupByKey(d => (d.band, d.bucket))
+      .flatMapGroups { (_, it) =>
+        val docs = it.toArray.sortBy(_.doc_id)
+        for {
+          i <- docs.indices.iterator
+          j <- (i + 1 until docs.length).iterator
+          a = docs(i); b = docs(j)
+          if b.doc_id >= minNewDocId // docs sorted: b is the newer one
+          c = sortedIntersectCount(a.sh, b.sh)
+          jac = roundHalfUp6(c.toDouble / (a.sh.length + b.sh.length - c))
+          if jac >= threshold
+        } yield NgramPair(a.doc_id, b.doc_id, jac)
+      }
+      .toDF("doc_a", "doc_b", "jac")
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q29: embedding-cosine near-dup pairs, blocked by label (at scale
     * the block key is an IVF cell / LSH bucket of the vector, same
     * join shape). Oracle-exact: cosine is bit-identical to DuckDB.

@@ -137,6 +137,71 @@ object Vectors {
       .orderBy("query_id", "rk")
   }
 
+  /** q41: k-means (Lloyd) refinement of the IVF coarse cells — the
+    * follow-up pass q19b's Scaladoc promises: seeded cells bootstrap
+    * the index, a few Lloyd rounds tighten them. Centroid means use
+    * DECIMAL(20,10) sums over the float components: exact and
+    * order-insensitive, so the refinement is DETERMINISTIC under any
+    * partitioning (a plain double avg would wobble in the last ulps
+    * per run). Reassignment is argmax cosine over the (few, broadcast)
+    * centroids. Cross-engine float means still diverge ⇒ rows-only
+    * oracle; KmeansSpec replays one round in plain JVM arithmetic and
+    * asserts identical assignments.
+    */
+  private[graft] def kmeansAssign(spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+    var assign = e.select(col("vec_id"), col("embedding"), col("label").as("cell"),
+      lit(null).cast("double").as("csim"))
+    for (_ <- 1 to iters) {
+      val cents = centroidsOf(assign)
+      val w = Window.partitionBy("vec_id").orderBy(col("s").desc, col("c_cell"))
+      assign = e.crossJoin(broadcast(cents))
+        .withColumn("s", round(expr("cosine_sim(embedding, cvec)"), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_cell").as("cell"), col("s").as("csim"))
+    }
+    assign
+  }
+
+  /** Exact decimal-mean centroids of an assignment (cell, cvec). */
+  private def centroidsOf(assign: DataFrame): DataFrame =
+    assign.select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(20, 10))) / count(lit(1)))
+        .cast("double").as("c"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).cast("array<float>").as("cvec"))
+      .select(col("cell").as("c_cell"), col("cvec"))
+
+  def kmeansIvf(spark: SparkSession, dir: String, iters: Int = 2): DataFrame =
+    kmeansAssign(spark, dir, iters)
+      .select("vec_id", "cell", "csim")
+      .orderBy("vec_id")
+
+  /** q42: embedding corpus statistics — per-label vector counts and
+    * L2-norm summary (the store-health view a vector_store keeps;
+    * vector_store.py's table stats surface). Norms accumulate in
+    * index order as doubles (bit-exact across engines); the mean is
+    * an exact DECIMAL(12,6) sum of the 6dp-rounded norms over the
+    * count, so the aggregate is order-insensitive and hash-EXACT.
+    */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    val sq = transform(col("embedding"), v => v.cast("double") * v.cast("double"))
+    val norm = round(sqrt(aggregate(sq, lit(0.0), (acc, x) => acc + x)), 6)
+    Tables.embeddings(spark, dir)
+      .select(col("label"), norm.as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("norm").cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+          / count(lit(1))).as("avg_norm"),
+        min("norm").as("min_norm"),
+        max("norm").as("max_norm"))
+      .orderBy("label")
+  }
+
   /** q18b: context snippets — each top-k hit carries its ±window
     * neighboring messages (same source, doc_id order), the
     * reference's cluster-context preview
