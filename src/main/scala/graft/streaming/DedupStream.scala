@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection — the online counterpart of
+  * operators/Dedup.dedupMinHash (and the streaming member of the
+  * incremental family started by dedupMinHashIncremental): documents
+  * arrive in micro-batches, and each new document is checked against
+  * everything seen so far WITHOUT rescanning the corpus.
+  *
+  * Shape: new docs → shingle → minhash → explode LSH bands →
+  * flatMapGroupsWithState keyed by (band, bucket). State per bucket
+  * is the list of (doc_id, shingles) previously routed there — the
+  * same blocking that makes batch LSH scale bounds the state: a
+  * bucket only ever holds near-colliding documents. New docs verify
+  * (exact Jaccard) against the bucket's members, then join the
+  * state. A pair colliding in several bands is emitted once per
+  * colliding band by construction; downstream dropDuplicates on
+  * (doc_a, doc_b) dedupes within a batch, and the spec asserts
+  * cross-batch equivalence to the batch operator.
+  *
+  * State bound: O(docs × bands) shingle arrays. In a production
+  * 100TB deployment the state would hold signatures only and fetch
+  * shingles for verification from a keyed store; keeping the arrays
+  * in state here keeps verification exact and self-contained.
+  */
+object DedupStream {
+
+  case class DocIn(doc_id: Long, text: String)
+  case class Banded(doc_id: Long, sh: Array[String], band: Int, bucket: String)
+  case class BucketState(docs: List[(Long, Array[String])])
+  case class DupPair(doc_a: Long, doc_b: Long, jac: Double)
+
+  private def jaccard(x: Array[String], y: Array[String]): Double = {
+    var i = 0; var j = 0; var c = 0
+    while (i < x.length && j < y.length) {
+      val cmp = x(i).compareTo(y(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 } else if (cmp < 0) i += 1 else j += 1
+    }
+    BigDecimal(c.toDouble / (x.length + y.length - c))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Band a stream of documents exactly like the batch operator. */
+  def banded(spark: SparkSession, docs: Dataset[DocIn],
+             k: Int = 32, bands: Int = 8): Dataset[Banded] = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rows = k / bands
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), array_sort(
+        array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1)))))
+        .as("sh"))
+      .withColumn("sig", expr(s"minhash(sh, $k)"))
+      .select(col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+      .as[Banded]
+  }
+
+  /** Stateful pair stream: every emitted pair has exact Jaccard ≥
+    * threshold and doc_a < doc_b; each new doc is verified against
+    * all prior same-bucket docs across ALL previous micro-batches.
+    */
+  def pairs(spark: SparkSession, docs: Dataset[DocIn], threshold: Double = 0.5,
+            k: Int = 32, bands: Int = 8): Dataset[DupPair] = {
+    import spark.implicits._
+    banded(spark, docs, k, bands)
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), it: Iterator[Banded], state: GroupState[BucketState]) =>
+          val newDocs = it.toArray.sortBy(_.doc_id)
+          var members = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = List.newBuilder[DupPair]
+          newDocs.foreach { d =>
+            members.foreach { case (oldId, oldSh) =>
+              if (oldId != d.doc_id) {
+                val jac = jaccard(oldSh, d.sh)
+                if (jac >= threshold) {
+                  val (a, b) = if (oldId < d.doc_id) (oldId, d.doc_id) else (d.doc_id, oldId)
+                  out += DupPair(a, b, jac)
+                }
+              }
+            }
+            members ::= (d.doc_id, d.sh)
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
+}

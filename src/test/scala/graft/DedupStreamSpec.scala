@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming near-dup detection must find, across micro-batch
+  * boundaries, exactly the pairs the BATCH minhash operator finds on
+  * the union of all batches — state carries prior docs' bucket
+  * membership, so a doc arriving in batch 2 pairs with its near-dup
+  * from batch 1.
+  */
+class DedupStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import streaming.DedupStream._
+
+  test("stream pairs across batches == batch minhash pairs on the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      DocIn(1, "the quick brown fox jumps over the lazy dog every single morning"),
+      DocIn(2, "completely unrelated text about spark query planning and shuffles"),
+      DocIn(3, "one"))
+    val batch2 = Seq(
+      DocIn(4, "the quick brown fox jumps over the lazy dog every single morning"), // dup of 1
+      DocIn(5, "totally different content on vector search and cosine similarity"),
+      DocIn(6, "completely unrelated text about spark query planning and shuffles")) // dup of 2
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    val q = pairs(spark, stream.toDS())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    stream.addData(batch1: _*); q.processAllAvailable()
+    val afterB1 = spark.table("dedup_out").as[DupPair].collect()
+      .map(p => (p.doc_a, p.doc_b)).toSet
+    stream.addData(batch2: _*); q.processAllAvailable()
+    val got = spark.table("dedup_out").as[DupPair].collect()
+      .map(p => (p.doc_a, p.doc_b)).toSet
+    q.stop()
+    assert(afterB1.isEmpty, s"batch 1 has no dup pairs, got $afterB1")
+    assert(got == Set((1L, 4L), (2L, 6L)),
+      s"cross-batch dups must surface exactly once per pair set, got $got")
+  }
+
+  test("within-batch pairs are found too and degenerate docs survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    val q = pairs(spark, stream.toDS())
+      .writeStream.format("memory").queryName("dedup_out2").outputMode("append").start()
+    stream.addData(
+      DocIn(10, "alpha beta gamma delta epsilon zeta eta theta"),
+      DocIn(11, "alpha beta gamma delta epsilon zeta eta theta"),
+      DocIn(12, "solo"))
+    q.processAllAvailable()
+    val got = spark.table("dedup_out2").as[DupPair].collect().map(p => (p.doc_a, p.doc_b)).toSet
+    q.stop()
+    assert(got == Set((10L, 11L)), s"same-batch dup must pair once as a set, got $got")
+  }
+}
