@@ -33,6 +33,7 @@ object SparkEntry {
     "q13_semantic_segments" -> ((s, d) => Vectors.semanticSegments(s, d)),
     "q14_groups"            -> ((s, d) => Vectors.semanticGroups(s, d)),
     "q15_name_mapping"      -> ((s, d) => Messages.nameMapping(s, d)),
+    "q43_chat_stats"        -> ((s, d) => Messages.chatStats(s, d)),
     "q16_vector_topk"       -> ((s, d) => Vectors.vectorTopK(s, d)),
     "q17_vector_threshold"  -> ((s, d) => Vectors.vectorThreshold(s, d)),
     "q18_vector_join_text"  -> ((s, d) => Vectors.vectorJoinText(s, d)),
@@ -334,6 +335,14 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q43_chat_stats" ->
+      """SELECT event_type AS chat, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events
+        |GROUP BY event_type ORDER BY chat""".stripMargin,
     "q16_vector_topk" ->
       """SELECT query_id, vec_id, sim, CAST(rk AS INT) AS rk FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

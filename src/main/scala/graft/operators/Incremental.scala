@@ -30,4 +30,27 @@ object Incremental {
     */
   def maxKeyPerGroup(df: DataFrame, group: String, key: String): DataFrame =
     df.groupBy(group).agg(max(key).as(s"max_$key")).orderBy(group)
+
+  /** Dictionary-encoding upsert — the reference's media-type /
+    * forwarded-source id mappings (telegram_database.py:684-778
+    * `_upsert_media_types` / `_upsert_forwarded_sources`): existing
+    * (name → id) rows keep their ids; unseen names get consecutive
+    * ids starting after the current max, assigned in name order so
+    * the result is deterministic under any partitioning.
+    *
+    * Scale shape: one anti-join (shuffle on name) + one global sort
+    * of the NEW names only (the dictionary delta, not the corpus).
+    * The max-id lookup is a 1-row aggregate, broadcast back.
+    */
+  def upsertDictionary(existing: DataFrame, names: DataFrame, nameCol: String): DataFrame = {
+    val newNames = names.select(col(nameCol).as("name")).filter(col("name").isNotNull)
+      .distinct()
+      .join(existing.select(col("name")), Seq("name"), "left_anti")
+    val base = existing.select(coalesce(max(col("id")), lit(0L)).as("base"))
+    val assigned = newNames.crossJoin(base)
+      .withColumn("id", col("base") + row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("name")))
+      .select(col("name"), col("id"))
+    existing.select(col("name"), col("id")).unionByName(assigned)
+  }
 }

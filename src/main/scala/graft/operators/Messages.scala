@@ -118,6 +118,23 @@ object Messages {
       .orderBy("user_id")
   }
 
+  /** q43: per-chat statistics — the chat-level twin of q06's user
+    * stats (telegram_database.py:522-595 `get_chat_stats`: message
+    * count, participant count, date range, per-chat averages).
+    * `event_type` is the chat analog in the testdata mapping.
+    */
+  def chatStats(spark: SparkSession, dir: String): DataFrame =
+    withTsMs(spark, dir)
+      .groupBy(col("event_type").as("chat"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        min("ts_ms").as("first_ms"),
+        max("ts_ms").as("last_ms"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"),
+        (sum(col("value").cast(DecimalType(12, 2))).cast("double") / count(lit(1))).as("avg_value"))
+      .orderBy("chat")
+
   /** q15: latest-name resolution — the reference tracks name history
     * per id and resolves the latest via ROW_NUMBER
     * (telegram_database.py:331-343 `_latest_chat_names_cte`,

@@ -54,7 +54,9 @@ object ScaleProbe {
       time("q01b chunked   ", d)(Sessions.sessionizedChunked(spark, _))
       time("q26 ngram dedup", d)(Dedup.dedupNgram(spark, _))
       time("q27 minhash    ", d)(Dedup.dedupMinHash(spark, _))
+      time("q40 allpairs   ", d)(Dedup.dedupAllPairs(spark, _))
       time("q16 vector topk", d)(Vectors.vectorTopK(spark, _))
+      time("q41 kmeans     ", d)(Vectors.kmeansIvf(spark, _))
     }
     spark.stop()
   }

@@ -199,6 +199,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 9L), (20L, 2L)))
   }
 
+  test("incremental: upsertDictionary keeps existing ids, new names get consecutive ids in name order") {
+    import spark.implicits._
+    val existing = Seq(("photo", 1L), ("sticker", 2L)).toDF("name", "id")
+    val incoming = Seq("voice", "photo", "animation", "voice", null)
+      .toDF("media_type")
+    val merged = operators.Incremental.upsertDictionary(existing, incoming, "media_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == Map("photo" -> 1L, "sticker" -> 2L, "animation" -> 3L, "voice" -> 4L),
+      s"existing ids stable, new names after max in name order: $merged")
+    // idempotent: re-upserting the same names changes nothing
+    val again = operators.Incremental.upsertDictionary(
+      operators.Incremental.upsertDictionary(existing, incoming, "media_type"),
+      incoming, "media_type").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == merged)
+  }
+
   test("salted join returns exactly the unsalted join's rows") {
     val fact = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
     val dim = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
