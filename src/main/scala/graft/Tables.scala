@@ -10,8 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directories, which changes nothing in the call sites.
   */
 object Tables {
+  /** Resolved-relation cache keyed by (session, dir, table): a fresh
+    * spark.read.parquet re-lists the directory and re-reads footers
+    * on EVERY query — across a 46-query run that's pure per-query
+    * floor. A real deployment holds table handles in a catalog; this
+    * is the single-JVM equivalent. (DataFrames are immutable plans —
+    * sharing one across queries is safe.)
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "nation")

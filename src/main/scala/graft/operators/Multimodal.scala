@@ -24,8 +24,58 @@ object Multimodal {
   case class MediaRow(doc_id: Long, source: String, payload: Array[Byte],
                       meta_lang: String, meta_chars: Long)
   case class Decoded(doc_id: Long, source: String, width: Int, height: Int, n_bytes: Int)
+  case class Resized(doc_id: Long, source: String, width: Int, height: Int,
+                     out_w: Int, out_h: Int, n_frames: Int, n_bytes: Int)
 
-  /** q34: binary ingest → stubbed decode → feature aggregation. */
+  /** Batch size mirroring Arrow record-batch shape: a real decode
+    * amortizes codec/model setup per BATCH, not per row — the Scala
+    * twin of mapInPandas' iterator-of-batches contract.
+    */
+  val decodeBatchSize = 64
+
+  /** Binary rows → decoded dimensions. The decode itself is a STUB
+    * (deterministic byte-statistics fake); the iterator-of-batches
+    * shape, schema, and partition parallelism are the real contract.
+    */
+  def decode(spark: SparkSession, media: org.apache.spark.sql.Dataset[MediaRow]):
+      org.apache.spark.sql.Dataset[Decoded] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        // per-BATCH setup would happen here (codec handles, model
+        // weights); the stub derives dimensions from byte statistics
+        batch.map { m =>
+          val b = m.payload
+          var s = 0L; var i = 0
+          while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+          Decoded(m.doc_id, m.source, (s % 640).toInt + 1, (s % 480).toInt + 1, b.length)
+        }
+      }
+    }
+  }
+
+  /** Decoded media → fit-into-maxDim resize (integer aspect-preserving
+    * math, deterministic) + frame sampling (1 frame per strideBytes of
+    * payload, min 1 — the video-keyframe analog).
+    */
+  def resizeAndSample(spark: SparkSession, decoded: org.apache.spark.sql.Dataset[Decoded],
+                      maxDim: Int = 256, strideBytes: Int = 100):
+      org.apache.spark.sql.Dataset[Resized] = {
+    import spark.implicits._
+    decoded.map { d =>
+      val scaleNum = maxDim
+      val scaleDen = math.max(d.width, d.height)
+      val (ow, oh) =
+        if (scaleDen <= maxDim) (d.width, d.height)
+        else (math.max(1, d.width * scaleNum / scaleDen), math.max(1, d.height * scaleNum / scaleDen))
+      Resized(d.doc_id, d.source, d.width, d.height, ow, oh,
+        math.max(1, d.n_bytes / strideBytes), d.n_bytes)
+    }
+  }
+
+  /** q34: binary ingest → batched stub decode → resize/frame-sample →
+    * feature aggregation.
+    */
   def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, dir)
@@ -33,22 +83,16 @@ object Multimodal {
         col("text").cast("binary").as("payload"),
         col("lang").as("meta_lang"), col("n_chars").as("meta_chars"))
       .as[MediaRow]
-    val decoded = media.mapPartitions { it =>
-      it.map { m =>
-        // STUB decode: a real pipeline calls the image/audio codec on
-        // m.payload here. Deterministic fake keeps the op testable.
-        val b = m.payload
-        var s = 0L; var i = 0
-        while (i < b.length) { s += (b(i) & 0xff); i += 1 }
-        Decoded(m.doc_id, m.source, (s % 640).toInt + 1, (s % 480).toInt + 1, b.length)
-      }
-    }
-    decoded.groupBy("source")
+    resizeAndSample(spark, decode(spark, media))
+      .groupBy("source")
       .agg(
         count(lit(1)).as("n_media"),
         sum("n_bytes").as("total_bytes"),
         (sum("width").cast("double") / count(lit(1))).as("avg_width"),
-        (sum("height").cast("double") / count(lit(1))).as("avg_height"))
+        (sum("height").cast("double") / count(lit(1))).as("avg_height"),
+        (sum("out_w").cast("double") / count(lit(1))).as("avg_out_w"),
+        (sum("out_h").cast("double") / count(lit(1))).as("avg_out_h"),
+        sum("n_frames").as("total_frames"))
       .orderBy("source")
   }
 }

@@ -156,6 +156,24 @@ class OperatorsSpec extends AnyFunSuite {
     val df = operators.Multimodal.mediaPipeline(spark, dir).cache()
     assert(df.agg(sum("n_media")).head.getLong(0) == 500)
     assert(df.filter(col("avg_width") <= 0 || col("avg_height") <= 0).count() == 0)
+    assert(df.filter(col("avg_out_w") > 256 || col("avg_out_h") > 256).count() == 0,
+      "resize must fit within maxDim")
+    assert(df.filter(col("total_frames") < col("n_media")).count() == 0,
+      "frame sampling emits >= 1 frame per media row")
+  }
+
+  test("q34: resize preserves aspect ratio within integer rounding") {
+    import spark.implicits._
+    val decoded = Seq(
+      operators.Multimodal.Decoded(1, "s", 640, 480, 1000),
+      operators.Multimodal.Decoded(2, "s", 100, 50, 99),
+      operators.Multimodal.Decoded(3, "s", 512, 256, 300)).toDS()
+    val r = operators.Multimodal.resizeAndSample(spark, decoded).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(r(1).out_w == 256 && r(1).out_h == 192, s"640x480 -> 256x192, got ${r(1)}")
+    assert(r(2).out_w == 100 && r(2).out_h == 50, "already within maxDim: untouched")
+    assert(r(3).out_w == 256 && r(3).out_h == 128)
+    assert(r(2).n_frames == 1 && r(1).n_frames == 10)
   }
 
   test("bucketed tables co-locate the orders-lineitem join: zero shuffles in the plan") {
