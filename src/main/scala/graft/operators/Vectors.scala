@@ -83,7 +83,12 @@ object Vectors {
     val e = Tables.embeddings(spark, dir)
     val centroids = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg("v").as("c"))
+      // DECIMAL sum, not avg(double): float accumulation order depends
+      // on partitioning, so a plain avg makes the centroids — and any
+      // borderline probe ranking — differ run to run
+      .groupBy("label", "pos")
+      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(20, 10))) / count(lit(1)))
+        .cast("double").as("c"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).cast("array<float>").as("cvec"))

@@ -59,7 +59,16 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
         "simhash(split(text, ' ')) AS sh", "minhash(split(text, ' '), 16) AS mh")
     def run(): Seq[(Long, Long, Seq[Long])] =
       df.collect().map(r => (r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toSeq
-    val codegen = run()
+    // CODEGEN_ONLY + fallback off: a doGenCode that fails to compile
+    // must FAIL here, not silently demote to the interpreted path
+    // (regression: generated code referenced Hashing.MODULE$, every
+    // suite stayed green while production ran interpreted)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val codegen = try run() finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     val interpreted = try run() finally {
