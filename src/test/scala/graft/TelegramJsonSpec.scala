@@ -67,6 +67,22 @@ class TelegramJsonSpec extends AnyFunSuite {
     assert(byId(3).getAs[String]("reaction") == null, "missing reactions -> null")
   }
 
+  test("pipeline: sessionize + author-run concat over a normalized export") {
+    // alpha chat: normalized keeps 1,2,3,4 (10:00..10:03), 6 (10:05),
+    // 7 (10:06) — the dropped service row leaves a 2-minute gap
+    val runs = sources.TelegramPipeline.prepare(spark, writeExport(), windowMs = 150 * 1000L)
+      .collect()
+    assert(runs.forall(_.getAs[Long]("session_id") == 1L), "150s window: one session")
+    val authors = runs.map(r => (r.getAs[Long]("run_id"), r.getAs[Long]("from_id"))).toSeq.sortBy(_._1)
+    assert(authors.map(_._2) == Seq(7L, 8L, 7L, 8L, 7L, 8L),
+      s"author runs must alternate per the fixture, got $authors")
+    assert(runs.forall(_.getAs[Long]("n_messages") == 1L))
+    val split = sources.TelegramPipeline.prepare(spark, writeExport(), windowMs = 90 * 1000L)
+      .collect()
+    assert(split.map(_.getAs[Long]("session_id")).max == 2,
+      "90s window: the 2-minute service-row gap must open a second session")
+  }
+
   test("normalization applies the reference's media-marker cascade and filters") {
     val df = sources.TelegramJson.normalized(spark, writeExport()).cache()
     val texts = df.collect().map(r => r.getAs[Long]("message_id") -> r.getAs[String]("text")).toMap
