@@ -123,36 +123,44 @@ object Dedup {
     * oracle; q26 cross-checks the Jaccard math.
     */
   private[operators] case class BandedDoc(doc_id: Long, sh: Array[String], band: Int, bucket: String)
+  private[operators] case class BandRow(doc_id: Long, band: Int, bucket: String)
 
   def dedupMinHash(spark: SparkSession, dir: String, threshold: Double = 0.5,
                    k: Int = 32, bands: Int = 8): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val rows = k / bands
-    // same shape as dedupNgram: shingles shuffle once per (doc, band)
-    // — a banded self-join would duplicate them into every candidate
-    // pair. A pair colliding in several bands gets identical jac;
-    // dropDuplicates keeps one.
-    val banded = docShingles(spark, dir)
+    // Candidates WITHOUT arrays, then join-verify: band rows carry
+    // only (doc_id, band, bucket) — carrying the shingle arrays into
+    // the banding shuffle amplifies them ×bands (measured 2M strings
+    // moved at sf0.1 to verify just ~2.2k candidate pair instances).
+    // LSH collisions are rare by design, so arrays move only once per
+    // DISTINCT surviving candidate side in the verify join. (Contrast
+    // q26, where blocks are huge and in-group verification wins.)
+    val docs = docShingles(spark, dir)
+    val banded = docs
       .withColumn("sig", expr(s"minhash(sh, $k)"))
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
-      .as[BandedDoc]
-    banded.groupByKey(d => (d.band, d.bucket))
+      .as[BandRow]
+    val cands = banded.groupByKey(d => (d.band, d.bucket))
       .flatMapGroups { (_, it) =>
-        val docs = it.toArray.sortBy(_.doc_id)
+        val ids = it.map(_.doc_id).toArray.sorted
         for {
-          i <- docs.indices.iterator
-          j <- (i + 1 until docs.length).iterator
-          a = docs(i); b = docs(j)
-          c = sortedIntersectCount(a.sh, b.sh)
-          jac = roundHalfUp6(c.toDouble / (a.sh.length + b.sh.length - c))
-          if jac >= threshold
-        } yield NgramPair(a.doc_id, b.doc_id, jac)
+          i <- ids.indices.iterator
+          j <- (i + 1 until ids.length).iterator
+        } yield (ids(i), ids(j))
       }
-      .toDF("doc_a", "doc_b", "jac")
-      .dropDuplicates("doc_a", "doc_b")
+      .toDF("doc_a", "doc_b").distinct()
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("c", expr("intersect_count_sorted(sh_a, sh_b)"))
+      .withColumn("jac", round(col("c").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("c")), 6))
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")
   }
 
