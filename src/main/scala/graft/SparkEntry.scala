@@ -53,6 +53,7 @@ object SparkEntry {
     "q27_dedup_minhash"     -> ((s, d) => Dedup.dedupMinHash(s, d)),
     "q28_dedup_simhash"     -> ((s, d) => Dedup.dedupSimHash(s, d)),
     "q29_dedup_embedding"   -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    "q44_dedup_emb_lsh"     -> ((s, d) => Dedup.dedupEmbeddingLsh(s, d)),
     "q30_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "q31_quality_score"     -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q32_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),

@@ -331,6 +331,64 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q44: embedding near-dup pairs WITHOUT labels — random-hyperplane
+    * LSH (Charikar's SimHash for real vectors): 32 deterministic
+    * hyperplanes → 32 sign bits per vector, banded 4×8 bits; vectors
+    * sharing a band become candidates, verified by exact cosine ≥ t.
+    * Two vectors at angle θ disagree per bit with probability θ/π:
+    * at the near-dup threshold t=0.9 a band matches w.p. ~0.29 and
+    * ANY of 4 bands w.p. ~0.75; at t=0.99 recall ≈ 1. (Sign-LSH is
+    * NOT useful at weak similarity — at t=0.3 the per-bit
+    * disagreement is ~0.40 and recall collapses; that regime needs
+    * IVF probing, q19/q41.) q29's label blocking needs a label
+    * column; this is the label-free scale path. Hyperplane components
+    * are splitmix64-derived constants — engine-internal ⇒ rows-only
+    * oracle; the spec plants perturbed duplicates and checks both
+    * exactness and recall.
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String, threshold: Double = 0.9,
+                        nBits: Int = 32, bands: Int = 4): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val dim = Tables.embeddings(spark, dir).select(size(col("embedding"))).head.getInt(0)
+    val planes: Array[Array[Double]] = Array.tabulate(nBits, dim) { (b, d) =>
+      // deterministic pseudo-gaussian-ish component in [-1, 1)
+      val h = graft.functions.Hashing.mix64((b.toLong << 32) ^ d.toLong ^ 0x5eedL)
+      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val planesCol = typedLit(planes.map(_.toSeq).toSeq)
+    val bits = transform(planesCol, p =>
+      when(aggregate(zip_with(col("embedding"), p, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0))
+    val rowsPerBand = nBits / bands
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bits.as("bits"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("", slice(col("bits"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bucket")))
+    val cands = e.select("vec_id", "band", "bucket").as[BandRow2]
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_.vec_id).toArray.sorted
+        for {
+          i <- ids.indices.iterator
+          j <- (i + 1 until ids.length).iterator
+        } yield (ids(i), ids(j))
+      }
+      .toDF("vec_a", "vec_b").distinct()
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    cands
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .withColumn("sim", round(expr("cosine_sim(emb_a, emb_b)"), 6))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private[operators] case class BandRow2(vec_id: Long, band: Int, bucket: String)
+
   /** q29: embedding-cosine near-dup pairs, blocked by label (at scale
     * the block key is an IVF cell / LSH bucket of the vector, same
     * join shape). Oracle-exact: cosine is bit-identical to DuckDB.

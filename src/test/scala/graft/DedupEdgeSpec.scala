@@ -81,6 +81,27 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(math.abs(jac((2L, 3L)) - 10.0 / 14) < 1e-6, s"fox near-dup jac: $jac")
   }
 
+  test("embedding LSH finds planted near-duplicates, exactly and only") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("emb_lsh").toString
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 40L).map(i => (i, vec(), i.toInt % 4))
+    // plant 10 near-dups of vectors 0..9: tiny perturbation => sim ~0.9999
+    val dups = (0L until 10L).map(i =>
+      (100L + i, base(i.toInt)._2.map(x => x + 0.001f), 9))
+    (base ++ dups).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = operators.Dedup.dedupEmbeddingLsh(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val want = (0L until 10L).map(i => (i, 100L + i)).toSet
+    assert(want.subsetOf(got.keySet),
+      s"all planted near-dup pairs must surface, missing ${want -- got.keySet}")
+    assert(got.values.forall(_ >= 0.9), "only pairs above the verify threshold")
+    // exactness of the verify: planted pairs are near-identical
+    want.foreach(k => assert(got(k) > 0.999, s"planted pair $k sim ${got(k)}"))
+  }
+
   test("corpus prep pipeline survives degenerate docs") {
     val rows = operators.TextAnalysis.corpusPrep(spark, dir, minQuality = 0.0).collect()
     assert(rows.nonEmpty)
