@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("intersect_count_sorted"),
       info("intersect_count_sorted", "intersect_count_sorted(a, b) - common-element count of sorted string arrays"),
       (e: Seq[Expression]) => IntersectCountSorted(e(0), e(1))))
+    ext.injectFunction((FunctionIdentifier("shingles"),
+      info("shingles", "shingles(text) - distinct sorted bigram shingles"),
+      (e: Seq[Expression]) => BigramShingles(e(0))))
   }
 }

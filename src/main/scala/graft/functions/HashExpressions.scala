@@ -156,6 +156,65 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct, lexicographically sorted bigram shingles of a STRING →
+  * ARRAY<STRING>, in ONE codegen-able pass.
+  *
+  * Semantically identical to
+  *   array_sort(array_distinct(transform(sequence(1, n-1),
+  *     i -> concat(tok[i], ' ', tok[i+1]))))
+  * over split(text, ' ') — but that pipeline is a higher-order-
+  * function chain (interpreted, breaks whole-stage codegen) and its
+  * Generate consumers paid a measured ~2s/5000-doc boundary tax at
+  * sf0.1. Tokenization calls the same UTF8String.split(" ", -1) that
+  * Spark's StringSplit uses, so token parity with the split() twin
+  * (and the DuckDB oracle's string_split) is exact; ordering is
+  * UTF8String's binary compareTo — the same ordering array_sort uses
+  * for strings. Degenerate inputs (< 2 tokens) yield an EMPTY array.
+  */
+case class BigramShingles(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other      => TypeCheckResult.TypeCheckFailure(s"shingles expects STRING, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramShingles.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = BigramShingles.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramShingles {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Static so generated code can call it (see Hashing note above). */
+  def compute(text: UTF8String): GenericArrayData = {
+    val toks = text.split(SPACE, -1)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i < toks.length - 1) {
+      set.add(UTF8String.concat(toks(i), SPACE, toks(i + 1)))
+      i += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** 64-bit polynomial rolling-hash fingerprint of a STRING → BIGINT
   * (document fingerprinting for the text-analysis family; the
   * reference's per-message identity is (message_id, chat_id) —

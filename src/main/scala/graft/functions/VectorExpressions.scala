@@ -146,5 +146,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "intersect_count_sorted",
       (exprs: Seq[Expression]) => IntersectCountSorted(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingles", (exprs: Seq[Expression]) => BigramShingles(exprs(0)), "built-in")
   }
 }

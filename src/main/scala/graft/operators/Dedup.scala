@@ -42,19 +42,21 @@ object Dedup {
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
       .otherwise(array().cast("array<string>"))
 
-  /** doc_id + lex-sorted shingle array, with the token split
-    * materialized in its own projection (see shinglesOf). Degenerate
-    * docs (< 2 tokens ⇔ no bigrams) are filtered HERE, on the cheap
-    * token count: a downstream filter on size(sh) would be pushed
-    * through the projection by Catalyst, substituting — and thus
-    * re-evaluating — the whole shingle expression inside the filter
-    * (measured: 0.55s → 2.5s at sf0.1).
+  /** doc_id + lex-sorted shingle array via the native BigramShingles
+    * expression — one codegen pass, no interpreted HOF chain (see
+    * functions.BigramShingles; ShinglesParitySpec pins equivalence to
+    * the declarative twin above). Degenerate docs (< 2 tokens ⇔ no
+    * bigrams ⇔ empty array from the expression) are filtered on the
+    * cheap token count, BEFORE the shingles: a downstream filter on
+    * size(sh) would be pushed through the projection by Catalyst and
+    * re-evaluate the shingle expression inside the filter.
     */
-  private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), array_sort(shinglesOf(col("toks"))).as("sh"))
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), expr("shingles(text)").as("sh"))
+  }
 
   /** q25: exact dedup with survivors — group identical texts by
     * content hash, keep min doc_id (the classic first-writer-wins).

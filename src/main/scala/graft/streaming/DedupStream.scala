@@ -51,12 +51,8 @@ object DedupStream {
     GraftFunctions.register(spark)
     val rows = k / bands
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), array_sort(
-        array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1)))))
-        .as("sh"))
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), expr("shingles(text)").as("sh"))
       .withColumn("sig", expr(s"minhash(sh, $k)"))
       .select(col("doc_id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
