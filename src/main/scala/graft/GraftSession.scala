@@ -24,4 +24,19 @@ object GraftSession {
     functions.GraftFunctions.register(spark)
     spark
   }
+
+  /** SQL surface: register every testdata table as a temp view (plus
+    * graft's functions), so the reference's DuckDB-style SQL runs
+    * directly under spark.sql — e.g.
+    * `spark.sql("SELECT shingles(text) FROM documents")`. View names
+    * match the reference's table names; re-registration repoints the
+    * views at a new sf dir.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    functions.GraftFunctions.register(spark)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables.byName(spark, dir, t).createOrReplaceTempView(t))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
 }

@@ -42,4 +42,12 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Name-based lookup (view registration, tooling). `events` must go
+    * through its dedicated loader for the nanos conf.
+    */
+  def byName(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" => events(spark, dir)
+    case other    => read(spark, dir, other)
+  }
 }

@@ -217,6 +217,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 9L), (20L, 2L)))
   }
 
+  test("SQL surface: registered views + graft functions answer reference-style SQL") {
+    GraftSession.registerViews(spark, dir)
+    val r = spark.sql(
+      """SELECT lang, COUNT(*) AS n, SUM(size(shingles(text))) AS n_shingles
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin).collect()
+    assert(r.length == 5 && r.map(_.getLong(1)).sum == 500)
+    assert(r.forall(_.getLong(2) > 0))
+    val topk = spark.sql(
+      """SELECT e.vec_id, round(cosine_sim(e.embedding, q.embedding), 6) AS sim
+        |FROM embeddings e, embeddings q
+        |WHERE q.vec_id = 0 AND e.vec_id <> 0
+        |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin).collect()
+    assert(topk.length == 5 && topk.forall(r2 => r2.getDouble(1) <= 1.000001))
+  }
+
   test("incremental: upsertDictionary keeps existing ids, new names get consecutive ids in name order") {
     import spark.implicits._
     val existing = Seq(("photo", 1L), ("sticker", 2L)).toDF("name", "id")

@@ -21,8 +21,9 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm(v):
-    if isinstance(v, float):
-        return round(v, 9)
+    # STRICT: the driver hashes exact values, so floats must be
+    # bit-identical — any rounding here would hide a gate failure
+    # (round 1 shipped three such misses behind a round(v, 9)).
     return v
 
 
