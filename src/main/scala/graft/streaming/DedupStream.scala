@@ -60,6 +60,42 @@ object DedupStream {
       .as[Banded]
   }
 
+  case class GateOut(doc_id: Long, text: String, wc: Int)
+
+  /** Streaming corpus gate — the online twin of the batch corpus-prep
+    * pipeline's first two stages (TextAnalysis.corpusPrep): a
+    * stateless quality filter (reference word-count formula + length
+    * score) and a stateful exact-dup gate (first doc_id per content
+    * hash wins, across micro-batches — the reference's INSERT OR
+    * IGNORE in stream form). State per content hash is one long.
+    */
+  def corpusGate(spark: SparkSession, docs: Dataset[DocIn],
+                 minQuality: Double = 0.1): Dataset[GateOut] = {
+    import spark.implicits._
+    val scored = docs
+      .withColumn("t", trim(col("text")))
+      .withColumn("wc",
+        when(col("t") === "", 0)
+          .otherwise(length(col("t")) - length(regexp_replace(col("t"), " ", "")) + 1))
+      .filter(col("wc") > 0)
+      .withColumn("len_score", least(lit(1.0), length(col("text")).cast("double") / 500.0))
+      .filter(col("len_score") >= minQuality)
+      .select(col("doc_id"), col("text"), col("wc").cast("int").as("wc"),
+        md5(col("text")).as("text_hash"))
+    scored
+      .groupByKey(r => r.getAs[String]("text_hash"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[org.apache.spark.sql.Row], state: GroupState[Long]) =>
+          if (state.exists) { it.foreach(_ => ()); Iterator.empty }
+          else {
+            val rows = it.toArray.sortBy(_.getAs[Long]("doc_id"))
+            state.update(rows.head.getAs[Long]("doc_id"))
+            Iterator.single(GateOut(rows.head.getAs[Long]("doc_id"),
+              rows.head.getAs[String]("text"), rows.head.getAs[Int]("wc")))
+          }
+      }
+  }
+
   /** Stateful pair stream: every emitted pair has exact Jaccard ≥
     * threshold and doc_a < doc_b; each new doc is verified against
     * all prior same-bucket docs across ALL previous micro-batches.

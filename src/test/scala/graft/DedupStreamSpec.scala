@@ -38,6 +38,23 @@ class DedupStreamSpec extends AnyFunSuite {
       s"cross-batch dups must surface exactly once per pair set, got $got")
   }
 
+  test("corpus gate: first writer wins across batches, quality filter drops short docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val longText = ("lorem ipsum " * 10).trim // 120 chars: len_score 0.24
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    val q = corpusGate(spark, stream.toDS(), minQuality = 0.1)
+      .writeStream.format("memory").queryName("gate_out").outputMode("append").start()
+    stream.addData(DocIn(1, longText), DocIn(2, "tiny"), DocIn(3, longText))
+    q.processAllAvailable()
+    stream.addData(DocIn(4, longText), DocIn(5, longText + " unique tail of words"))
+    q.processAllAvailable()
+    val got = spark.table("gate_out").as[GateOut].collect().map(_.doc_id).toSet
+    q.stop()
+    assert(got == Set(1L, 5L),
+      s"doc 1 wins its hash (3 and 4 are dups, 2 fails quality), 5 is new content: $got")
+  }
+
   test("within-batch pairs are found too and degenerate docs survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
