@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the PLAN SHAPE claims the scale design rests on (SURVEY §4):
+  * shuffle counts, broadcast choices, scan pruning and pushdown are
+  * asserted on the physical plan string (which includes the plan
+  * inside AdaptiveSparkPlanExec), so a refactor that silently adds an
+  * exchange or drops a broadcast fails here rather than at cluster
+  * scale.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def count(s: String, needle: String): Int =
+    s.sliding(needle.length).count(_ == needle)
+
+  test("q40 runs on exactly 3 data shuffles (+1 for the output sort)") {
+    val p = plan(operators.Dedup.dedupAllPairs(spark, dir))
+    val n = count(p, "Exchange hashpartitioning") + count(p, "Exchange rangepartitioning")
+    assert(n == 4, s"df-window, per-doc regroup, prefix-token group, orderBy — got $n in:\n$p")
+  }
+
+  test("sessionization is a single shuffle (+1 for the output sort)") {
+    val p = plan(operators.Sessions.temporalSessions(spark, dir))
+    val n = count(p, "Exchange hashpartitioning") + count(p, "Exchange rangepartitioning")
+    assert(n == 2, s"got $n in:\n$p")
+  }
+
+  test("vector top-k broadcasts the query side") {
+    assert(count(plan(operators.Vectors.vectorTopK(spark, dir)), "BroadcastExchange") >= 1)
+  }
+
+  test("region-volume joins broadcast the dimension tables") {
+    assert(count(plan(operators.Relational.regionVolume(spark, dir)), "BroadcastExchange") >= 2)
+  }
+
+  test("parquet scan prunes columns and pushes filters for q11") {
+    val p = plan(operators.Messages.messageFilter(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value), Not(EqualTo(event_type,error)), IsNotNull(props)"),
+      s"filters must push to the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string,value:double,props:string>"),
+      s"scan must read exactly the six needed columns:\n${p.linesIterator.filter(_.contains("ReadSchema")).mkString}")
+  }
+}
