@@ -83,6 +83,27 @@ class TelegramJsonSpec extends AnyFunSuite {
       "90s window: the 2-minute service-row gap must open a second session")
   }
 
+  test("a directory of exports reads as one corpus, one task per file") {
+    val d = Files.createTempDirectory("tg_dir")
+    val json2 =
+      """{"chats": {"list": [
+        |  {"name": "beta", "type": "personal_chat", "id": 300, "messages": [
+        |    {"id": 1, "type": "message", "date": "2024-02-01T09:00:00",
+        |     "from": "Eve", "from_id": "user11", "text": "first"},
+        |    {"id": 2, "type": "message", "date": "2024-02-01T09:01:00",
+        |     "from": "Eve", "from_id": "user11", "text": "second"},
+        |    {"id": 3, "type": "message", "date": "2024-02-01T09:02:00",
+        |     "from": "Eve", "from_id": "user11", "text": "third"}
+        |  ]}
+        |]}}""".stripMargin
+    Files.copy(java.nio.file.Path.of(writeExport()), d.resolve("a.json"))
+    Files.writeString(d.resolve("b.json"), json2)
+    val df = sources.TelegramJson.readExport(spark, d.toString)
+    val chats = df.select("chat_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(chats == Set(100L, 300L), s"both exports' big-enough chats load: $chats")
+    assert(df.count() == 10, "7 alpha + 3 beta messages")
+  }
+
   test("normalization applies the reference's media-marker cascade and filters") {
     val df = sources.TelegramJson.normalized(spark, writeExport()).cache()
     val texts = df.collect().map(r => r.getAs[Long]("message_id") -> r.getAs[String]("text")).toMap
