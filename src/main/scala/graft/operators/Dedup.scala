@@ -21,27 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct bigram shingles from a MATERIALIZED token-array column.
-    *
-    * The token split must be projected in a separate step first: an
-    * inline `split(text)` referenced inside the transform lambda is
-    * re-evaluated on every lambda invocation (higher-order functions
-    * are interpreted, no common-subexpression elimination), costing
-    * ~2×|tokens| full regex splits per document — measured 4.3s of
-    * q26's 5.0s at sf0.1 before this split/shingle separation.
-    *
-    * A single-token or empty doc has NO bigrams: without the guard,
-    * sequence(1, 0) yields descending [1, 0] and ANSI element_at
-    * throws on index 0. Empty-shingle docs are filtered out of every
-    * candidate generator below (no shingles ⇒ can never pair; the
-    * DuckDB oracle drops them the same way via its NULL block key).
-    */
-  private def shinglesOf(toks: Column): Column =
-    when(size(toks) >= 2,
-      array_distinct(transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
-      .otherwise(array().cast("array<string>"))
-
   /** doc_id + lex-sorted shingle array via the native BigramShingles
     * expression — one codegen pass, no interpreted HOF chain (see
     * functions.BigramShingles; ShinglesParitySpec pins equivalence to
@@ -129,6 +108,8 @@ object Dedup {
 
   def dedupMinHash(spark: SparkSession, dir: String, threshold: Double = 0.5,
                    k: Int = 32, bands: Int = 8): DataFrame = {
+    require(bands > 0 && k % bands == 0, s"k ($k) must be a positive multiple of bands ($bands)")
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0, 1]: $threshold")
     import spark.implicits._
     GraftFunctions.register(spark)
     val rows = k / bands
@@ -198,6 +179,7 @@ object Dedup {
       sh: Array[String], pref: Array[String])
 
   def dedupAllPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0, 1]: $threshold")
     import spark.implicits._
     // document frequency via window over the exploded shingles: one
     // shuffle by shingle, reused directly — a groupBy+join would carry
@@ -306,6 +288,7 @@ object Dedup {
     */
   def dedupMinHashIncremental(spark: SparkSession, dir: String, minNewDocId: Long,
                               threshold: Double = 0.5, k: Int = 32, bands: Int = 8): DataFrame = {
+    require(bands > 0 && k % bands == 0, s"k ($k) must be a positive multiple of bands ($bands)")
     import spark.implicits._
     GraftFunctions.register(spark)
     val rows = k / bands
@@ -350,6 +333,7 @@ object Dedup {
     */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String, threshold: Double = 0.9,
                         nBits: Int = 32, bands: Int = 4): DataFrame = {
+    require(bands > 0 && nBits % bands == 0, s"nBits ($nBits) must be a positive multiple of bands ($bands)")
     import spark.implicits._
     GraftFunctions.register(spark)
     val dim = Tables.embeddings(spark, dir).select(size(col("embedding"))).head.getInt(0)
