@@ -13,7 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanShapeSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def plan(df: DataFrame): String = {
+    // other suites cache() intermediate results on the shared session;
+    // a cached InMemoryRelation embeds its own exchanges in the plan
+    // string and would distort the counts below
+    spark.sharedState.cacheManager.clearCache()
+    df.queryExecution.executedPlan.toString
+  }
 
   private def count(s: String, needle: String): Int =
     s.sliding(needle.length).count(_ == needle)
