@@ -52,6 +52,40 @@ object Sessions {
       .select("event_id", "user_id", "session_id")
       .orderBy("user_id", "session_id", "event_id")
 
+  /** Incremental resessionization — the reference's fast reprocessing
+    * path (fast_cluster_reprocessing.py / reprocess_clusters_only:
+    * redo cluster logic without redoing the expensive upstream work;
+    * its DB mode limits the redo to affected chats). Given the stored
+    * assignments and the set of DIRTY users (those with new events),
+    * only dirty users' histories re-sessionize — session ids are
+    * per-user running counts, so one new early event can renumber that
+    * user's later sessions, but it can never affect another user.
+    * Clean users' stored rows pass through untouched.
+    *
+    * Scale shape: one left_anti + one left_semi on user_id (both
+    * shuffle-free if stored/events are bucketed by user) and the
+    * per-user window runs over the dirty slice only — the cost is
+    * proportional to the dirty users' data, not the corpus.
+    */
+  def resessionizeDirty(events: DataFrame, stored: DataFrame, dirtyUsers: DataFrame,
+                        windowMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val dirty = dirtyUsers.select("user_id").distinct()
+    val fresh = events
+      .join(dirty, Seq("user_id"), "left_semi")
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+      .withColumn("prev_ms", lag("ts_ms", 1).over(userW))
+      .withColumn("brk",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > windowMs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("brk").over(userW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_id", "user_id", "session_id")
+    stored.select("event_id", "user_id", "session_id")
+      .join(dirty, Seq("user_id"), "left_anti")
+      .unionByName(fresh)
+      // a USING-column join moves the key to the front — pin the order
+      .select("event_id", "user_id", "session_id")
+  }
+
   /** Scale-path sessionization: identical session ids to
     * `sessionized`, but the single per-user window is decomposed into
     * per-(user, time-chunk) windows plus a tiny per-user merge pass.

@@ -232,6 +232,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(topk.length == 5 && topk.forall(r2 => r2.getDouble(1) <= 1.000001))
   }
 
+  test("incremental: resessionizeDirty == full recompute, touching only dirty users") {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+    // yesterday's state: sessionization WITHOUT the late batch
+    val lateBatch = base.orderBy(col("ts").desc).limit(200).cache()
+    val dirtyUsers = lateBatch.select("user_id").distinct()
+    val oldEvents = base.join(lateBatch.select("event_id"), Seq("event_id"), "left_anti")
+    val stored = operators.Sessions.resessionizeDirty(
+      oldEvents, spark.emptyDataset[(Long, Long, Long)].toDF("event_id", "user_id", "session_id"),
+      oldEvents.select("user_id")) // bootstrap: everyone dirty
+    // apply the late batch incrementally vs recomputing everything
+    val incremental = operators.Sessions.resessionizeDirty(base, stored, dirtyUsers)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val full = operators.Sessions.temporalSessions(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(incremental == full,
+      s"incremental must equal the full recompute (${incremental.size} vs ${full.size} rows)")
+  }
+
   test("incremental: upsertDictionary keeps existing ids, new names get consecutive ids in name order") {
     import spark.implicits._
     val existing = Seq(("photo", 1L), ("sticker", 2L)).toDF("name", "id")
