@@ -80,11 +80,13 @@ object TextAnalysis {
     * accuracy.)
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    val toks = col("toks")
     def hits(words: Seq[String]): Column =
       size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
     Tables.documents(spark, dir)
-      .select(col("lang"), col("text"),
+      // one split instead of three (one per language's hit counter)
+      .select(col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("lang"),
         hits(Seq("the", "a", "and")).as("h_en"),
         hits(Seq("el", "la", "de", "y")).as("h_es"),
         hits(Seq("le", "et", "un", "du")).as("h_fr"))
@@ -137,8 +139,12 @@ object TextAnalysis {
     * while a full-or-partial window remains.
     */
   def docChunks(spark: SparkSession, dir: String, size: Int = 32, stride: Int = 24): DataFrame = {
-    val toks = split(col("text"), " ")
+    val toks = col("toks")
     Tables.documents(spark, dir)
+      // materialize the split: inlined in the slice lambda it would
+      // re-tokenize the document once per chunk (HOFs are interpreted,
+      // no CSE — same trap as the shingle pipeline)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("lang"),
         posexplode(transform(
           sequence(lit(1), greatest(org.apache.spark.sql.functions.size(toks) - (size - 1), lit(1)), lit(stride)),
