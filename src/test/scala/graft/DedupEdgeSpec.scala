@@ -25,7 +25,8 @@ class DedupEdgeSpec extends AnyFunSuite {
       (3L, "the quick brown fox leaps over the lazy dog every single morning here", "en", "s1", 70L),
       (4L, "completely different words appear in this other document about databases", "en", "s1", 72L),
       (5L, "hello", "en", "s2", 5L),                      // exact dup of 0, still unpairable (no shingles)
-      (6L, "the quick brown fox jumps over the lazy dog every single morning here", "en", "s2", 70L) // exact dup of 2: hamming 0 ⇒ guaranteed band match
+      (6L, "the quick brown fox jumps over the lazy dog every single morning here", "en", "s2", 70L), // exact dup of 2: hamming 0 ⇒ guaranteed band match
+      (7L, null.asInstanceOf[String], "en", "s2", 0L) // NULL text must not crash any path
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
