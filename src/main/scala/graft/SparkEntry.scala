@@ -34,6 +34,7 @@ object SparkEntry {
     "q14_groups"            -> ((s, d) => Vectors.semanticGroups(s, d)),
     "q15_name_mapping"      -> ((s, d) => Messages.nameMapping(s, d)),
     "q43_chat_stats"        -> ((s, d) => Messages.chatStats(s, d)),
+    "q45_asof_join"         -> ((s, d) => Messages.asofJoin(s, d)),
     "q16_vector_topk"       -> ((s, d) => Vectors.vectorTopK(s, d)),
     "q17_vector_threshold"  -> ((s, d) => Vectors.vectorThreshold(s, d)),
     "q18_vector_join_text"  -> ((s, d) => Vectors.vectorJoinText(s, d)),
@@ -344,6 +345,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
         |FROM events
         |GROUP BY event_type ORDER BY chat""".stripMargin,
+    "q45_asof_join" ->
+      """WITH upd AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, MAX(event_id) AS upd_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, COALESCE(u.upd_id, -1) AS asof_upd
+        |FROM events e ASOF LEFT JOIN upd u
+        |  ON e.user_id = u.user_id AND u.ts_ms <= epoch_ms(e.ts)
+        |ORDER BY e.event_id""".stripMargin,
     "q16_vector_topk" ->
       """SELECT query_id, vec_id, sim, CAST(rk AS INT) AS rk FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

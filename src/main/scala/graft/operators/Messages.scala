@@ -135,6 +135,46 @@ object Messages {
         (sum(col("value").cast(DecimalType(12, 2))).cast("double") / count(lit(1))).as("avg_value"))
       .orderBy("chat")
 
+  /** q45: AS-OF join — for every event, the user's most recent
+    * at-or-before signup (the reference resolves "name/state at
+    * message time" against its SCD name tables; an as-of join is the
+    * general form, and Spark has no native operator for it).
+    *
+    * Composition: the standard distributed as-of — union the two
+    * tagged streams and take a running last_value(update, ignore
+    * nulls) over one (user)-partitioned window. ONE shuffle total;
+    * the naive alternative (range join + per-event max) explodes into
+    * an O(events × updates) join. Updates are deduped to one per
+    * (user, ts) in both engines, so the <= tie is unambiguous;
+    * updates sort BEFORE events at equal ts (at-or-before contract).
+    * Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = withTsMs(spark, dir)
+    val events = base.select(col("event_id"), col("user_id"), col("ts_ms"))
+    val updates = base.filter(col("event_type") === "signup")
+      .groupBy("user_id", "ts_ms")
+      .agg(max("event_id").as("upd_id"))
+    val tagged = events
+      .select(col("user_id"), col("ts_ms"), lit(null).cast("long").as("upd_id"),
+        col("event_id"), lit(1).as("kind"))
+      .unionByName(updates
+        .select(col("user_id"), col("ts_ms"), col("upd_id"),
+          lit(null).cast("long").as("event_id"), lit(0).as("kind")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      // -1 = "no prior update": a nullable int column would round-trip
+      // through pandas as float64 in the driver's hash compare, and the
+      // two engines need not agree on that representation
+      .withColumn("asof_upd",
+        coalesce(last("upd_id", ignoreNulls = true).over(w), lit(-1L)))
+      .filter(col("kind") === 1)
+      .select("event_id", "user_id", "ts_ms", "asof_upd")
+      .orderBy("event_id")
+  }
+
   /** q15: latest-name resolution — the reference tracks name history
     * per id and resolves the latest via ROW_NUMBER
     * (telegram_database.py:331-343 `_latest_chat_names_cte`,

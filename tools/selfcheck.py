@@ -57,11 +57,14 @@ def main():
             print(f"FAIL {name}: cols spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
             failed.append(name)
             continue
-        # align column order by sorted name (like the driver)
+        # align column order by sorted name (like the driver); the sort
+        # key must tolerate NULLs (None sorts first within a column)
+        def key(row):
+            return tuple((v is None, 0 if v is None else v) for v in row)
         sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
         oidx = [oracle_cols.index(c) for c in sorted(oracle_cols)]
-        s = sorted(tuple(norm(r[i]) for i in sidx) for r in spark_rows)
-        o = sorted(tuple(norm(r[i]) for i in oidx) for r in oracle_rows)
+        s = sorted((tuple(norm(r[i]) for i in sidx) for r in spark_rows), key=key)
+        o = sorted((tuple(norm(r[i]) for i in oidx) for r in oracle_rows), key=key)
         if len(s) != len(o):
             print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
             failed.append(name)
