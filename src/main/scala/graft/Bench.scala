@@ -31,13 +31,16 @@ object Bench {
     Seq("q20_pricing_summary", "q05_activity_heatmap", "q30_token_stats", "q16_vector_topk")
       .foreach(n => try force(n) catch { case _: Throwable => () })
 
-    // min of two runs: local[32] on small inputs has ±20% GC/placement
-    // noise per run; the min is the steady-state throughput signal.
-    // Failures are NOT swallowed into flattering near-zero times: a
-    // failed query reports -1 and lands in the "errors" map.
+    // min of three runs: local[32] on small inputs has ±20-30%
+    // GC/placement noise per run; the min is the steady-state
+    // throughput signal (totals swung 25-33s with min-of-2). A GC
+    // between queries keeps one query's garbage from being charged to
+    // the next. Failures are NOT swallowed into flattering near-zero
+    // times: a failed query reports -1 and lands in the "errors" map.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = (1 to 2).map { _ =>
+      System.gc()
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { force(name); true } catch {
           case t: Throwable =>
