@@ -275,9 +275,9 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted == plain, s"salted=$salted plain=$plain")
   }
 
-  test("GraftExtensions injects all five native functions into a session registry") {
+  test("GraftExtensions injects all six native functions into a session registry") {
     val names = org.apache.spark.sql.GraftExtensionsProbe.injectedNames()
-    assert(names == Seq("cosine_sim", "minhash", "simhash", "fingerprint64", "intersect_count_sorted"),
+    assert(names == Seq("cosine_sim", "minhash", "simhash", "fingerprint64", "intersect_count_sorted", "shingles"),
       s"injected: $names")
   }
 

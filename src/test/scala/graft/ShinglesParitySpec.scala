@@ -45,6 +45,17 @@ class ShinglesParitySpec extends AnyFunSuite {
     compare(texts.toDF("text"))
   }
 
+  test("parity on scalacheck-style random strings") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val g = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("a", "bb", "wörd", "x y", ""), Gen.alphaNumStr.map(_.take(6))))
+      .map(_.mkString(" "))
+    val texts = (0 until 200).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    compare(texts.toDF("text"))
+  }
+
   test("parity on the sf0.001 corpus, codegen and interpreted") {
     val docs = Tables.documents(spark, dir)
     compare(docs)

@@ -15,7 +15,7 @@ object GraftExtensionsProbe {
     new graft.GraftExtensions().apply(ext)
     val registry = FunctionRegistry.builtin.clone()
     ext.registerFunctions(registry)
-    Seq("cosine_sim", "minhash", "simhash", "fingerprint64", "intersect_count_sorted")
+    Seq("cosine_sim", "minhash", "simhash", "fingerprint64", "intersect_count_sorted", "shingles")
       .filter(n => registry.functionExists(FunctionIdentifier(n)))
   }
 }
