@@ -175,6 +175,34 @@ object Messages {
       .orderBy("event_id")
   }
 
+  /** q46: RANGE join — per event, how many other events of the same
+    * user fall within ±window (the reference's temporal-proximity
+    * notion that underlies create_clusters, as a first-class join).
+    * Spark has no native band/range join; a naive ON-BETWEEN join
+    * degenerates to a per-user cross product. The scale pattern is
+    * TIME BINNING: bin width = window, the right side replicates into
+    * its bin and both neighbors (bounded 3× on slim rows), the join
+    * runs on (user, bin) equality — every true pair is within one bin
+    * of its partner — and an exact |Δt| ≤ window filter cleans up.
+    * Oracle: DuckDB's native inequality (IE) join.
+    */
+  def rangeJoinCounts(spark: SparkSession, dir: String, windowMs: Long = 300000L): DataFrame = {
+    val base = withTsMs(spark, dir).select("event_id", "user_id", "ts_ms")
+    val probe = base.withColumn("bin", expr(s"ts_ms DIV $windowMs"))
+    val build = base
+      .select(col("user_id"), col("ts_ms").as("r_ts_ms"), col("event_id").as("r_event_id"))
+      .withColumn("bin", explode(array(
+        expr(s"r_ts_ms DIV $windowMs - 1"), expr(s"r_ts_ms DIV $windowMs"),
+        expr(s"r_ts_ms DIV $windowMs + 1"))))
+    probe.join(build, Seq("user_id", "bin"), "left")
+      .withColumn("hit",
+        when(col("r_event_id").isNotNull && col("r_event_id") =!= col("event_id")
+          && abs(col("r_ts_ms") - col("ts_ms")) <= windowMs, 1).otherwise(0))
+      .groupBy("event_id", "user_id", "ts_ms")
+      .agg(sum("hit").as("n_neighbors"))
+      .orderBy("event_id")
+  }
+
   /** q15: latest-name resolution — the reference tracks name history
     * per id and resolves the latest via ROW_NUMBER
     * (telegram_database.py:331-343 `_latest_chat_names_cte`,
