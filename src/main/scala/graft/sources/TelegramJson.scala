@@ -54,7 +54,12 @@ object TelegramJson {
       StructField("discard_reason", StringType),
       StructField("reactions", ArrayType(StructType(Seq(
         StructField("emoji", StringType), StructField("count", LongType))))),
-      StructField("members", ArrayType(StringType))))
+      StructField("members", ArrayType(StringType)),
+      StructField("location_information", StructType(Seq(
+        StructField("latitude", DoubleType), StructField("longitude", DoubleType)))),
+      StructField("contact_information", StructType(Seq(
+        StructField("first_name", StringType), StructField("last_name", StringType),
+        StructField("phone_number", StringType))))))
     val chat = StructType(Seq(
       StructField("name", StringType),
       StructField("type", StringType),
@@ -105,7 +110,12 @@ object TelegramJson {
       // only; try_element_at — ANSI element_at throws on reactions:[]
       try_element_at(m.getField("reactions"), lit(1)).getField("emoji").as("reaction"),
       // parse_members (:557-590): unique member set, sorted for determinism
-      array_sort(array_distinct(m.getField("members"))).as("members"))
+      array_sort(array_distinct(m.getField("members"))).as("members"),
+      m.getField("location_information").getField("longitude").as("loc_lon"),
+      m.getField("location_information").getField("latitude").as("loc_lat"),
+      m.getField("contact_information").getField("first_name").as("contact_first"),
+      m.getField("contact_information").getField("last_name").as("contact_last"),
+      m.getField("contact_information").getField("phone_number").as("contact_phone"))
   }
 
   /** The reference's media-marker cascade (handle_media /
@@ -131,6 +141,15 @@ object TelegramJson {
         format_string("%s [photo](%s)", t, coalesce(col("file_name"), lit(""))))
       .when(col("type") === "service" && col("discard_reason").isNotNull,
         format_string("[phone_call](%s)", col("discard_reason")))
+      // handle_location (TelegramPreprocessor.py:778-812): [location](lon, lat)
+      .when(col("loc_lon").isNotNull && col("loc_lat").isNotNull,
+        format_string("[location](%s, %s)", col("loc_lon"), col("loc_lat")))
+      // handle_contacts (:845-896): [contact](first last : phone)
+      .when(col("contact_first").isNotNull || col("contact_last").isNotNull,
+        format_string("[contact](%s %s : %s)",
+          coalesce(col("contact_first"), lit("")),
+          coalesce(col("contact_last"), lit("")),
+          col("contact_phone")))
       .otherwise(t)
   }
 
@@ -142,7 +161,8 @@ object TelegramJson {
     df.withColumn("text", withMediaMarkers(df))
       .filter(col("type") =!= "service")            // delete_service_messages
       .filter(col("text").isNotNull && length(col("text")) > 0) // delete_empty_messages
-      .drop("type", "discard_reason")
+      .drop("type", "discard_reason",
+        "loc_lon", "loc_lat", "contact_first", "contact_last", "contact_phone")
   }
 
   /** Per-chat message counts — the summary the reference logs after

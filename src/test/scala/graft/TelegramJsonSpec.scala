@@ -38,6 +38,16 @@ class TelegramJsonSpec extends AnyFunSuite {
         |  {"name": "tiny", "type": "personal_chat", "id": 200, "messages": [
         |    {"id": 1, "type": "message", "date": "2024-01-02T10:00:00",
         |     "from": "Cat", "from_id": "user9", "text": "lonely"}
+        |  ]},
+        |  {"name": "gamma", "type": "personal_chat", "id": 400, "messages": [
+        |    {"id": 401, "type": "message", "date": "2024-01-03T10:00:00",
+        |     "from": "Dan", "from_id": "user10",
+        |     "location_information": {"latitude": 50.4, "longitude": 30.5}},
+        |    {"id": 402, "type": "message", "date": "2024-01-03T10:01:00",
+        |     "from": "Dan", "from_id": "user10",
+        |     "contact_information": {"first_name": "Ann", "last_name": "Lee", "phone_number": "+1 234"}},
+        |    {"id": 403, "type": "message", "date": "2024-01-03T10:02:00",
+        |     "from": "Dan", "from_id": "user10", "text": "plain tail"}
         |  ]}
         |]}}""".stripMargin
     val f = Files.createTempFile("tg_export", ".json")
@@ -47,9 +57,9 @@ class TelegramJsonSpec extends AnyFunSuite {
 
   test("export flattens, joins entities, strips id prefixes, filters small chats") {
     val df = sources.TelegramJson.readExport(spark, writeExport()).cache()
-    assert(df.select("chat_id").distinct().collect().map(_.getLong(0)).toSet == Set(100L),
+    assert(df.select("chat_id").distinct().collect().map(_.getLong(0)).toSet == Set(100L, 400L),
       "chat 'tiny' (1 msg < min_messages=3) must be dropped")
-    assert(df.count() == 7)
+    assert(df.count() == 10)
     val byId = df.collect().map(r => r.getAs[Long]("message_id") -> r).toMap
     assert(byId(1).getAs[String]("text") == "hello there")
     assert(byId(2).getAs[String]("text") == "see http://x", "entity texts join with spaces")
@@ -71,6 +81,7 @@ class TelegramJsonSpec extends AnyFunSuite {
     // alpha chat: normalized keeps 1,2,3,4 (10:00..10:03), 6 (10:05),
     // 7 (10:06) — the dropped service row leaves a 2-minute gap
     val runs = sources.TelegramPipeline.prepare(spark, writeExport(), windowMs = 150 * 1000L)
+      .filter(org.apache.spark.sql.functions.col("chat_id") === 100L)
       .collect()
     assert(runs.forall(_.getAs[Long]("session_id") == 1L), "150s window: one session")
     val authors = runs.map(r => (r.getAs[Long]("run_id"), r.getAs[Long]("from_id"))).toSeq.sortBy(_._1)
@@ -78,6 +89,7 @@ class TelegramJsonSpec extends AnyFunSuite {
       s"author runs must alternate per the fixture, got $authors")
     assert(runs.forall(_.getAs[Long]("n_messages") == 1L))
     val split = sources.TelegramPipeline.prepare(spark, writeExport(), windowMs = 90 * 1000L)
+      .filter(org.apache.spark.sql.functions.col("chat_id") === 100L)
       .collect()
     assert(split.map(_.getAs[Long]("session_id")).max == 2,
       "90s window: the 2-minute service-row gap must open a second session")
@@ -100,8 +112,8 @@ class TelegramJsonSpec extends AnyFunSuite {
     Files.writeString(d.resolve("b.json"), json2)
     val df = sources.TelegramJson.readExport(spark, d.toString)
     val chats = df.select("chat_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(chats == Set(100L, 300L), s"both exports' big-enough chats load: $chats")
-    assert(df.count() == 10, "7 alpha + 3 beta messages")
+    assert(chats == Set(100L, 300L, 400L), s"both exports' big-enough chats load: $chats")
+    assert(df.count() == 13, "7 alpha + 3 gamma + 3 beta messages")
   }
 
   test("normalization applies the reference's media-marker cascade and filters") {
@@ -111,8 +123,15 @@ class TelegramJsonSpec extends AnyFunSuite {
     assert(texts(4) == "[voice_message](v.ogg)")
     assert(texts(6) == "[file](doc.pdf)")
     assert(!texts.contains(5), "service messages removed after marker pass")
+    val byId2 = df.collect().map(r => r.getAs[Long]("message_id") -> r).toMap
+    assert(byId2(401).getAs[String]("text") == "[location](30.5, 50.4)",
+      s"handle_location marker: ${byId2(401).getAs[String]("text")}")
+    assert(byId2(402).getAs[String]("text") == "[contact](Ann Lee : +1 234)",
+      s"handle_contacts marker: ${byId2(402).getAs[String]("text")}")
     val summary = sources.TelegramJson.chatSummary(df).collect()
-    assert(summary.length == 1 && summary(0).getAs[Long]("n_messages") == 6
-      && summary(0).getAs[Long]("n_authors") == 2)
+      .map(r => r.getAs[Long]("chat_id") -> r).toMap
+    assert(summary.size == 2 && summary(100L).getAs[Long]("n_messages") == 6
+      && summary(100L).getAs[Long]("n_authors") == 2
+      && summary(400L).getAs[Long]("n_messages") == 3)
   }
 }
