@@ -336,7 +336,7 @@ object Dedup {
     require(bands > 0 && nBits % bands == 0, s"nBits ($nBits) must be a positive multiple of bands ($bands)")
     import spark.implicits._
     GraftFunctions.register(spark)
-    val dim = Tables.embeddings(spark, dir).select(size(col("embedding"))).head.getInt(0)
+    val dim = Tables.embeddings(spark, dir).select(size(col("embedding"))).head().getInt(0)
     val planes: Array[Array[Double]] = Array.tabulate(nBits, dim) { (b, d) =>
       // deterministic pseudo-gaussian-ish component in [-1, 1)
       val h = graft.functions.Hashing.mix64((b.toLong << 32) ^ d.toLong ^ 0x5eedL)

@@ -11,7 +11,7 @@ object SessionDemo {
     spark.sparkContext.setLogLevel("ERROR")
     val n = Tables.events(spark, "/root/testdata/sf0.001").count()
     val c = spark.sql(
-      "SELECT round(cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))), 3) AS c").head.getDouble(0)
+      "SELECT round(cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))), 3) AS c").head().getDouble(0)
     println(s"events=$n cosine_self=$c")
     spark.stop()
   }
