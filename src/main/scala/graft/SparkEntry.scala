@@ -36,6 +36,7 @@ object SparkEntry {
     "q43_chat_stats"        -> ((s, d) => Messages.chatStats(s, d)),
     "q45_asof_join"         -> ((s, d) => Messages.asofJoin(s, d)),
     "q46_range_join"        -> ((s, d) => Messages.rangeJoinCounts(s, d)),
+    "q46b_range_join_binned" -> ((s, d) => Messages.rangeJoinCountsBinned(s, d)),
     "q16_vector_topk"       -> ((s, d) => Vectors.vectorTopK(s, d)),
     "q17_vector_threshold"  -> ((s, d) => Vectors.vectorThreshold(s, d)),
     "q18_vector_join_text"  -> ((s, d) => Vectors.vectorJoinText(s, d)),
@@ -355,6 +356,14 @@ object SparkEntry {
         |  ON e.user_id = u.user_id AND u.ts_ms <= epoch_ms(e.ts)
         |ORDER BY e.event_id""".stripMargin,
     "q46_range_join" ->
+      """SELECT a.event_id, a.user_id, epoch_ms(a.ts) AS ts_ms,
+        |  CAST(COUNT(b.event_id) AS BIGINT) AS n_neighbors
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_id <> a.event_id
+        |  AND epoch_ms(b.ts) BETWEEN epoch_ms(a.ts) - 300000 AND epoch_ms(a.ts) + 300000
+        |GROUP BY a.event_id, a.user_id, epoch_ms(a.ts)
+        |ORDER BY a.event_id""".stripMargin,
+    "q46b_range_join_binned" ->
       """SELECT a.event_id, a.user_id, epoch_ms(a.ts) AS ts_ms,
         |  CAST(COUNT(b.event_id) AS BIGINT) AS n_neighbors
         |FROM events a LEFT JOIN events b

@@ -66,55 +66,48 @@ object Messages {
     * join would square up). Arrays are sorted — collect_set order is
     * engine/partitioning-dependent.
     */
-  private[operators] case class Participant(user_id: Long, day: Long, k: Int)
-  private[operators] case class CoPair(user_id: Long, co_user: Long)
-
-  def recipients(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // co-occurring pairs form in-memory per conversation bucket (one
-    // shuffle of the distinct participant rows) instead of a
-    // self-join that re-scans and re-aggregates the input twice;
-    // pairs then dedupe in a codegen'd HashAggregate BEFORE the
-    // object agg (collect_set on the raw pair stream would dedupe
-    // inside slow ObjectHashAggregate)
-    val undirected = withTsMs(spark, dir)
+  /** `maxBucket` caps how large a conversation bucket may get before
+    * it is dropped: the OUTPUT of this operator is inherently
+    * near-quadratic in bucket size (every member lists every other
+    * member), so one 10k-participant bucket contributes 10k rows ×
+    * 10k-long arrays no matter how it is computed. Production
+    * pipelines cap it (a bucket that hot is a broadcast channel, not
+    * a conversation); the default keeps every bucket for oracle
+    * parity.
+    */
+  def recipients(spark: SparkSession, dir: String,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
+    // Per-bucket ARRAY emission, never a pair stream: the bucket's
+    // sorted member array is built once (one shuffle of the distinct
+    // participant rows) and emitted once per member — O(Σ|bucket|)
+    // rows instead of the O(Σ|bucket|²) pair instances the previous
+    // flatMapGroups plan shuffled through a global distinct (1.63M
+    // pair rows at sf0.1; the bench's slowest query at 2.27s). The
+    // per-user merge then unions a few small sorted arrays.
+    val participants = withTsMs(spark, dir)
       .select(col("user_id"),
         expr("ts_ms DIV 86400000").as("day"),
+        // rows with null props / missing 'k' can never co-occur (the
+        // oracle's a.k = b.k join is null-rejecting)
         get_json_object(col("props"), "$.k").cast("int").as("k"))
-      // rows with null props / missing 'k' can never co-occur (the
-      // oracle's a.k = b.k join is null-rejecting) — and a null k
-      // would crash the non-nullable Int encoder below
       .filter(col("k").isNotNull)
       .distinct()
-      .as[Participant]
-      .groupByKey(p => (p.day, p.k))
-      .flatMapGroups { (_, it) =>
-        // emit each unordered pair ONCE (i < j on the sorted users);
-        // the mirror direction is reconstructed after the distinct —
-        // halves the pair-instance stream (3.26M -> 1.63M at sf0.1),
-        // which is the dominant cost of this query
-        val users = it.map(_.user_id).toArray.sorted
-        for {
-          i <- users.indices.iterator
-          j <- (i + 1 until users.length).iterator
-        } yield CoPair(users(i), users(j))
-      }
-      .distinct()
-      .toDF("user_id", "co_user")
-    undirected
-      // mirror by exploding both directions of each pair — a union of
-      // two selects over `undirected` would recompute the whole pair
-      // pipeline per branch (self-union recompute trap)
-      .select(explode(array(
-        struct(col("user_id"), col("co_user")),
-        struct(col("co_user").as("user_id"), col("user_id").as("co_user")))).as("p"))
-      .select(col("p.user_id").as("user_id"), col("p.co_user").as("co_user"))
+    val buckets = participants
+      .groupBy("day", "k")
+      .agg(sort_array(collect_set("user_id")).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    buckets
+      .select(explode(col("members")).as("user_id"), col("members"))
       .groupBy("user_id")
+      .agg(collect_list("members").as("member_lists"))
+      .withColumn("co_arr",
+        array_sort(array_distinct(expr("array_remove(flatten(member_lists), user_id)"))))
       // string-joined rather than ARRAY output: the only collection-
       // typed oracle surface would hinge on engines stringifying
       // lists identically in the driver's hash compare
-      .agg(array_join(sort_array(collect_list("co_user")), ",").as("co_users"),
-        count(lit(1)).as("n_co"))
+      .select(col("user_id"),
+        array_join(col("co_arr"), ",").as("co_users"),
+        size(col("co_arr")).cast("long").as("n_co"))
       .orderBy("user_id")
   }
 
@@ -178,15 +171,34 @@ object Messages {
   /** q46: RANGE join — per event, how many other events of the same
     * user fall within ±window (the reference's temporal-proximity
     * notion that underlies create_clusters, as a first-class join).
-    * Spark has no native band/range join; a naive ON-BETWEEN join
-    * degenerates to a per-user cross product. The scale pattern is
-    * TIME BINNING: bin width = window, the right side replicates into
-    * its bin and both neighbors (bounded 3× on slim rows), the join
-    * runs on (user, bin) equality — every true pair is within one bin
-    * of its partner — and an exact |Δt| ≤ window filter cleans up.
+    *
+    * Because the probe and build sides are the SAME stream, the whole
+    * "join" collapses to one RANGE-frame window:
+    * count(*) OVER (PARTITION BY user ORDER BY ts RANGE BETWEEN w
+    * PRECEDING AND w FOLLOWING) − 1. ONE shuffle, zero row
+    * replication, no pair materialization (the binned-join default it
+    * replaced did 3× replication + a join + a re-aggregation).
     * Oracle: DuckDB's native inequality (IE) join.
     */
   def rangeJoinCounts(spark: SparkSession, dir: String, windowMs: Long = 300000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+      .rangeBetween(-windowMs, windowMs)
+    withTsMs(spark, dir)
+      .select("event_id", "user_id", "ts_ms")
+      .withColumn("n_neighbors", count(lit(1)).over(w) - 1)
+      .orderBy("event_id")
+  }
+
+  /** q46b: the binned-join variant of q46 — the SKEW path (mirrors
+    * the q01/q01b pairing). The window above serializes one user's
+    * events into one task; for a pathological user the (user, bin)
+    * key here is strictly finer-grained. Bin width = window, the
+    * build side replicates into its bin and both neighbors (bounded
+    * 3× on slim rows), the join runs on (user, bin) equality — every
+    * true pair is within one bin of its partner — and an exact
+    * |Δt| ≤ window filter cleans up. Same result, same oracle.
+    */
+  def rangeJoinCountsBinned(spark: SparkSession, dir: String, windowMs: Long = 300000L): DataFrame = {
     val base = withTsMs(spark, dir).select("event_id", "user_id", "ts_ms")
     val probe = base.withColumn("bin", expr(s"ts_ms DIV $windowMs"))
     val build = base

@@ -36,6 +36,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 2, s"got $n in:\n$p")
   }
 
+  test("q46 range join is a single window shuffle (+1 for the output sort)") {
+    val p = plan(operators.Messages.rangeJoinCounts(spark, dir))
+    val n = count(p, "Exchange hashpartitioning") + count(p, "Exchange rangepartitioning")
+    assert(n == 2, s"one user-partitioned range window + orderBy — got $n in:\n$p")
+    assert(!p.contains("Join"), s"the window form must not materialize a join:\n$p")
+  }
+
   test("vector top-k broadcasts the query side") {
     assert(count(plan(operators.Vectors.vectorTopK(spark, dir)), "BroadcastExchange") >= 1)
   }
