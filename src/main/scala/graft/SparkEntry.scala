@@ -56,7 +56,7 @@ object SparkEntry {
     "q27_dedup_minhash"     -> ((s, d) => Dedup.dedupMinHash(s, d)),
     "q28_dedup_simhash"     -> ((s, d) => Dedup.dedupSimHash(s, d)),
     "q29_dedup_embedding"   -> ((s, d) => Dedup.dedupEmbedding(s, d)),
-    "q44_dedup_emb_lsh"     -> ((s, d) => Dedup.dedupEmbeddingLsh(s, d)),
+    "q44_dedup_emb_lsh"     -> ((s, d) => Dedup.dedupEmbeddingLshPlanted(s, d)),
     "q30_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "q31_quality_score"     -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q32_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -448,6 +448,16 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
         |  FROM cand) t
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "q44_dedup_emb_lsh" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q42_embedding_stats" ->
       """SELECT label, COUNT(*) AS n_vecs,
         |  CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm,

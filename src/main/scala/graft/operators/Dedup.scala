@@ -332,11 +332,36 @@ object Dedup {
     * exactness and recall.
     */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String, threshold: Double = 0.9,
-                        nBits: Int = 32, bands: Int = 4): DataFrame = {
+                        nBits: Int = 32, bands: Int = 4): DataFrame =
+    dedupEmbeddingLshOn(spark, Tables.embeddings(spark, dir), threshold, nBits, bands)
+
+  /** q44 driver entry: sign-LSH dedup over the corpus PLUS planted
+    * exact duplicates (every `every`-th vector re-emitted under
+    * vec_id + idOffset, in ONE scan via explode — a self-union would
+    * recompute the scan per branch). Identical vectors have identical
+    * sign bits, so banded sign-LSH recall on the planted pairs is
+    * exactly 1 — and the driver's random testdata has no other pair
+    * within cosine 0.9 — which makes this entry fully ORACLE-CHECKED
+    * against a brute-force DuckDB join on the same derived input
+    * (round 2's entry returned 0 rows on driver data: a vacuous gate).
+    */
+  def dedupEmbeddingLshPlanted(spark: SparkSession, dir: String, threshold: Double = 0.9,
+                               every: Int = 20, idOffset: Long = 1000000L): DataFrame = {
+    val withDups = Tables.embeddings(spark, dir)
+      .select(explode(when(col("vec_id") % every === 0,
+          array(col("vec_id"), col("vec_id") + idOffset))
+        .otherwise(array(col("vec_id")))).as("vec_id"),
+        col("embedding"))
+    dedupEmbeddingLshOn(spark, withDups, threshold)
+  }
+
+  private[graft] def dedupEmbeddingLshOn(spark: SparkSession, embeddings: DataFrame,
+                                         threshold: Double = 0.9,
+                                         nBits: Int = 32, bands: Int = 4): DataFrame = {
     require(bands > 0 && nBits % bands == 0, s"nBits ($nBits) must be a positive multiple of bands ($bands)")
     import spark.implicits._
     GraftFunctions.register(spark)
-    val dim = Tables.embeddings(spark, dir).select(size(col("embedding"))).head().getInt(0)
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     val planes: Array[Array[Double]] = Array.tabulate(nBits, dim) { (b, d) =>
       // deterministic pseudo-gaussian-ish component in [-1, 1)
       val h = graft.functions.Hashing.mix64((b.toLong << 32) ^ d.toLong ^ 0x5eedL)
@@ -347,7 +372,7 @@ object Dedup {
       when(aggregate(zip_with(col("embedding"), p, (x, h) => x.cast("double") * h),
         lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0))
     val rowsPerBand = nBits / bands
-    val e = Tables.embeddings(spark, dir)
+    val e = embeddings
       .select(col("vec_id"), col("embedding"), bits.as("bits"))
       .select(col("vec_id"), col("embedding"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -363,7 +388,7 @@ object Dedup {
         } yield (ids(i), ids(j))
       }
       .toDF("vec_a", "vec_b").distinct()
-    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
     cands
       .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
       .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
