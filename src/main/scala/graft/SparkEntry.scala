@@ -44,6 +44,7 @@ object SparkEntry {
     "q19_ann_ivf"           -> ((s, d) => Vectors.annIvf(s, d)),
     "q19b_ann_ivf_seeded"   -> ((s, d) => Vectors.annIvfSeeded(s, d)),
     "q41_kmeans_ivf"        -> ((s, d) => Vectors.kmeansIvf(s, d)),
+    "q47_sliding_segments"  -> ((s, d) => Vectors.slidingSegments(s, d)),
     "q42_embedding_stats"   -> ((s, d) => Vectors.embeddingStats(s, d)),
     "q36_top_words"         -> ((s, d) => TextAnalysis.topWords(s, d)),
     "q37_threshold_heatmap" -> ((s, d) => Sessions.thresholdHeatmap(s, d)),
@@ -333,6 +334,29 @@ object SparkEntry {
         |SELECT doc_id, source, bucket,
         |  CAST(SUM(brk) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS group_id
         |FROM x ORDER BY source, doc_id""".stripMargin,
+    "q47_sliding_segments" -> {
+      val cs = (j: Int) =>
+        s"COALESCE(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(lag_$j AS DOUBLE[])), 0.0)"
+      val lags = (1 to 5).map(j =>
+        s"LAG(embedding, $j) OVER (PARTITION BY source ORDER BY doc_id) AS lag_$j").mkString(",\n        ")
+      val total = (1 to 5).map(cs).foldLeft("1.0")((acc, s) => s"($acc + $s)")
+      val nWin = (1 to 5).map(j => s"CASE WHEN lag_$j IS NULL THEN 0 ELSE 1 END").mkString(" + ")
+      s"""WITH je AS (
+         |  SELECT d.doc_id, d.source, e.embedding
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |l AS (SELECT doc_id, source, embedding,
+         |        $lags
+         |      FROM je),
+         |y AS (SELECT doc_id, source,
+         |        1 + $nWin AS n_win,
+         |        round(1.0 - $total / (1 + $nWin), 6) AS dist
+         |      FROM l),
+         |m AS (SELECT CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_dist FROM y)
+         |SELECT y.doc_id, y.source, CAST(y.n_win AS INT) AS n_win, y.dist, m.mean_dist,
+         |  CAST(SUM(CASE WHEN y.dist > m.mean_dist THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY y.source ORDER BY y.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment_id
+         |FROM y, m ORDER BY source, doc_id""".stripMargin
+    },
     "q15_name_mapping" ->
       """SELECT user_id, event_type AS last_kind, ts_ms AS last_seen_ms FROM (
         |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,

@@ -256,6 +256,70 @@ object Vectors {
       .orderBy("source", "doc_id")
   }
 
+  /** Generalized sliding-window mean distance — the full
+    * `calculate_sliding_distances` contract (TextPreprocessor.py:
+    * 248-302, default window_size=5; q13 covers only the lag-1 case
+    * the reference pipeline uses at :489): for row i, dist =
+    * 1 − mean(cos_sim(emb_i, emb_j)) over j ∈ [i−window_size, i].
+    * The window INCLUDES self (sim=1), so the lag-1 distance is
+    * (1−sim)/2 — half of q13's 1−sim — and reference thresholds
+    * carry over unchanged. The first row of a partition is 0.
+    *
+    * Plan shape: ONE (source)-partitioned window evaluates all
+    * `windowSize` lag columns in a single pass; the mean is a
+    * fixed-order double sum (left-assoc, mirrored exactly in the
+    * oracle SQL) so the result is bit-exact cross-engine.
+    */
+  def slidingDistances(spark: SparkSession, dir: String, windowSize: Int = 5): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1: $windowSize")
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    var df = docs.join(e, col("doc_id") === col("vec_id"))
+    for (j <- 1 to windowSize)
+      df = df.withColumn(s"lag_$j", lag("embedding", j).over(w))
+    // self-inclusive mean: sim(self,self) = 1 always participates
+    val total = (1 to windowSize)
+      .map(j => coalesce(expr(s"cosine_sim(embedding, lag_$j)"), lit(0.0)))
+      .foldLeft(lit(1.0))((acc, s) => acc + s)
+    val nWin = (1 to windowSize)
+      .map(j => when(col(s"lag_$j").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))((acc, c) => acc + c)
+    df.withColumn("n_win", nWin)
+      .withColumn("dist", round(lit(1.0) - total / col("n_win").cast("double"), 6))
+      .select("doc_id", "source", "n_win", "dist")
+  }
+
+  /** q47: sliding-window segmentation with the threshold=None ⇒ MEAN
+    * fallback — `calculate_segments(df, semantic_threshold=None)`
+    * (TextPreprocessor.py:461-499) is documented to use the mean
+    * distance when no threshold is given (the shipped code pins 0.7
+    * with the mean in a comment; this implements the documented
+    * semantics). The mean is a global two-pass stat: an exact
+    * DECIMAL(18,6) sum of the 6dp-rounded distances over the count —
+    * order-insensitive, so deterministic under any partitioning —
+    * broadcast back as a 1-row literal join.
+    */
+  def slidingSegments(spark: SparkSession, dir: String, windowSize: Int = 5,
+                      threshold: Option[Double] = None): DataFrame = {
+    val d = slidingDistances(spark, dir, windowSize)
+    val withThr = threshold match {
+      case Some(t) => d.withColumn("mean_dist", lit(t))
+      case None =>
+        val m = d.agg((sum(col("dist").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("mean_dist"))
+        d.crossJoin(broadcast(m))
+    }
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withThr
+      .withColumn("brk", when(col("dist") > col("mean_dist"), 1).otherwise(0))
+      .withColumn("segment_id", sum("brk").over(w))
+      .select("doc_id", "source", "n_win", "dist", "mean_dist", "segment_id")
+      .orderBy("source", "doc_id")
+  }
+
   /** q14: group merge — a new group starts when EITHER the semantic
     * segment breaks OR the coarse length-bucket changes
     * (calculate_groups' OR-of-boundaries at TextPreprocessor.py:452).
