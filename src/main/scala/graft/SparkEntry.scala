@@ -45,6 +45,8 @@ object SparkEntry {
     "q19b_ann_ivf_seeded"   -> ((s, d) => Vectors.annIvfSeeded(s, d)),
     "q41_kmeans_ivf"        -> ((s, d) => Vectors.kmeansIvf(s, d)),
     "q47_sliding_segments"  -> ((s, d) => Vectors.slidingSegments(s, d)),
+    "q48_ivf_persisted"     -> ((s, d) => VectorIndex.buildAndProbe(s, d)),
+    "q48b_index_stats"      -> ((s, d) => VectorIndex.statsEntry(s, d)),
     "q42_embedding_stats"   -> ((s, d) => Vectors.embeddingStats(s, d)),
     "q36_top_words"         -> ((s, d) => TextAnalysis.topWords(s, d)),
     "q37_threshold_heatmap" -> ((s, d) => Sessions.thresholdHeatmap(s, d)),
@@ -482,6 +484,34 @@ object SparkEntry {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q48_ivf_persisted" ->
+      """WITH seeds AS (
+        |  SELECT label, embedding FROM (
+        |    SELECT label, embedding, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        |    FROM embeddings) s WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT q.vec_id AS query_id, s.label,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])), 6) DESC, s.label) AS crk
+        |    FROM embeddings q, seeds s WHERE q.vec_id < 5) p
+        |  WHERE crk <= 3),
+        |cand AS (
+        |  SELECT p.query_id, e.vec_id, e.label,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qq.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM probes p
+        |  JOIN embeddings e ON e.label = p.label
+        |  JOIN embeddings qq ON qq.vec_id = p.query_id
+        |  WHERE e.vec_id <> p.query_id)
+        |SELECT query_id, vec_id, label, sim, CAST(rk AS INT) AS rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+        |  FROM cand) t
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "q48b_index_stats" ->
+      """SELECT label AS cell, COUNT(*) AS n_vecs,
+        |  CAST(MIN(len(embedding)) AS INT) AS dim,
+        |  MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+        |FROM embeddings GROUP BY label ORDER BY cell""".stripMargin,
     "q42_embedding_stats" ->
       """SELECT label, COUNT(*) AS n_vecs,
         |  CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
