@@ -400,9 +400,69 @@ object Dedup {
 
   private[operators] case class BandRow2(vec_id: Long, band: Int, bucket: String)
 
-  /** q29: embedding-cosine near-dup pairs, blocked by label (at scale
-    * the block key is an IVF cell / LSH bucket of the vector, same
-    * join shape). Oracle-exact: cosine is bit-identical to DuckDB.
+  /** q29b: embedding-cosine near-dup pairs blocked by IVF CELL — the
+    * scale-safe DEFAULT for label-free corpora. q29's label blocking
+    * has a fixed block count (~10 on this data), so in-block pairing
+    * is O((n/10)²) — quadratic in the corpus at 100 TB. Here the
+    * block key is the vector's IVF cell: seeds = vec_id % nLists,
+    * one Lloyd round (decimal-mean centroids, deterministic under
+    * any partitioning), then each vector joins its nProbe nearest
+    * cells (multi-probe, so near-dup pairs straddling a cell
+    * boundary still meet). nLists GROWS with the corpus (nLists ≈
+    * n/targetCellSize), so cell size — and the in-cell candidate
+    * loop — stays BOUNDED as data grows; recall is tunable via
+    * nProbe. Candidates are id-only rows (arrays never enter the
+    * banding shuffle, same shape as q27/q44); exact cosine ≥ t
+    * verifies on the candidate join.
+    *
+    * Cell structure depends on float-mean centroids (cross-engine
+    * divergent) ⇒ rows-only oracle; DedupEdgeSpec asserts planted
+    * near-dup recall = 1 and recall ≥ the label-blocked variant on
+    * testdata at the same threshold.
+    */
+  def dedupEmbeddingIvf(spark: SparkSession, dir: String, threshold: Double = 0.3,
+                        nLists: Int = 16, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val seeded = e.withColumn("cell", (col("vec_id") % nLists).cast("int"))
+    val cents = Vectors.centroidsOf(seeded)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("s").desc, col("c_cell"))
+    val probed = e.crossJoin(broadcast(cents))
+      .withColumn("s", round(expr("cosine_sim(embedding, cvec)"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id"), col("c_cell").as("cell"))
+    val cands = probed.as[CellRow]
+      .groupByKey(_.cell)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_.vec_id).toArray.sorted
+        for {
+          i <- ids.indices.iterator
+          j <- (i + 1 until ids.length).iterator
+        } yield (ids(i), ids(j))
+      }
+      .toDF("vec_a", "vec_b").distinct()
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    cands
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .withColumn("sim", round(expr("cosine_sim(emb_a, emb_b)"), 6))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private[operators] case class CellRow(vec_id: Long, cell: Int)
+
+  /** q29: embedding-cosine near-dup pairs, blocked by label — the
+    * ORACLE-PARITY variant (cosine is bit-identical to DuckDB, so the
+    * whole pipeline is hash-EXACT). Label blocking does NOT scale:
+    * the block count is fixed, so blocks grow linearly with the
+    * corpus and in-block pairing is quadratic. The scale-safe default
+    * is q29b (dedupEmbeddingIvf) for weak-similarity thresholds, or
+    * q44's sign-LSH at true near-dup thresholds.
     */
   def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     GraftFunctions.register(spark)

@@ -171,7 +171,7 @@ object Vectors {
   }
 
   /** Exact decimal-mean centroids of an assignment (cell, cvec). */
-  private def centroidsOf(assign: DataFrame): DataFrame =
+  private[graft] def centroidsOf(assign: DataFrame): DataFrame =
     assign.select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cell", "pos")
       .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(20, 10))) / count(lit(1)))
