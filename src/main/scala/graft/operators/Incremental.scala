@@ -38,19 +38,20 @@ object Incremental {
     * ids starting after the current max, assigned in name order so
     * the result is deterministic under any partitioning.
     *
-    * Scale shape: one anti-join (shuffle on name) + one global sort
-    * of the NEW names only (the dictionary delta, not the corpus).
-    * The max-id lookup is a 1-row aggregate, broadcast back.
+    * Scale shape: one anti-join (shuffle on name) + the two-pass
+    * range-partitioned numbering (plans.Ordinals) over the NEW names
+    * only (the dictionary delta, not the corpus) — no single-task
+    * global sort. The max-id lookup is a 1-row aggregate, broadcast
+    * back.
     */
   def upsertDictionary(existing: DataFrame, names: DataFrame, nameCol: String): DataFrame = {
     val newNames = names.select(col(nameCol).as("name")).filter(col("name").isNotNull)
       .distinct()
       .join(existing.select(col("name")), Seq("name"), "left_anti")
     val base = existing.select(coalesce(max(col("id")), lit(0L)).as("base"))
-    val assigned = newNames.crossJoin(base)
-      .withColumn("id", col("base") + row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("name")))
-      .select(col("name"), col("id"))
+    val assigned = graft.plans.Ordinals
+      .withOrdinal(newNames.crossJoin(base), Seq(col("name")), "ord", offset = 1L)
+      .select(col("name"), (col("base") + col("ord")).as("id"))
     existing.select(col("name"), col("id")).unionByName(assigned)
   }
 }

@@ -233,6 +233,9 @@ object Sessions {
   /** q08: long-event group mining — filter value ≥ 50, sessionize 1h,
     * grouped stats, HAVING n ≥ 3, global ordinal group id
     * (analyze_dialogues.find_long_message_groups's CTE chain).
+    * The ordinal uses the two-pass range-partitioned numbering
+    * (plans.Ordinals) — the post-HAVING group count still funnelled
+    * through one task under the old Window.orderBy at 100 TB.
     */
   def longGroups(spark: SparkSession, dir: String): DataFrame = {
     val filtered = withTsMs(spark, dir).filter(col("value") >= 50.0)
@@ -251,9 +254,8 @@ object Sessions {
         countDistinct("event_type").as("n_kinds"),
         (sum(decV).cast("double") / count(lit(1))).as("avg_value"))
       .filter(col("n_events") >= 3)
-    grouped
-      .withColumn("group_id",
-        row_number().over(Window.orderBy("start_ms", "user_id")) - 1)
+    graft.plans.Ordinals.withOrdinal(grouped, Seq(col("start_ms"), col("user_id")), "ord")
+      .withColumn("group_id", col("ord").cast("int"))
       .select("group_id", "user_id", "n_events", "start_ms", "end_ms", "total_value", "n_kinds", "avg_value")
       .orderBy("group_id")
   }

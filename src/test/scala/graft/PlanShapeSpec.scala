@@ -43,6 +43,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"the window form must not materialize a join:\n$p")
   }
 
+  test("q08 and dictionary upsert have no unpartitioned window (single-task sort)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def globalWindows(df: DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(globalWindows(operators.Sessions.longGroups(spark, dir)).isEmpty,
+      "q08's ordinal must use the two-pass numbering, not Window.orderBy")
+    import spark.implicits._
+    val existing = Seq(("a", 1L), ("b", 2L)).toDF("name", "id")
+    val names = Seq("a", "c", "d").toDF("n")
+    val up = operators.Incremental.upsertDictionary(existing, names, "n")
+    assert(globalWindows(up).isEmpty, "dictionary delta ids must not globally sort in one task")
+    assert(up.orderBy("id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)))
+  }
+
   test("vector top-k broadcasts the query side") {
     assert(count(plan(operators.Vectors.vectorTopK(spark, dir)), "BroadcastExchange") >= 1)
   }
