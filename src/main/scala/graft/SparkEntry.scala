@@ -66,6 +66,7 @@ object SparkEntry {
     "q32_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),
     "q33_fingerprint"       -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q34_media_pipeline"    -> ((s, d) => Multimodal.mediaPipeline(s, d)),
+    "q49_text_encode"       -> ((s, d) => TextEncoder.encodePipeline(s, d)),
     "q35_bpe_tokens"        -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
     "q20_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q21_top_orders"      -> ((s, d) => Relational.topOrders(s, d)),
