@@ -36,5 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("shingles"),
       info("shingles", "shingles(text) - distinct sorted bigram shingles"),
       (e: Seq[Expression]) => BigramShingles(e(0))))
+    ext.injectFunction((FunctionIdentifier("sign_bits"),
+      info("sign_bits", "sign_bits(vec, nBits) - random-hyperplane sign-LSH bits packed in a long"),
+      (e: Seq[Expression]) => SignBits(e(0), e(1).eval(null).asInstanceOf[Int])))
   }
 }

@@ -36,6 +36,20 @@ object Hashing {
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
     x ^ (x >>> 31)
   }
+
+  /** Deterministic random-hyperplane components for sign-LSH
+    * (SignBits): plane b, dim d ∈ [-1, 1) via splitmix64. Cached per
+    * (nBits, dim) so per-row evaluation is pure multiply-adds; the
+    * method is static-forwarded for generated code.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  def planes(nBits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nBits, dim), _ =>
+      Array.tabulate(nBits, dim) { (b, d) =>
+        val h = mix64((b.toLong << 32) ^ d.toLong ^ 0x5eedL)
+        (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      })
 }
 
 /** MinHash signature (k permutations) over an ARRAY<STRING> of

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -125,6 +125,68 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane sign bits of an ARRAY<FLOAT> vector (Charikar
+  * sign-LSH): bit b set iff dot(x, plane_b) ≥ 0, planes from
+  * Hashing.planes (deterministic splitmix64 components, cached per
+  * (nBits, dim)). Returns the bits packed in a LONG, so banding is a
+  * shift-and-mask — the same shape as SimHash64. Native + codegen'd:
+  * the declarative twin (transform/aggregate/zip_with over a planes
+  * literal) is interpreted per lambda call and was q44's dominant
+  * cost — nBits × dim interpreted evals per ROW.
+  */
+case class SignBits(child: Expression, nBits: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) if nBits >= 1 && nBits <= 64 => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"sign_bits expects ARRAY<FLOAT> and 1 <= nBits <= 64, got $t / $nBits")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sign_bits"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val planes = Hashing.planes(nBits, n)
+    var sig = 0L; var b = 0
+    while (b < nBits) {
+      val p = planes(b)
+      var acc = 0.0; var d = 0
+      while (d < n) { acc += x.getFloat(d).toDouble * p(d); d += 1 }
+      if (acc >= 0.0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      // static forwarders on the mirror class — `Hashing.MODULE$` does
+      // not exist (MODULE$ lives on Hashing$), and a bad reference here
+      // silently de-codegens the whole stage
+      val hashing = Hashing.getClass.getName.stripSuffix("$")
+      val n = ctx.freshName("n"); val planes = ctx.freshName("planes")
+      val sig = ctx.freshName("sig"); val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d"); val p = ctx.freshName("p")
+      s"""
+         |int $n = $x.numElements();
+         |double[][] $planes = $hashing.planes($nBits, $n);
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $nBits; $b++) {
+         |  double[] $p = $planes[$b];
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) $acc += ((double) $x.getFloat($d)) * $p[$d];
+         |  if ($acc >= 0.0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration of graft's native expressions on a session's function
   * registry, so plans can use them via `expr("cosine_sim(a, b)")`.
   * Idempotent.
@@ -148,5 +210,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => IntersectCountSorted(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "shingles", (exprs: Seq[Expression]) => BigramShingles(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sign_bits", (exprs: Seq[Expression]) => {
+        val k = exprs(1).eval(null).asInstanceOf[Int]
+        SignBits(exprs(0), k)
+      }, "built-in")
   }
 }

@@ -359,26 +359,23 @@ object Dedup {
                                          threshold: Double = 0.9,
                                          nBits: Int = 32, bands: Int = 4): DataFrame = {
     require(bands > 0 && nBits % bands == 0, s"nBits ($nBits) must be a positive multiple of bands ($bands)")
+    require(nBits / bands <= 63, s"band width must fit a long: $nBits/$bands")
     import spark.implicits._
     GraftFunctions.register(spark)
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    val planes: Array[Array[Double]] = Array.tabulate(nBits, dim) { (b, d) =>
-      // deterministic pseudo-gaussian-ish component in [-1, 1)
-      val h = graft.functions.Hashing.mix64((b.toLong << 32) ^ d.toLong ^ 0x5eedL)
-      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-    }
-    val planesCol = typedLit(planes.map(_.toSeq).toSeq)
-    val bits = transform(planesCol, p =>
-      when(aggregate(zip_with(col("embedding"), p, (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0))
+    // the native codegen'd sign_bits packs all hyperplane signs into
+    // one long per row, so banding is a shift-and-mask (the SimHash64
+    // shape); the declarative twin — transform/aggregate/zip_with
+    // over a planes literal — is interpreted per lambda call, which
+    // made the bit computation q44's dominant cost (measured 1.0s →
+    // see BENCH_r03)
     val rowsPerBand = nBits / bands
-    val e = embeddings
-      .select(col("vec_id"), col("embedding"), bits.as("bits"))
-      .select(col("vec_id"), col("embedding"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("", slice(col("bits"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-          .as(Seq("band", "bucket")))
-    val cands = e.select("vec_id", "band", "bucket").as[BandRow2]
+    val mask = (1L << rowsPerBand) - 1
+    val banded = embeddings
+      .select(col("vec_id"), expr(s"sign_bits(embedding, $nBits)").as("sig"))
+      .select(col("vec_id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", expr(s"shiftrightunsigned(sig, band * $rowsPerBand) & $mask"))
+      .select("vec_id", "band", "bucket").as[SigBandRow]
+    val cands = banded
       .groupByKey(d => (d.band, d.bucket))
       .flatMapGroups { (_, it) =>
         val ids = it.map(_.vec_id).toArray.sorted
@@ -398,7 +395,7 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  private[operators] case class BandRow2(vec_id: Long, band: Int, bucket: String)
+  private[operators] case class SigBandRow(vec_id: Long, band: Int, bucket: Long)
 
   /** q29b: embedding-cosine near-dup pairs blocked by IVF CELL — the
     * scale-safe DEFAULT for label-free corpora. q29's label blocking

@@ -78,6 +78,33 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     assert(codegen == interpreted)
   }
 
+  test("sign_bits: codegen == interpreted == plain-Scala planes reference") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (1 to 40).map(_ => Array.fill(64)(rnd.nextGaussian().toFloat))
+    val df = vecs.toDF("v").selectExpr("v", "sign_bits(v, 32) AS sig")
+    def run(): Seq[Long] = df.collect().map(_.getLong(1)).toSeq
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val codegen = try run() finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val reference = vecs.map { v =>
+      val planes = functions.Hashing.planes(32, 64)
+      (0 until 32).foldLeft(0L) { (sig, b) =>
+        val dot = v.indices.foldLeft(0.0)((a, d) => a + v(d).toDouble * planes(b)(d))
+        if (dot >= 0.0) sig | (1L << b) else sig
+      }
+    }
+    assert(codegen == interpreted && codegen == reference)
+  }
+
   test("minhash signature: equal sets share all bands, similarity tracks jaccard direction") {
     val base = (1 to 40).map(i => s"sh$i").toArray
     val near = base.drop(2) ++ Array("x1", "x2") // jaccard ~0.9
