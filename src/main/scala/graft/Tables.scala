@@ -24,6 +24,14 @@ object Tables {
     cache.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Substitute a pre-materialized twin (e.g. a bucketed copy) for a
+    * table — the bench's shared-table mechanism, the single-JVM
+    * analog of pointing the catalog at a better physical layout of
+    * the SAME data. Every operator picks it up transparently.
+    */
+  def registerOverride(spark: SparkSession, dir: String, name: String, df: DataFrame): Unit =
+    cache.put((spark, dir, name), df)
+
   def region(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")

@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions.col
   */
 object CoLocate {
 
-  /** Write a DataFrame as a bucketed, per-bucket-sorted table. */
+  /** Write a DataFrame as a bucketed, per-bucket-sorted table.
+    * The repartition aligns write tasks with the bucket hash (both
+    * Murmur3) so each bucket lands in ONE file — with multiple files
+    * per bucket Spark cannot trust the per-bucket sort and re-sorts
+    * both sides of every "shuffle-free" join.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.bucketBy(buckets, key).sortBy(key)
+    df.repartition(buckets, col(key))
+      .write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").format("parquet").saveAsTable(table)
 
   /** Equi-join two same-bucketed tables on their bucket keys; with
