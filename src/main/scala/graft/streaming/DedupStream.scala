@@ -22,10 +22,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (doc_a, doc_b) dedupes within a batch, and the spec asserts
   * cross-batch equivalence to the batch operator.
   *
-  * State bound: O(docs × bands) shingle arrays. In a production
-  * 100TB deployment the state would hold signatures only and fetch
-  * shingles for verification from a keyed store; keeping the arrays
-  * in state here keeps verification exact and self-contained.
+  * State bound: `pairs` keeps O(docs × bands) shingle arrays in
+  * state — exact and self-contained, but per-doc state grows with
+  * document length. `pairsBySignature` is the production variant:
+  * constant k-long signatures in state, MinHash-estimator screening
+  * in-stream, exact verify downstream against a keyed store.
   */
 object DedupStream {
 
@@ -93,6 +94,64 @@ object DedupStream {
             Iterator.single(GateOut(rows.head.getAs[Long]("doc_id"),
               rows.head.getAs[String]("text"), rows.head.getAs[Int]("wc")))
           }
+      }
+  }
+
+  case class SigBanded(doc_id: Long, sig: Array[Long], band: Int, bucket: String)
+  case class SigState(docs: List[(Long, Array[Long])])
+  case class EstPair(doc_a: Long, doc_b: Long, est_jac: Double)
+
+  /** SIGNATURES-ONLY pair stream — the production-state variant of
+    * `pairs` (whose state holds full shingle arrays for exact
+    * in-stream verification; fine for self-contained exactness,
+    * unbounded per-doc bytes at 100 TB). Here state per (band,
+    * bucket) member is the k-long MinHash signature — CONSTANT size
+    * per doc (k×8 bytes) regardless of document length — and
+    * verification uses the standard unbiased MinHash estimator:
+    * est = |{i : sigA_i = sigB_i}| / k, E[est] = jaccard,
+    * σ = √(j(1−j)/k) (≈0.09 at j=0.5, k=32). Pairs at est ≥
+    * threshold go downstream, where the exact verify joins a keyed
+    * document store (the batch twin of that join is dedupMinHash's
+    * verify stage); exact duplicates estimate exactly 1.0. Run the
+    * stream threshold a margin below the batch threshold to absorb
+    * estimator noise.
+    */
+  def pairsBySignature(spark: SparkSession, docs: Dataset[DocIn], threshold: Double = 0.5,
+                       k: Int = 32, bands: Int = 8): Dataset[EstPair] = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rows = k / bands
+    val sigBanded = docs
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), expr(s"minhash(shingles(text), $k)").as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+      .as[SigBanded]
+    sigBanded
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), it: Iterator[SigBanded], state: GroupState[SigState]) =>
+          val newDocs = it.toArray.sortBy(_.doc_id)
+          var members = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = List.newBuilder[EstPair]
+          newDocs.foreach { d =>
+            members.foreach { case (oldId, oldSig) =>
+              if (oldId != d.doc_id) {
+                var eq = 0; var i = 0
+                while (i < k) { if (oldSig(i) == d.sig(i)) eq += 1; i += 1 }
+                val est = BigDecimal(eq.toDouble / k)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (est >= threshold) {
+                  val (a, b) = if (oldId < d.doc_id) (oldId, d.doc_id) else (d.doc_id, oldId)
+                  out += EstPair(a, b, est)
+                }
+              }
+            }
+            members ::= (d.doc_id, d.sig)
+          }
+          state.update(SigState(members))
+          out.result().iterator
       }
   }
 

@@ -38,6 +38,49 @@ class DedupStreamSpec extends AnyFunSuite {
       s"cross-batch dups must surface exactly once per pair set, got $got")
   }
 
+  test("signatures-only stream: exact dups estimate 1.0 across batches, constant-size state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    val q = pairsBySignature(spark, stream.toDS())
+      .writeStream.format("memory").queryName("sig_out").outputMode("append").start()
+    stream.addData(
+      DocIn(1, "the quick brown fox jumps over the lazy dog every single morning"),
+      DocIn(2, "completely unrelated text about spark query planning and shuffles"))
+    q.processAllAvailable()
+    stream.addData(
+      DocIn(4, "the quick brown fox jumps over the lazy dog every single morning"), // dup of 1
+      DocIn(6, "completely unrelated text about spark query planning and shuffles")) // dup of 2
+    q.processAllAvailable()
+    val got = spark.table("sig_out").as[EstPair].collect()
+      .map(p => ((p.doc_a, p.doc_b), p.est_jac)).toMap
+    q.stop()
+    // identical shingle sets ⇒ identical signatures ⇒ estimator exactly 1
+    assert(got.keySet == Set((1L, 4L), (2L, 6L)), s"got $got")
+    assert(got.values.forall(_ == 1.0), s"exact dups must estimate 1.0: $got")
+  }
+
+  test("signature estimator tracks exact jaccard within sampling error (k=32)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val near1 = "the quick brown fox jumps over the lazy dog every single morning in the park"
+    val near2 = "the quick brown fox jumps over the lazy dog every single morning in the rain"
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    val q = pairsBySignature(spark, stream.toDS(), threshold = 0.2)
+      .writeStream.format("memory").queryName("sig_est_out").outputMode("append").start()
+    stream.addData(DocIn(1, near1)); q.processAllAvailable()
+    stream.addData(DocIn(2, near2)); q.processAllAvailable()
+    // one emission per colliding band, like `pairs` — distinct downstream
+    val got = spark.table("sig_est_out").as[EstPair].collect().distinct
+    q.stop()
+    assert(got.length == 1, s"near-dup pair must collide in some band: ${got.toSeq}")
+    // exact jaccard of the two shingle sets: 13 common of 15+15 ⇒ 13/17
+    val exact = 13.0 / 17
+    // k=32 estimator: sigma = sqrt(j(1-j)/32) ~ 0.076; allow 3 sigma
+    assert(math.abs(got.head.est_jac - exact) <= 0.25,
+      s"estimator ${got.head.est_jac} too far from exact $exact")
+  }
+
   test("corpus gate: first writer wins across batches, quality filter drops short docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
