@@ -346,13 +346,14 @@ object Dedup {
     * (round 2's entry returned 0 rows on driver data: a vacuous gate).
     */
   def dedupEmbeddingLshPlanted(spark: SparkSession, dir: String, threshold: Double = 0.9,
-                               every: Int = 20, idOffset: Long = 1000000L): DataFrame = {
+                               every: Int = 20, idOffset: Long = 1000000L,
+                               nBits: Int = 32, bands: Int = 4): DataFrame = {
     val withDups = Tables.embeddings(spark, dir)
       .select(explode(when(col("vec_id") % every === 0,
           array(col("vec_id"), col("vec_id") + idOffset))
         .otherwise(array(col("vec_id")))).as("vec_id"),
         col("embedding"))
-    dedupEmbeddingLshOn(spark, withDups, threshold)
+    dedupEmbeddingLshOn(spark, withDups, threshold, nBits, bands)
   }
 
   private[graft] def dedupEmbeddingLshOn(spark: SparkSession, embeddings: DataFrame,

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Sessions, Vectors}
+import graft.operators.{Dedup, Messages, Sessions, VectorIndex, Vectors}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -57,7 +57,26 @@ object ScaleProbe {
       time("q40 allpairs   ", d)(Dedup.dedupAllPairs(spark, _))
       time("q16 vector topk", d)(Vectors.vectorTopK(spark, _))
       time("q41 kmeans     ", d)(Vectors.kmeansIvf(spark, _))
+      time("q12 recipients ", d)(Messages.recipients(spark, _))
+      time("q46 range win  ", d)(Messages.rangeJoinCounts(spark, _))
+      time("q47 sliding    ", d)(Vectors.slidingSegments(spark, _))
+      time("q48 ivf persist", d)(VectorIndex.buildAndProbe(spark, _))
     }
+    // Sign-LSH bucket width must TRACK corpus density: with fixed
+    // 8-bit bands, random-data collisions per bucket grow linearly
+    // with the corpus, so candidates grow quadratically — widening
+    // the bands (same total nBits budget family) restores bounded
+    // buckets, exactly like growing nLists for IVF cells. Measure
+    // the cliff and the remedy at 10x.
+    time("q44 4x8bit     ", src)(Dedup.dedupEmbeddingLshPlanted(spark, _))
+    time("q44 4x8bit     ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _))
+    time("q44 4x12bit    ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _, nBits = 48, bands = 4))
+    // q12's 10x slope is dominated by its OUTPUT semantics: the
+    // synthesized copies share (day, k) buckets, so co-user lists
+    // grow 10x for 10x the users — ~100x output cells (measured 25x
+    // wall). The maxBucket cap is the production knob for exactly
+    // this blowup:
+    time("q12 capped @200", dst)(Messages.recipients(spark, _, maxBucket = 200))
     spark.stop()
   }
 }
