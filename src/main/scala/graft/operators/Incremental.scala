@@ -31,6 +31,22 @@ object Incremental {
   def maxKeyPerGroup(df: DataFrame, group: String, key: String): DataFrame =
     df.groupBy(group).agg(max(key).as(s"max_$key")).orderBy(group)
 
+  /** SCD name-mapping upsert — the reference's chat/user name history
+    * (telegram_database.py:780-860 `_upsert_name_mappings`: per
+    * (id, name) pair, first_seen = min(date), last_seen = max(date)).
+    * The reference INSERT OR REPLACEs the incoming batch's min/max
+    * over the stored row (clobbering an older stored first_seen);
+    * this implements the documented first/last-seen intent — an exact
+    * min/max MERGE across stored + incoming, idempotent and
+    * batch-order-independent. One shuffle on the key columns;
+    * shuffle-free with both sides bucketed on them (plans.CoLocate).
+    */
+  def upsertNameMappings(existing: DataFrame, incoming: DataFrame,
+                         idCol: String, nameCol: String): DataFrame =
+    existing.unionByName(incoming)
+      .groupBy(idCol, nameCol)
+      .agg(min("first_seen").as("first_seen"), max("last_seen").as("last_seen"))
+
   /** Dictionary-encoding upsert — the reference's media-type /
     * forwarded-source id mappings (telegram_database.py:684-778
     * `_upsert_media_types` / `_upsert_forwarded_sources`): existing

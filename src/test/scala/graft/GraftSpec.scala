@@ -267,6 +267,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == merged)
   }
 
+  test("incremental: upsertNameMappings merges first/last seen across batches") {
+    import spark.implicits._
+    val stored = Seq((1L, "alice", 100L, 200L), (2L, "bob", 50L, 60L))
+      .toDF("user_id", "name", "first_seen", "last_seen")
+    // alice re-appears EARLIER and LATER; carol is new; bob renamed
+    val batch = Seq((1L, "alice", 10L, 300L), (2L, "bobby", 70L, 80L), (3L, "carol", 5L, 6L))
+      .toDF("user_id", "name", "first_seen", "last_seen")
+    val merged = operators.Incremental.upsertNameMappings(stored, batch, "user_id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(merged == Map(
+      (1L, "alice") -> (10L, 300L),  // min/max merge, stored range widened
+      (2L, "bob") -> (50L, 60L),     // old name row untouched (name history kept)
+      (2L, "bobby") -> (70L, 80L),   // renamed ⇒ new (id, name) row
+      (3L, "carol") -> (5L, 6L)), s"got $merged")
+    // batch-order independent: applying the same batch twice is a no-op
+    val again = operators.Incremental.upsertNameMappings(
+      operators.Incremental.upsertNameMappings(stored, batch, "user_id", "name"),
+      batch, "user_id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(again == merged)
+  }
+
   test("salted join returns exactly the unsalted join's rows") {
     val fact = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
     val dim = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
