@@ -40,6 +40,21 @@ object VectorIndex {
     new java.io.File(s"$path/cells/_SUCCESS").exists() &&
       new java.io.File(s"$path/centroids/_SUCCESS").exists()
 
+  /** Index is present AND no newer than its source table — a stale
+    * index (source regenerated after the build) must not serve
+    * probes; the real-deployment analog is a build watermark in the
+    * index metadata.
+    */
+  def fresh(spark: SparkSession, dir: String, path: String): Boolean =
+    exists(spark, path) && {
+      val built = new java.io.File(s"$path/cells/_SUCCESS").lastModified()
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val srcM =
+        if (src.isDirectory) Option(src.listFiles()).map(_.map(_.lastModified()).max).getOrElse(0L)
+        else src.lastModified()
+      built >= srcM
+    }
+
   /** Build the index: seeded centroids + cell-partitioned corpus.
     * One pass over the data per table; the cells write is the one
     * shuffle-free reorganization (partitionBy on write splits files
@@ -111,7 +126,7 @@ object VectorIndex {
     */
   def buildAndProbe(spark: SparkSession, dir: String): DataFrame = {
     val path = defaultPath(dir)
-    if (!exists(spark, path)) build(spark, dir, path)
+    if (!fresh(spark, dir, path)) build(spark, dir, path)
     probe(spark, dir, path)
   }
 
@@ -120,7 +135,7 @@ object VectorIndex {
     */
   def statsEntry(spark: SparkSession, dir: String): DataFrame = {
     val path = defaultPath(dir)
-    if (!exists(spark, path)) build(spark, dir, path)
+    if (!fresh(spark, dir, path)) build(spark, dir, path)
     indexStats(spark, path)
   }
 }
