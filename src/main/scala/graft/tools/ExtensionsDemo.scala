@@ -16,7 +16,9 @@ object ExtensionsDemo {
         |       simhash(array('a b', 'b c')) AS sh,
         |       fingerprint64('hello') AS fp,
         |       intersect_count_sorted(array('a','b','c'), array('b','c','d')) AS ic,
-        |       size(minhash(array('a b','b c'), 8)) AS mh_k
+        |       size(minhash(array('a b','b c'), 8)) AS mh_k,
+        |       size(shingles('a b c')) AS ng,
+        |       sign_bits(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 16) AS sb
         |""".stripMargin).show(false)
     spark.stop()
   }
