@@ -419,11 +419,15 @@ object Dedup {
     * testdata at the same threshold.
     */
   def dedupEmbeddingIvf(spark: SparkSession, dir: String, threshold: Double = 0.3,
-                        nLists: Int = 16, nProbe: Int = 2): DataFrame = {
+                        nLists: Int = 0, nProbe: Int = 2): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val seeded = e.withColumn("cell", (col("vec_id") % nLists).cast("int"))
+    // the scaling law, in code: nLists tracks the corpus so cell size
+    // (and the in-cell candidate loop) stays ~125 vectors no matter
+    // how the data grows — the count is a parquet-metadata job
+    val lists = if (nLists > 0) nLists else math.max(16, (e.count() / 125L).toInt)
+    val seeded = e.withColumn("cell", (col("vec_id") % lists).cast("int"))
     val cents = Vectors.centroidsOf(seeded)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("s").desc, col("c_cell"))

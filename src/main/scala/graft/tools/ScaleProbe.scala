@@ -61,6 +61,10 @@ object ScaleProbe {
       time("q46 range win  ", d)(Messages.rangeJoinCounts(spark, _))
       time("q47 sliding    ", d)(Vectors.slidingSegments(spark, _))
       time("q48 ivf persist", d)(VectorIndex.buildAndProbe(spark, _))
+      // adaptive nLists keeps cells ~constant-size ⇒ candidate count
+      // linear in the corpus (run at t=0.5 so the random-data OUTPUT
+      // stays tiny and wall time measures the plan, not the print)
+      time("q29b ivf dedup ", d)(Dedup.dedupEmbeddingIvf(spark, _, threshold = 0.5))
     }
     // Sign-LSH bucket width must TRACK corpus density: with fixed
     // 8-bit bands, random-data collisions per bucket grow linearly
