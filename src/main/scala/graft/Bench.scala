@@ -15,11 +15,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warehouse = sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+      new java.io.File("target/bench_warehouse").getAbsolutePath)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", "/root/repo/target/bench_warehouse")
+      .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -38,7 +40,7 @@ object Bench {
       val tbl = s"graft_bench_$t"
       // a previous JVM's managed-table dir outlives the in-memory
       // catalog — clear it or saveAsTable refuses the location
-      val loc = new java.io.File(s"/root/repo/target/bench_warehouse/$tbl")
+      val loc = new java.io.File(s"$warehouse/$tbl")
       if (loc.exists()) {
         import scala.reflect.io.Directory
         new Directory(loc).deleteRecursively()

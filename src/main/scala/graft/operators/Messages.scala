@@ -185,7 +185,12 @@ object Messages {
       .rangeBetween(-windowMs, windowMs)
     withTsMs(spark, dir)
       .select("event_id", "user_id", "ts_ms")
-      .withColumn("n_neighbors", count(lit(1)).over(w) - 1)
+      // the join form (a.user_id = b.user_id) is null-rejecting, but a
+      // window PARTITION BY groups all null users into ONE partition
+      // and would count them as mutual neighbors — pin the join
+      // semantics: a null-user event has no neighbors
+      .withColumn("n_neighbors",
+        when(col("user_id").isNull, lit(0L)).otherwise(count(lit(1)).over(w) - 1))
       .orderBy("event_id")
   }
 

@@ -29,39 +29,89 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  /** Index root for a given data dir (under the build dir — the
-    * single-JVM stand-in for a warehouse path).
+  /** Index root: `spark.graft.index.root` if set, else
+    * `<spark.sql.warehouse.dir>/ivf-index` — the index lives wherever
+    * the warehouse lives (HDFS/S3/local alike), never a hard-coded
+    * local path.
     */
-  def defaultPath(dir: String): String =
-    "/root/repo/target/ivf-index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+  def defaultPath(spark: SparkSession, dir: String): String = {
+    val root = spark.conf.getOption("spark.graft.index.root")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/ivf-index")
+    root.stripSuffix("/") + "/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+  }
 
-  /** `check_index_exists` twin: a completed build leaves _SUCCESS. */
-  def exists(spark: SparkSession, path: String): Boolean =
-    new java.io.File(s"$path/cells/_SUCCESS").exists() &&
-      new java.io.File(s"$path/centroids/_SUCCESS").exists()
+  private def fsFor(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Index is present AND no newer than its source table — a stale
-    * index (source regenerated after the build) must not serve
-    * probes; the real-deployment analog is a build watermark in the
-    * index metadata.
+  /** `check_index_exists` twin: a completed build leaves _SUCCESS
+    * markers and a watermark. All checks go through the Hadoop
+    * FileSystem of the index path, so the lifecycle works on any
+    * warehouse filesystem, not just local disk.
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val fs = fsFor(spark, path)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids/_SUCCESS"))
+  }
+
+  /** Snapshot of the source table's file listing (name, length,
+    * mtime per file) — the build watermark. Equality of snapshots,
+    * not an mtime ordering, decides freshness: a source rewritten
+    * within the same timestamp granularity still changes its
+    * (name, length) listing, and the check needs no clock agreement
+    * between the index store and the source store.
+    */
+  private[graft] def sourceSnapshot(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ""
+    else {
+      val statuses =
+        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p) else Array(fs.getFileStatus(p))
+      statuses.map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("\n")
+    }
+  }
+
+  private def watermarkPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/watermark")
+
+  private def readWatermark(spark: SparkSession, path: String): Option[String] = {
+    val fs = fsFor(spark, path)
+    if (!fs.exists(watermarkPath(path))) None
+    else {
+      val len = fs.getFileStatus(watermarkPath(path)).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(watermarkPath(path))
+      try { in.readFully(buf); Some(new String(buf, "UTF-8")) }
+      finally in.close()
+    }
+  }
+
+  private def writeWatermark(spark: SparkSession, path: String, snapshot: String): Unit = {
+    val out = fsFor(spark, path).create(watermarkPath(path), true)
+    try out.write(snapshot.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Index is present AND its recorded build watermark matches the
+    * source table's current file snapshot — a stale index (source
+    * regenerated after the build) must not serve probes.
     */
   def fresh(spark: SparkSession, dir: String, path: String): Boolean =
-    exists(spark, path) && {
-      val built = new java.io.File(s"$path/cells/_SUCCESS").lastModified()
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val srcM =
-        if (src.isDirectory) Option(src.listFiles()).map(_.map(_.lastModified()).max).getOrElse(0L)
-        else src.lastModified()
-      built >= srcM
-    }
+    exists(spark, path) &&
+      readWatermark(spark, path).contains(sourceSnapshot(spark, dir))
 
   /** Build the index: seeded centroids + cell-partitioned corpus.
     * One pass over the data per table; the cells write is the one
     * shuffle-free reorganization (partitionBy on write splits files
     * per task — at cluster scale precede it with a repartition on
-    * cell so each cell's list is written by one task).
+    * cell so each cell's list is written by one task). The source
+    * snapshot is taken BEFORE the build reads the data, so a source
+    * overwritten mid-build leaves a non-matching watermark (the index
+    * reads as stale, never as wrongly fresh).
     */
   def build(spark: SparkSession, dir: String, path: String): Unit = {
+    val snapshot = sourceSnapshot(spark, dir)
     val e = Tables.embeddings(spark, dir)
     val seedW = Window.partitionBy("label").orderBy("vec_id")
     e.withColumn("rn", row_number().over(seedW)).filter(col("rn") === 1)
@@ -69,6 +119,7 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
     e.select(col("vec_id"), col("label"), col("embedding"), col("label").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    writeWatermark(spark, path, snapshot)
   }
 
   def centroids(spark: SparkSession, path: String): DataFrame =
@@ -125,7 +176,7 @@ object VectorIndex {
     * (the nightly build), then probe (the steady-state read path).
     */
   def buildAndProbe(spark: SparkSession, dir: String): DataFrame = {
-    val path = defaultPath(dir)
+    val path = defaultPath(spark, dir)
     if (!fresh(spark, dir, path)) build(spark, dir, path)
     probe(spark, dir, path)
   }
@@ -134,7 +185,7 @@ object VectorIndex {
     * against the same aggregation on the base table.
     */
   def statsEntry(spark: SparkSession, dir: String): DataFrame = {
-    val path = defaultPath(dir)
+    val path = defaultPath(spark, dir)
     if (!fresh(spark, dir, path)) build(spark, dir, path)
     indexStats(spark, path)
   }

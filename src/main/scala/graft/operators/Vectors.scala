@@ -307,9 +307,14 @@ object Vectors {
     val withThr = threshold match {
       case Some(t) => d.withColumn("mean_dist", lit(t))
       case None =>
-        val m = d.agg((sum(col("dist").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        // the mean aggregate and the segment pass both consume the
+        // distance lineage; uncached, the dominant multi-lag window
+        // pass would run TWICE (once per consumer) — checkpoint it so
+        // the scan→window work happens once
+        val dc = d.localCheckpoint()
+        val m = dc.agg((sum(col("dist").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double") / count(lit(1))).as("mean_dist"))
-        d.crossJoin(broadcast(m))
+        dc.crossJoin(broadcast(m))
     }
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

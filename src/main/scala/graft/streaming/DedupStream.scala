@@ -50,6 +50,9 @@ object DedupStream {
              k: Int = 32, bands: Int = 8): Dataset[Banded] = {
     import spark.implicits._
     GraftFunctions.register(spark)
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k): a non-dividing " +
+        "bands silently drops the tail signature positions from banding")
     val rows = k / bands
     docs
       .filter(size(split(col("text"), " ")) >= 2)
@@ -120,6 +123,10 @@ object DedupStream {
                        k: Int = 32, bands: Int = 8): Dataset[EstPair] = {
     import spark.implicits._
     GraftFunctions.register(spark)
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k): a non-dividing " +
+        "bands silently drops the tail signature positions, and bands > k " +
+        "degenerates every row to one shared bucket per band")
     val rows = k / bands
     val sigBanded = docs
       .filter(size(split(col("text"), " ")) >= 2)

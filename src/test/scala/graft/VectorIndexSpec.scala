@@ -34,6 +34,33 @@ class VectorIndexSpec extends AnyFunSuite {
       s"partition filter must be a static IN over probed cells:\n$plan")
   }
 
+  test("freshness is a watermark equality, not an mtime race") {
+    VectorIndex.build(spark, dir, path)
+    assert(VectorIndex.fresh(spark, dir, path), "a just-built index is fresh")
+    // corrupt the recorded watermark — a mismatched source snapshot
+    // must read as stale even though every mtime ordering still holds
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wm = new org.apache.hadoop.fs.Path(s"$path/watermark")
+    val out = fs.create(wm, true)
+    try out.write("someone-else's-source".getBytes("UTF-8")) finally out.close()
+    assert(!VectorIndex.fresh(spark, dir, path),
+      "a watermark that does not match the current source snapshot is stale")
+    assert(VectorIndex.exists(spark, path), "...even though the index files exist")
+  }
+
+  test("index root derives from config, not a hard-coded path") {
+    val prev = spark.conf.getOption("spark.graft.index.root")
+    try {
+      spark.conf.set("spark.graft.index.root", "/tmp/custom-index-root")
+      assert(VectorIndex.defaultPath(spark, dir).startsWith("/tmp/custom-index-root/"))
+      spark.conf.unset("spark.graft.index.root")
+      val fallback = VectorIndex.defaultPath(spark, dir)
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      assert(fallback.startsWith(wh), s"fallback $fallback must live under warehouse $wh")
+    } finally prev.foreach(spark.conf.set("spark.graft.index.root", _))
+  }
+
   test("index stats come from the index and match the base table") {
     VectorIndex.build(spark, dir, path)
     val stats = VectorIndex.indexStats(spark, path).collect()
