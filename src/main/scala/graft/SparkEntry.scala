@@ -68,6 +68,9 @@ object SparkEntry {
     "q34_media_pipeline"    -> ((s, d) => Multimodal.mediaPipeline(s, d)),
     "q49_text_encode"       -> ((s, d) => TextEncoder.encodePipeline(s, d)),
     "q35_bpe_tokens"        -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
+    "q50_cluster_details"  -> ((s, d) => Analytics.clusterDetails(s, d)),
+    "q51_chats_overview"   -> ((s, d) => Analytics.chatsOverview(s, d)),
+    "q52_store_stats"      -> ((s, d) => Analytics.storeStats(s, d)),
     "q20_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q21_top_orders"      -> ((s, d) => Relational.topOrders(s, d)),
     "q22_region_volume"   -> ((s, d) => Relational.regionVolume(s, d)),
@@ -361,6 +364,95 @@ object SparkEntry {
          |    OVER (PARTITION BY y.source ORDER BY y.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment_id
          |FROM y, m ORDER BY source, doc_id""".stripMargin
     },
+    "q50_cluster_details" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, chat, props, ts_ms,
+        |    CAST(SUM(brk) OVER (PARTITION BY chat ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS brk
+        |    FROM (
+        |      SELECT event_id, user_id, event_type AS chat, props, epoch_ms(ts) AS ts_ms,
+        |        LAG(epoch_ms(ts)) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |      FROM events) a) b),
+        |stats AS (
+        |  SELECT chat, session_id, COUNT(*) AS n_messages, COUNT(DISTINCT user_id) AS n_participants,
+        |    MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+        |  FROM s GROUP BY chat, session_id),
+        |top AS (SELECT * FROM stats ORDER BY n_messages DESC, chat, session_id LIMIT 10),
+        |tagged AS (SELECT s.* FROM s JOIN top t ON s.chat = t.chat AND s.session_id = t.session_id),
+        |parts AS (
+        |  SELECT chat, session_id, user_id, COUNT(*) AS user_msgs,
+        |    round(CAST(SUM(LENGTH(props)) AS DOUBLE) / COUNT(props), 6) AS user_avg_len
+        |  FROM tagged GROUP BY chat, session_id, user_id),
+        |hours AS (
+        |  SELECT chat, session_id, ts_ms // 86400000 AS day, (ts_ms // 3600000) % 24 AS hr,
+        |    COUNT(*) AS msgs, COUNT(DISTINCT user_id) AS active_users
+        |  FROM tagged GROUP BY 1, 2, 3, 4),
+        |peak AS (
+        |  SELECT chat, session_id, day AS peak_day, hr AS peak_hour,
+        |    msgs AS peak_messages, active_users AS peak_users
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY chat, session_id ORDER BY msgs DESC, day, hr) AS rn
+        |        FROM hours) x
+        |  WHERE rn = 1)
+        |SELECT p.chat, p.session_id, t.n_messages, t.n_participants, t.start_ms, t.end_ms,
+        |  round((t.end_ms - t.start_ms) / 3600000.0, 6) AS duration_hours,
+        |  round(CAST(t.n_messages AS DOUBLE) / greatest((t.end_ms - t.start_ms) / 3600000.0, 0.1), 6) AS messages_per_hour,
+        |  k.peak_day, k.peak_hour, k.peak_messages, k.peak_users,
+        |  p.user_id, p.user_msgs, p.user_avg_len
+        |FROM parts p
+        |JOIN top t ON p.chat = t.chat AND p.session_id = t.session_id
+        |JOIN peak k ON p.chat = k.chat AND p.session_id = k.session_id
+        |ORDER BY p.chat, p.session_id, p.user_id NULLS FIRST""".stripMargin,
+    "q51_chats_overview" ->
+      """WITH s AS (
+        |  SELECT chat, ts_ms,
+        |    CAST(SUM(brk) OVER (PARTITION BY chat ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS brk
+        |    FROM (
+        |      SELECT event_id, event_type AS chat, epoch_ms(ts) AS ts_ms,
+        |        LAG(epoch_ms(ts)) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |      FROM events) a) b),
+        |cs AS (
+        |  SELECT event_type AS chat, COUNT(*) AS message_count,
+        |    COUNT(DISTINCT user_id) AS participant_count,
+        |    MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms
+        |  FROM events GROUP BY event_type),
+        |latest AS (
+        |  SELECT chat, chat_label FROM (
+        |    SELECT event_type AS chat, json_extract_string(props, 'k') AS chat_label,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1),
+        |cl AS (
+        |  SELECT chat, COUNT(*) AS cluster_count, CAST(SUM(sz) AS BIGINT) AS clustered_messages,
+        |    round(CAST(SUM(sz) AS DOUBLE) / COUNT(*), 6) AS avg_cluster_size,
+        |    MAX(sz) AS max_cluster_size
+        |  FROM (SELECT chat, session_id, COUNT(*) AS sz FROM s GROUP BY chat, session_id
+        |        HAVING COUNT(*) >= 3) z
+        |  GROUP BY chat)
+        |SELECT cs.chat, COALESCE(l.chat_label, 'unknown') AS chat_label,
+        |  cs.message_count, cs.participant_count, cs.first_ms, cs.last_ms,
+        |  COALESCE(cl.cluster_count, 0) AS cluster_count,
+        |  COALESCE(cl.clustered_messages, 0) AS clustered_messages,
+        |  COALESCE(cl.avg_cluster_size, 0.0) AS avg_cluster_size,
+        |  COALESCE(cl.max_cluster_size, 0) AS max_cluster_size
+        |FROM cs
+        |LEFT JOIN latest l ON cs.chat = l.chat
+        |LEFT JOIN cl ON cs.chat = cl.chat
+        |ORDER BY cs.message_count DESC, cs.chat""".stripMargin,
+    "q52_store_stats" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM events) AS n_events,
+        |  (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+        |  (SELECT COUNT(DISTINCT event_type) FROM events) AS n_chats,
+        |  (SELECT COUNT(*) FROM documents) AS n_documents,
+        |  (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+        |  (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources,
+        |  (SELECT COUNT(*) FROM embeddings) AS n_embeddings,
+        |  (SELECT COUNT(DISTINCT label) FROM embeddings) AS n_labels,
+        |  (SELECT COUNT(*) FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id) AS docs_with_vec,
+        |  (SELECT COUNT(*) FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |   WHERE e.vec_id IS NULL) AS docs_without_vec""".stripMargin,
     "q15_name_mapping" ->
       """SELECT user_id, event_type AS last_kind, ts_ms AS last_seen_ms FROM (
         |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,

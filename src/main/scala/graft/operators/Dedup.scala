@@ -419,23 +419,35 @@ object Dedup {
     * testdata at the same threshold.
     */
   def dedupEmbeddingIvf(spark: SparkSession, dir: String, threshold: Double = 0.3,
-                        nLists: Int = 0, nProbe: Int = 2): DataFrame = {
+                        nLists: Int = 0, nProbe: Int = 2, corpusSize: Long = -1L,
+                        nCoarse: Int = 0): DataFrame =
+    dedupEmbeddingIvfOn(spark, Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      threshold, nLists, nProbe, corpusSize, nCoarse)
+
+  private[graft] def dedupEmbeddingIvfOn(spark: SparkSession, embeddings: DataFrame,
+                                         threshold: Double = 0.3,
+                                         nLists: Int = 0, nProbe: Int = 2,
+                                         corpusSize: Long = -1L, nCoarse: Int = 0): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val e = embeddings.select("vec_id", "embedding")
     // the scaling law, in code: nLists tracks the corpus so cell size
     // (and the in-cell candidate loop) stays ~125 vectors no matter
-    // how the data grows — the count is a parquet-metadata job
-    val lists = if (nLists > 0) nLists else math.max(16, (e.count() / 125L).toInt)
+    // how the data grows. Thread corpusSize in when the caller knows
+    // it (pipeline metadata, q48b index stats) — the count() fallback
+    // is a parquet-metadata job locally but a full listing pass on an
+    // object store.
+    val n = if (corpusSize >= 0) corpusSize else e.count()
+    val lists = if (nLists > 0) nLists else math.max(16, (n / 125L).toInt)
     val seeded = e.withColumn("cell", (col("vec_id") % lists).cast("int"))
     val cents = Vectors.centroidsOf(seeded)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("s").desc, col("c_cell"))
-    val probed = e.crossJoin(broadcast(cents))
-      .withColumn("s", round(expr("cosine_sim(embedding, cvec)"), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= nProbe)
-      .select(col("vec_id"), col("c_cell").as("cell"))
+    // assignment through the shared two-level kernel: flat while
+    // nLists is bounded, coarse→fine (N·√nLists cosines, no full
+    // centroid broadcast) once nLists grows with the corpus — the
+    // r04-flagged O(N²/targetCellSize) flat crossJoin is gone
+    val coarse = if (nCoarse > 0) nCoarse else Vectors.autoCoarse(lists)
+    val probed = Vectors.assignCells(e, cents, nProbe, coarse)
+      .select(col("vec_id"), col("cell"))
     val cands = probed.as[CellRow]
       .groupByKey(_.cell)
       .flatMapGroups { (_, it) =>
@@ -446,10 +458,9 @@ object Dedup {
         } yield (ids(i), ids(j))
       }
       .toDF("vec_a", "vec_b").distinct()
-    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     cands
-      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
-      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
       .withColumn("sim", round(expr("cosine_sim(emb_a, emb_b)"), 6))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
