@@ -53,28 +53,34 @@ object Bench {
     Seq("q20_pricing_summary", "q05_activity_heatmap", "q30_token_stats", "q16_vector_topk")
       .foreach(n => try force(n) catch { case _: Throwable => () })
 
-    // min of three runs: local[32] on small inputs has ±20-30%
-    // GC/placement noise per run; the min is the steady-state
-    // throughput signal (totals swung 25-33s with min-of-2). A GC
-    // between queries keeps one query's garbage from being charged to
-    // the next. Failures are NOT swallowed into flattering near-zero
-    // times: a failed query reports -1 and lands in the "errors" map.
+    // min of three runs, INTERLEAVED across the whole query set
+    // (pass 1 of all queries, then pass 2, then pass 3): back-to-back
+    // samples of one query share whatever GC/compilation hiccup is in
+    // flight, so min-of-3-adjacent recorded 2-3x swings on sub-second
+    // queries (r04: q20 1.31s recorded vs 0.42s rerun). Spreading a
+    // query's samples minutes apart makes the per-query min a real
+    // steady-state signal. A GC between queries keeps one query's
+    // garbage from being charged to the next. Failures are NOT
+    // swallowed into flattering near-zero times: a failed query
+    // reports -1 and lands in the "errors" map.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val best = scala.collection.mutable.LinkedHashMap[String, Double](names.map(_ -> -1.0): _*)
+    for (_ <- 1 to 3; name <- names) {
       System.gc()
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { force(name); true } catch {
-          case t: Throwable =>
-            errors(name) = (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
-            false
-        }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val t0 = System.nanoTime()
+      val ok = try { force(name); true } catch {
+        case t: Throwable =>
+          errors(name) = (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+          false
       }
-      val good = times.filter(_ >= 0)
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      if (ok) {
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (best(name) < 0 || dt < best(name)) best(name) = dt
+      }
     }
+    val results = names.map(n => n -> best(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental-update semantics — the reference's "avoid
@@ -46,6 +46,34 @@ object Incremental {
     existing.unionByName(incoming)
       .groupBy(idCol, nameCol)
       .agg(min("first_seen").as("first_seen"), max("last_seen").as("last_seen"))
+
+  /** Composed incremental embedding update — the reference's
+    * steady-state loop (TextPreprocessor.py:389-427
+    * `calculate_embeddings` applied ONLY to messages lacking
+    * embeddings, appended to the store; TelegramPreprocessor.py:
+    * 1167-1196 `missing_message_ids`): anti-join the incoming docs
+    * against the stored vector ids, run only the missing rows through
+    * the batched encoder, append. Existing store rows pass through
+    * byte-identical — they are never re-encoded (the whole point of
+    * the loop: encoder cost tracks the DELTA, not the corpus).
+    *
+    * Scale shape: one anti-join shuffle on the id (shuffle-free with
+    * docs and store bucketed on it), encoder runs
+    * partition-parallel over the delta only, union is a no-shuffle
+    * concat. The session-side twin of this loop is
+    * `Sessions.resessionizeDirty` (re-derive only dirty users'
+    * sessions after the append); EmbedNewSpec composes both.
+    */
+  def embedNew(spark: SparkSession, docs: DataFrame, store: DataFrame,
+               dim: Int = 64, onBatch: Int => Unit = _ => ()): DataFrame = {
+    import spark.implicits._
+    val missing = newRowsOnly(
+      docs.select(col("doc_id"), col("text")),
+      store.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+    val encoded = TextEncoder.encode(spark, missing.as[TextEncoder.TextRow], dim, onBatch)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    store.select(col("vec_id"), col("embedding")).unionByName(encoded)
+  }
 
   /** Dictionary-encoding upsert — the reference's media-type /
     * forwarded-source id mappings (telegram_database.py:684-778

@@ -183,14 +183,18 @@ object Messages {
   def rangeJoinCounts(spark: SparkSession, dir: String, windowMs: Long = 300000L): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_ms")
       .rangeBetween(-windowMs, windowMs)
-    withTsMs(spark, dir)
-      .select("event_id", "user_id", "ts_ms")
-      // the join form (a.user_id = b.user_id) is null-rejecting, but a
-      // window PARTITION BY groups all null users into ONE partition
-      // and would count them as mutual neighbors — pin the join
-      // semantics: a null-user event has no neighbors
-      .withColumn("n_neighbors",
-        when(col("user_id").isNull, lit(0L)).otherwise(count(lit(1)).over(w) - 1))
+    val base = withTsMs(spark, dir).select("event_id", "user_id", "ts_ms")
+    // the join form (a.user_id = b.user_id) is null-rejecting, but a
+    // window PARTITION BY groups ALL null users into ONE partition —
+    // wrong answer (mutual neighbors) and one serialized straggler
+    // task. Split: the window runs only over real users (null rows
+    // never enter its shuffle), null rows get the join semantics'
+    // n_neighbors = 0 directly. Each branch's filter pushes to the
+    // scan, so this is two pruned scans, not a cached-recompute trap.
+    base.filter(col("user_id").isNotNull)
+      .withColumn("n_neighbors", count(lit(1)).over(w) - 1)
+      .unionByName(base.filter(col("user_id").isNull)
+        .withColumn("n_neighbors", lit(0L)))
       .orderBy("event_id")
   }
 

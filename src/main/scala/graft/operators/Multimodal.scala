@@ -54,6 +54,46 @@ object Multimodal {
     }
   }
 
+  /** Columnar twin of `decode` — the mapInArrow-shaped contract
+    * (PySpark's `DataFrame.mapInArrow` has no Scala surface, so this
+    * is the honest Scala analogue): each batch of payloads is packed
+    * into an Arrow `VarBinaryVector` (one contiguous buffer + offsets,
+    * exactly the layout a mapInArrow UDF receives), the decode kernel
+    * reads FROM the vector, and the per-batch allocator is closed
+    * deterministically. A real codec that consumes Arrow buffers
+    * (pillow-simd, dali, ffmpeg bindings) drops in where the stub
+    * kernel reads `vec.get(i)` and nothing else moves. Result is
+    * row-identical to `decode` (spec-pinned), so q34 can switch
+    * freely between the row and columnar paths.
+    */
+  def decodeArrowBatched(spark: SparkSession, media: org.apache.spark.sql.Dataset[MediaRow],
+                         onBatch: Int => Unit = _ => ()):
+      org.apache.spark.sql.Dataset[Decoded] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        onBatch(batch.size)
+        val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+        val vec = new org.apache.arrow.vector.VarBinaryVector("payload", alloc)
+        try {
+          vec.allocateNew(batch.size)
+          batch.zipWithIndex.foreach { case (m, i) => vec.setSafe(i, m.payload) }
+          vec.setValueCount(batch.size)
+          // kernel reads the COLUMNAR buffer — materialize before the
+          // vector closes (flatMap consumes lazily otherwise)
+          val out = batch.indices.map { i =>
+            val b = vec.get(i)
+            var s = 0L; var j = 0
+            while (j < b.length) { s += (b(j) & 0xff); j += 1 }
+            val m = batch(i)
+            Decoded(m.doc_id, m.source, (s % 640).toInt + 1, (s % 480).toInt + 1, b.length)
+          }.toVector
+          out
+        } finally { vec.close(); alloc.close() }
+      }
+    }
+  }
+
   /** Decoded media → fit-into-maxDim resize (integer aspect-preserving
     * math, deterministic) + frame sampling (1 frame per strideBytes of
     * payload, min 1 — the video-keyframe analog).

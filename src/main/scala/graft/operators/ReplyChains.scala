@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reply/forward-chain analytics — consumers for the two ingested
+  * columns no reference query ever reads back
+  * (sources.TelegramJson:99-100: `reply_to_message_id` is surfaced in
+  * cluster details at examples/cluster_analysis_cli.py:267 and
+  * `forwarded_from` is dictionary-stored at telegram_database.py:714,
+  * but neither has a downstream operator in either codebase — VERDICT
+  * r04 "What's missing" #5).
+  *
+  * Thread resolution uses POINTER JUMPING (path doubling), not
+  * per-level iteration: each round joins every message's current
+  * known ancestor to THAT ancestor's known ancestor, so resolved
+  * depth doubles per round and maxDepth levels cost
+  * ⌈log₂ maxDepth⌉ self-join shuffles — bounded and independent of
+  * corpus size (threads deeper than maxDepth keep the deepest
+  * resolved ancestor as their root; real chat threads are shallow).
+  * Replies to deleted/unexported messages behave as thread roots
+  * (the dangling id becomes the root id — stable and deterministic);
+  * reply cycles (malformed exports) cannot loop the computation
+  * because the round count is fixed.
+  */
+object ReplyChains {
+
+  /** Per-message thread resolution over a normalized export frame
+    * (TelegramJson.readExport shape): (chat_id, message_id) →
+    * (root_id, depth). Roots have root_id = message_id, depth 0.
+    */
+  /** Last round's persisted state per session (same leak-bounding
+    * registry pattern as Vectors.slidingCache).
+    */
+  private val lastState =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+
+  def threads(messages: DataFrame, maxDepth: Int = 16): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // iterative-persist (the GraphX/GraphFrames pattern): each round
+    // self-joins the CURRENT state, so an unpersisted lineage would
+    // re-evaluate the previous round once per join side — 2^rounds
+    // base scans (the round-1 self-join-recompute trap, SNIPPETS'd in
+    // SURVEY §4). Persist + materialize each round, drop the previous
+    // level; only the final slim (chat, id, root, depth) frame stays
+    // cached, replaced on the next call.
+    var state = messages
+      .select(col("chat_id"), col("message_id"),
+        coalesce(col("reply_to_message_id"), col("message_id")).as("root_id"),
+        when(col("reply_to_message_id").isNull, 0L).otherwise(1L).as("depth"))
+      .persist(lvl)
+    val rounds = 32 - Integer.numberOfLeadingZeros(math.max(1, maxDepth - 1)) // ceil(log2)
+    for (_ <- 1 to rounds) {
+      // s.root_id -> that ancestor's own (root_id, depth); a missing
+      // parent row (dangling reply) keeps the current pointer
+      val p = state.select(col("chat_id").as("p_chat"), col("message_id").as("p_id"),
+        col("root_id").as("p_root"), col("depth").as("p_depth"))
+      val next = state
+        .join(p, col("chat_id") === col("p_chat")
+          && col("root_id") === col("p_id")
+          && col("root_id") =!= col("message_id"), "left")
+        .select(col("chat_id"), col("message_id"),
+          coalesce(col("p_root"), col("root_id")).as("root_id"),
+          (col("depth") + coalesce(col("p_depth"), lit(0L))).as("depth"))
+        .persist(lvl)
+      next.count() // materialize from the cached previous level
+      state.unpersist(false)
+      state = next
+    }
+    Option(lastState.put(messages.sparkSession, state)).foreach(_.unpersist(false))
+    state
+  }
+
+  /** Per-thread rollup: size, depth, participants, span — the
+    * "inspect one thread" stats surface (q50's cluster breakdown,
+    * on the reply axis instead of the time axis).
+    */
+  def threadStats(messages: DataFrame, maxDepth: Int = 16): DataFrame =
+    threads(messages, maxDepth)
+      .join(messages.select(col("chat_id"), col("message_id"), col("from_id"), col("date")),
+        Seq("chat_id", "message_id"))
+      .groupBy(col("chat_id"), col("root_id"))
+      .agg(count(lit(1)).as("thread_size"),
+        max("depth").as("max_depth"),
+        countDistinct(col("from_id")).as("n_participants"),
+        min("date").as("first_at"), max("date").as("last_at"))
+      .orderBy(col("chat_id"), col("root_id"))
+
+  /** Most-forwarded sources per chat — the consumer for
+    * `forwarded_from` (the reference stores the dictionary, nothing
+    * reads it back). Top-N per chat via a partitioned window.
+    */
+  def topForwardSources(messages: DataFrame, topN: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chat_id").orderBy(col("n").desc, col("forwarded_from"))
+    messages
+      .filter(col("forwarded_from").isNotNull)
+      .groupBy("chat_id", "forwarded_from")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .orderBy(col("chat_id"), col("rk"))
+  }
+}

@@ -37,8 +37,17 @@ object Sessions {
   /** Gap > windowMs ⇒ new session; running count of breaks = session id.
     * Mirrors TextPreprocessor.create_clusters (diff → breaks → cum_sum).
     */
-  def sessionized(spark: SparkSession, dir: String, windowMs: Long = 30 * 60 * 1000L): DataFrame = {
-    withTsMs(spark, dir)
+  def sessionized(spark: SparkSession, dir: String, windowMs: Long = 30 * 60 * 1000L): DataFrame =
+    sessionizedOn(withTsMs(spark, dir), windowMs)
+
+  /** The gap-clustering window itself, over any events-shaped frame
+    * (raw `ts` ns column; used by the incremental legs, which
+    * sessionize slices rather than the stored table).
+    */
+  def sessionizedOn(events: DataFrame, windowMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val withMs = if (events.columns.contains("ts_ms")) events
+      else events.withColumn("ts_ms", expr("ts DIV 1000000"))
+    withMs
       .withColumn("prev_ms", lag("ts_ms", 1).over(userW))
       .withColumn("brk",
         when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > windowMs, 1).otherwise(0))

@@ -66,11 +66,25 @@ object VectorIndex {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) ""
-    else {
-      val statuses =
-        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p) else Array(fs.getFileStatus(p))
-      statuses.map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-        .sorted.mkString("\n")
+    else if (!fs.getFileStatus(p).isDirectory) {
+      val s = fs.getFileStatus(p)
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+    } else {
+      // RECURSIVE leaf-file listing keyed by path relative to the
+      // table root: for a multi-level-partitioned source, a rewrite
+      // deep inside nested partition dirs must change the snapshot
+      // even when every top-level child status looks unchanged
+      // (r04 ADVICE: non-recursive listing read such an index as
+      // wrongly fresh).
+      val root = p.toUri.getPath.stripSuffix("/") + "/"
+      val it = fs.listFiles(p, true)
+      val entries = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val s = it.next()
+        val rel = s.getPath.toUri.getPath.stripPrefix(root)
+        entries += s"$rel:${s.getLen}:${s.getModificationTime}"
+      }
+      entries.sorted.mkString("\n")
     }
   }
 
@@ -89,8 +103,20 @@ object VectorIndex {
   }
 
   private def writeWatermark(spark: SparkSession, path: String, snapshot: String): Unit = {
-    val out = fsFor(spark, path).create(watermarkPath(path), true)
+    // write-then-rename, not in-place truncate+write: a concurrent
+    // fresh() reader during an in-place write sees a partial
+    // watermark (spurious stale → wasted rebuild) and a crash
+    // mid-write leaves a corrupt watermark next to valid _SUCCESS
+    // markers. rename is atomic on HDFS/local; on S3 it's
+    // copy+delete — still never partial, just not atomic vs a
+    // concurrent writer (single-writer builds assumed there).
+    val fs = fsFor(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/watermark.tmp")
+    val out = fs.create(tmp, true)
     try out.write(snapshot.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(watermarkPath(path))) fs.delete(watermarkPath(path), false)
+    if (!fs.rename(tmp, watermarkPath(path)))
+      throw new java.io.IOException(s"rename $tmp -> ${watermarkPath(path)} failed")
   }
 
   /** Index is present AND its recorded build watermark matches the

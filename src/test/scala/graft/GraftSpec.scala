@@ -162,6 +162,28 @@ class OperatorsSpec extends AnyFunSuite {
       "frame sampling emits >= 1 frame per media row")
   }
 
+  test("q34: Arrow columnar decode == row decode, batch-shaped") {
+    import spark.implicits._
+    import org.apache.spark.util.LongAccumulator
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"),
+        col("lang").as("meta_lang"), col("n_chars").as("meta_chars"))
+      .as[operators.Multimodal.MediaRow]
+    val calls: LongAccumulator = spark.sparkContext.longAccumulator("arrow_calls")
+    val over: LongAccumulator = spark.sparkContext.longAccumulator("arrow_over")
+    val arrow = operators.Multimodal.decodeArrowBatched(spark, media,
+      onBatch = b => { calls.add(1); if (b > operators.Multimodal.decodeBatchSize) over.add(1) })
+    val arrowRows = arrow.collect().sortBy(_.doc_id).toSeq
+    val rowRows = operators.Multimodal.decode(spark, media).collect().sortBy(_.doc_id).toSeq
+    assert(arrowRows == rowRows, "columnar and row decode must agree exactly")
+    assert(over.value == 0, "no Arrow batch may exceed decodeBatchSize")
+    val n = media.count()
+    val parts = media.rdd.getNumPartitions
+    val lo = (n + operators.Multimodal.decodeBatchSize - 1) / operators.Multimodal.decodeBatchSize
+    assert(calls.value >= lo && calls.value <= parts + n / operators.Multimodal.decodeBatchSize,
+      s"batch count ${calls.value} outside the iterator-of-batches contract")
+  }
+
   test("q34: resize preserves aspect ratio within integer rounding") {
     import spark.implicits._
     val decoded = Seq(

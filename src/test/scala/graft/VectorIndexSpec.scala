@@ -58,7 +58,13 @@ class VectorIndexSpec extends AnyFunSuite {
       val fallback = VectorIndex.defaultPath(spark, dir)
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
       assert(fallback.startsWith(wh), s"fallback $fallback must live under warehouse $wh")
-    } finally prev.foreach(spark.conf.set("spark.graft.index.root", _))
+    } finally {
+      // unset unconditionally first: if an assert fired before the
+      // mid-test unset, prev=None would otherwise leave the custom
+      // root set on the shared session and poison later suites
+      spark.conf.unset("spark.graft.index.root")
+      prev.foreach(spark.conf.set("spark.graft.index.root", _))
+    }
   }
 
   test("index stats come from the index and match the base table") {
