@@ -22,6 +22,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", warehouse)
+      // interleaved passes revisit each query's generated classes
+      // minutes apart; the default 100-entry codegen cache evicts
+      // them in between (58 queries x several stages), so every pass
+      // would re-pay Janino compilation instead of measuring the
+      // steady state. Static conf - must be set before the session.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
