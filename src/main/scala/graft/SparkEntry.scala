@@ -60,6 +60,7 @@ object SparkEntry {
     "q28_dedup_simhash"     -> ((s, d) => Dedup.dedupSimHash(s, d)),
     "q29_dedup_embedding"   -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "q29b_dedup_emb_ivf"    -> ((s, d) => Dedup.dedupEmbeddingIvf(s, d)),
+    "q29c_dedup_ivf_indexed" -> ((s, d) => Dedup.dedupEmbeddingIvfIndexed(s, d)),
     "q44_dedup_emb_lsh"     -> ((s, d) => Dedup.dedupEmbeddingLshPlanted(s, d)),
     "q30_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "q31_quality_score"     -> ((s, d) => TextAnalysis.qualityScore(s, d)),

@@ -45,9 +45,14 @@ object Analytics {
     * reference clusters on).
     */
   private[graft] def chatSessions(spark: SparkSession, dir: String,
-                                  windowMs: Long): DataFrame = {
+                                  windowMs: Long,
+                                  onlyChats: Option[Seq[String]] = None): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
-    Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
+    // session ids are per-chat running counts, so restricting to a
+    // chat subset BEFORE the window yields identical ids for those
+    // chats — a static isin filter the parquet scan can push/prune
+    onlyChats.fold(ev)(cs => ev.filter(col("event_type").isin(cs: _*)))
       .withColumn("ts_ms", expr("ts DIV 1000000"))
       .withColumn("prev_ms", lag("ts_ms", 1).over(w))
       .withColumn("brk",
@@ -63,15 +68,22 @@ object Analytics {
     */
   def clusterDetails(spark: SparkSession, dir: String, topK: Int = 10,
                      windowMs: Long = 30 * 60 * 1000L): DataFrame = {
-    val s = chatSessions(spark, dir, windowMs)
-    val stats = s.groupBy("chat", "session_id")
+    val stats = chatSessions(spark, dir, windowMs).groupBy("chat", "session_id")
       .agg(count(lit(1)).as("n_messages"),
         countDistinct(col("user_id")).as("n_participants"),
         min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"))
     // distributed top-K (TakeOrderedAndProject): total order incl.
     // tie-break so the K selected clusters are deterministic
     val top = stats.orderBy(col("n_messages").desc, col("chat"), col("session_id")).limit(topK)
-    val tagged = s.join(broadcast(top.select("chat", "session_id")), Seq("chat", "session_id"))
+    // the drill-down passes re-derive sessions ONLY over the <= K
+    // selected chats: the bounded driver collect (<= topK chat names
+    // — knowing which chats to open is the drill-down contract, same
+    // shape as VectorIndex's probed-cell collect) makes the filter
+    // static, so the corpus-wide session window runs ONCE — the
+    // second pass scans just the selected chats' partitions
+    val topChats = top.select("chat").distinct().collect().map(_.getString(0)).toSeq
+    val tagged = chatSessions(spark, dir, windowMs, Some(topChats))
+      .join(broadcast(top.select("chat", "session_id")), Seq("chat", "session_id"))
     val parts = tagged.groupBy("chat", "session_id", "user_id")
       .agg(count(lit(1)).as("user_msgs"),
         // mean skips null texts in both engines; all-null ⇒ NULL via

@@ -148,6 +148,33 @@ object VectorIndex {
     writeWatermark(spark, path, snapshot)
   }
 
+  /** DEDUP-flavored index build: q29b's cell structure (vec_id%nLists
+    * seeds → decimal-mean centroids → two-level multi-probe
+    * assignment) persisted in the same layout — centroids +
+    * cell-partitioned (vec_id, cell, s) probe assignments (the
+    * inverted lists of the near-dup blocking). Build once nightly;
+    * every near-dup pass then READS its blocking instead of re-paying
+    * centroid computation + N·√nLists assignment (the steady-state
+    * split VERDICT r04 asked to wire end-to-end). Same watermark
+    * freshness contract as the search index.
+    */
+  def buildDedup(spark: SparkSession, dir: String, path: String,
+                 nLists: Int = 0, nProbe: Int = 2): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val snapshot = sourceSnapshot(spark, dir)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val n = e.count()
+    val lists = if (nLists > 0) nLists else math.max(16, (n / 125L).toInt)
+    val seeded = e.withColumn("cell", (col("vec_id") % lists).cast("int"))
+    val cents = Vectors.centroidsOf(seeded)
+    val probed = Vectors.assignCells(e, cents, nProbe, Vectors.autoCoarse(lists))
+    cents.select(col("c_cell").as("cell"), col("cvec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    probed.select(col("vec_id"), col("s"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    writeWatermark(spark, path, snapshot)
+  }
+
   def centroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/centroids")
 

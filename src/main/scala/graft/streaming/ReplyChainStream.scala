@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming thread resolution — the incremental counterpart of
+  * operators.ReplyChains.threads (reply_to_message_id ingested at
+  * sources/TelegramJson.scala:99; the reference's client mode appends
+  * messages incrementally, so thread membership is naturally a
+  * stateful stream).
+  *
+  * State per chat: message_id → (root_id, depth) for every message
+  * seen so far. An arriving message resolves against its parent's
+  * already-resolved entry — O(1) per message, no joins, no
+  * re-iteration — which equals the batch pointer-jumping result
+  * whenever parents arrive no later than their replies (Telegram
+  * exports and live appends are chronological, so replies follow
+  * their parents; a reply whose parent never arrived roots at the
+  * dangling id exactly like the batch operator).
+  *
+  * State is O(messages per chat) — threads reference arbitrarily old
+  * roots, so entries cannot expire on a watermark without breaking
+  * late replies. Production bound: pass idleTtlMs > 0 to evict a
+  * chat's map after that much processing-time silence (a revived
+  * chat's replies to pre-eviction messages then root at the dangling
+  * parent id — degraded exactly to the batch operator's
+  * deleted-parent behavior, never wrong structure). The default is
+  * NO timeout: ProcessingTimeTimeout makes the engine fire timer
+  * micro-batches on every trigger, which livelocks
+  * processAllAvailable-style draining — opt in only under a real
+  * trigger interval.
+  */
+object ReplyChainStream {
+
+  case class Msg(chat_id: Long, message_id: Long, reply_to: Option[Long])
+  case class ThreadOut(chat_id: Long, message_id: Long, root_id: Long, depth: Long)
+  case class ChainState(roots: Map[Long, (Long, Long)])
+
+  def resolve(spark: SparkSession, messages: Dataset[Msg],
+              idleTtlMs: Long = 0L): Dataset[ThreadOut] = {
+    import spark.implicits._
+    val timeout =
+      if (idleTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    messages
+      .groupByKey(_.chat_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (chat: Long, it: Iterator[Msg], state: GroupState[ChainState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var roots = state.getOption.map(_.roots).getOrElse(Map.empty[Long, (Long, Long)])
+            // deterministic within-batch order: ids are append-ordered
+            // in exports; parents sort before their replies
+            val out = it.toSeq.sortBy(_.message_id).map { m =>
+              val (root, depth) = m.reply_to match {
+                case None => (m.message_id, 0L)
+                case Some(p) => roots.get(p) match {
+                  case Some((r, d)) => (r, d + 1)     // parent resolved
+                  case None => (p, 1L)                // dangling parent = root
+                }
+              }
+              roots += m.message_id -> (root, depth)
+              ThreadOut(chat, m.message_id, root, depth)
+            }
+            state.update(ChainState(roots))
+            if (idleTtlMs > 0) state.setTimeoutDuration(idleTtlMs)
+            out.iterator
+          }
+      }
+  }
+}
