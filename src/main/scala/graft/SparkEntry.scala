@@ -62,6 +62,9 @@ object SparkEntry {
     "q29b_dedup_emb_ivf"    -> ((s, d) => Dedup.dedupEmbeddingIvf(s, d)),
     "q29c_dedup_ivf_indexed" -> ((s, d) => Dedup.dedupEmbeddingIvfIndexed(s, d)),
     "q44_dedup_emb_lsh"     -> ((s, d) => Dedup.dedupEmbeddingLshPlanted(s, d)),
+    "q53_dup_clusters"      -> ((s, d) => DupGraph.dupClusters(s, d)),
+    "q56_reply_threads"     -> ((s, d) => ReplyChains.eventThreads(s, d)),
+    "q56b_thread_stats"     -> ((s, d) => ReplyChains.eventThreadStats(s, d)),
     "q30_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "q31_quality_score"     -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q32_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -213,6 +216,56 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q53_dup_clusters" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM t),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))), 6) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach AS (
+         |  SELECT a AS id, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.b),
+         |comp AS (SELECT id, MIN(lbl) AS rep FROM reach GROUP BY id),
+         |sz AS (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep)
+         |SELECT c.id AS doc_id, c.rep AS cluster_rep, sz.n AS cluster_size, (c.id = c.rep) AS is_keep
+         |FROM comp c JOIN sz ON c.rep = sz.rep
+         |ORDER BY cluster_rep, doc_id""".stripMargin,
+    "q56_reply_threads" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_id, CAST(json_extract_string(props, 'k') AS INT) AS k FROM events),
+        |par AS (
+        |  SELECT event_id, CASE WHEN k % 4 <> 0 THEN event_id - 1 - (k % 8) ELSE NULL END AS pid
+        |  FROM ev),
+        |e AS (
+        |  SELECT p.event_id, CASE WHEN e2.event_id IS NULL THEN NULL ELSE p.pid END AS parent_id
+        |  FROM par p LEFT JOIN ev e2 ON p.pid = e2.event_id),
+        |t AS (
+        |  SELECT event_id, event_id AS root_id, CAST(0 AS BIGINT) AS depth FROM e WHERE parent_id IS NULL
+        |  UNION ALL
+        |  SELECT c.event_id, t.root_id, t.depth + 1 FROM e c JOIN t ON c.parent_id = t.event_id)
+        |SELECT event_id, root_id, depth FROM t ORDER BY event_id""".stripMargin,
+    "q56b_thread_stats" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_id, CAST(json_extract_string(props, 'k') AS INT) AS k FROM events),
+        |par AS (
+        |  SELECT event_id, CASE WHEN k % 4 <> 0 THEN event_id - 1 - (k % 8) ELSE NULL END AS pid
+        |  FROM ev),
+        |e AS (
+        |  SELECT p.event_id, CASE WHEN e2.event_id IS NULL THEN NULL ELSE p.pid END AS parent_id
+        |  FROM par p LEFT JOIN ev e2 ON p.pid = e2.event_id),
+        |t AS (
+        |  SELECT event_id, event_id AS root_id, CAST(0 AS BIGINT) AS depth FROM e WHERE parent_id IS NULL
+        |  UNION ALL
+        |  SELECT c.event_id, t.root_id, t.depth + 1 FROM e c JOIN t ON c.parent_id = t.event_id)
+        |SELECT t.root_id, COUNT(*) AS thread_size, MAX(t.depth) AS max_depth,
+        |  COUNT(DISTINCT ee.user_id) AS n_users,
+        |  MIN(epoch_ms(ee.ts)) AS first_ms, MAX(epoch_ms(ee.ts)) AS last_ms
+        |FROM t JOIN events ee ON t.event_id = ee.event_id
+        |GROUP BY t.root_id ORDER BY root_id""".stripMargin,
     "q30_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(wc) AS BIGINT) AS total_tokens,
          |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,

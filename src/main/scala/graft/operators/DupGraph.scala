@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster resolution: near-dup PAIRS → connected
+  * COMPONENTS → one canonical survivor per cluster.
+  *
+  * Every pair producer in the dedup family (q26/q27/q40/q44) stops at
+  * candidate pairs; a real corpus-dedup pipeline must then group the
+  * pairs transitively (A≈B, B≈C ⇒ {A,B,C} is one duplicate cluster)
+  * and keep exactly one member. The reference reaches the same
+  * endpoint through embedding-cluster merging
+  * (terrorblade/data/preprocessing/TextPreprocessor.py:429-:470,
+  * `calculate_groups` merging adjacent segments); this operator is
+  * the batch-graph spelling of that step over any pair set.
+  *
+  * Algorithm: min-label propagation with POINTER JUMPING, the
+  * "hash-min + path compression" connected-components scheme used by
+  * the MapReduce CC literature (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond" — large-star/small-star family). Each
+  * round does (a) a neighbor-min join (labels flow across edges) and
+  * (b) a pointer jump (label(x) := label(label(x))), so resolved path
+  * length doubles per round: O(log n) rounds on any graph, O(1)-ish
+  * on real dup clusters (diameter 1-2). Labels are node-id minima ⇒
+  * the fixpoint is unique and deterministic ⇒ oracle-EXACT.
+  *
+  * Scale: state is one slim (id, rep) row per node that appears in a
+  * pair — NOT per corpus document. Each round shuffles only that
+  * frame plus the edge list on hash-derived keys. Iterative-persist
+  * (materialize + drop previous level) keeps lineage flat — the same
+  * 2^rounds self-join-recompute trap ReplyChains documents.
+  * Convergence is detected by the per-round sum of labels: labels
+  * only ever decrease, so an unchanged sum IS the fixpoint (one
+  * cheap agg on the slim state, no extra join).
+  */
+object DupGraph {
+
+  /** Last converged state's cached RDD per session (leak-bounding
+    * registry, same pattern as ReplyChains.lastState).
+    */
+  private val lastState =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+
+  /** Rebuild `df` as a leaf LogicalRDD over its persisted row RDD.
+    *
+    * persist() alone does NOT stop the LOGICAL plan from doubling per
+    * round (each round's plan embeds two copies of the previous
+    * round's), so 30 rounds OOM just BUILDING the plan tree. Cutting
+    * to an RDD leaf keeps the plan O(1) per round while the RDD
+    * lineage chain stays INTACT — on executor loss Spark can recompute
+    * back through the chain (slow but correct), which is exactly the
+    * fault-tolerance property localCheckpoint() gives up (r04 VERDICT
+    * on Vectors.slidingSegments). The tiny (id, rep) state never
+    * needs codegen, so leaving the columnar path costs nothing.
+    */
+  private def cutLineage(df: DataFrame, lvl: StorageLevel): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd.persist(lvl)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  /** Connected components over an undirected edge list with columns
+    * (a, b). Returns (id, rep) where rep = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(lvl)
+    var (state, stateRdd) = cutLineage(
+      sym.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("rep")), lvl)
+    var prevSum = state.agg(sum("rep")).first().get(0)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // (a) labels flow across edges: min neighbor label per node
+      val nmin = sym.join(state, sym("b") === state("id"))
+        .groupBy(col("a")).agg(min("rep").as("nmin"))
+      val relaxed = state.join(nmin, state("id") === nmin("a"), "left")
+        .select(state("id"), least(col("rep"), coalesce(col("nmin"), col("rep"))).as("r1"))
+      // (b) pointer jump: follow the label to ITS label (path halving)
+      val p = relaxed.select(col("id").as("p_id"), col("r1").as("p_r"))
+      val (next, nextRdd) = cutLineage(
+        relaxed.join(p, relaxed("r1") === p("p_id"), "left")
+          .select(relaxed("id"), least(col("r1"), coalesce(col("p_r"), col("r1"))).as("rep")), lvl)
+      val s = next.agg(sum("rep")).first().get(0)
+      stateRdd.unpersist(false)
+      state = next
+      stateRdd = nextRdd
+      converged = s == prevSum
+      prevSum = s
+      round += 1
+    }
+    sym.unpersist(false)
+    Option(lastState.put(edges.sparkSession, stateRdd)).foreach(_.unpersist(false))
+    state
+  }
+
+  /** q53: duplicate clusters over the q26 near-dup pair set —
+    * (doc_id, cluster_rep, cluster_size, is_keep). Only documents
+    * that participate in at least one near-dup pair appear (singleton
+    * docs are trivially their own cluster and are omitted, matching
+    * the pair producers' output domain). `is_keep` marks the
+    * first-writer-wins survivor (min doc_id), the same rule as q25's
+    * exact-dup groups.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupNgram(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = connectedComponents(pairs)
+    val sizes = comp.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "rep")
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+        col("cluster_size"), (col("id") === col("rep")).as("is_keep"))
+      .orderBy("cluster_rep", "doc_id")
+  }
+}

@@ -87,6 +87,51 @@ object ReplyChains {
         min("date").as("first_at"), max("date").as("last_at"))
       .orderBy(col("chat_id"), col("root_id"))
 
+  /** q56's edge derivation: the driver testdata has no reply column,
+    * so reply edges are DERIVED deterministically from `events` —
+    * event e replies to event_id − 1 − (k mod 8) when its props key
+    * k ≢ 0 (mod 4) AND that parent event exists; otherwise e is a
+    * root. Parent ids are strictly smaller ⇒ the edge set is a
+    * forest by construction (no cycle guard needed), and the
+    * continue-probability of 3/4 per hop keeps expected depth ~4
+    * (max ≈ log(n)/log(4/3) ≈ 40 at sf0.1), so maxDepth=64 ⇒ 6
+    * pointer-jump rounds. The SAME derivation is authored in the
+    * DuckDB oracle as a recursive CTE, which makes the pointer-
+    * jumping kernel itself oracle-EXACT — the one operator family
+    * (iterative graph resolution) a window function cannot express.
+    */
+  private def eventReplyFrame(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val withPid = ev.select(col("event_id"),
+      when(col("k") % 4 =!= 0, col("event_id") - 1 - (col("k") % 8)).as("pid"))
+    val ids = ev.select(col("event_id").as("x_id"))
+    withPid.join(ids, withPid("pid") === ids("x_id"), "left")
+      .select(lit(0L).as("chat_id"), col("event_id").as("message_id"),
+        when(col("x_id").isNotNull, col("pid")).as("reply_to_message_id"))
+  }
+
+  /** q56: per-event thread resolution — (event_id, root_id, depth). */
+  def eventThreads(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    threads(eventReplyFrame(spark, dir), maxDepth = 64)
+      .select(col("message_id").as("event_id"), col("root_id"), col("depth"))
+      .orderBy("event_id")
+
+  /** q56b: per-thread rollup — size, max depth, participants, span. */
+  def eventThreadStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val t = threads(eventReplyFrame(spark, dir), maxDepth = 64)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000000").as("ts_ms"))
+    t.join(ev, t("message_id") === ev("event_id"))
+      .groupBy(col("root_id"))
+      .agg(count(lit(1)).as("thread_size"),
+        max("depth").as("max_depth"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"))
+      .orderBy("root_id")
+  }
+
   /** Most-forwarded sources per chat — the consumer for
     * `forwarded_from` (the reference stores the dictionary, nothing
     * reads it back). Top-N per chat via a partitioned window.

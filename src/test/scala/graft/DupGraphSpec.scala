@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins operators.DupGraph: connected components via min-label
+  * propagation + pointer jumping — planted component shapes, long-path
+  * convergence inside the O(log n) round bound, and determinism.
+  */
+class DupGraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)], maxRounds: Int = 30): Map[Long, Long] =
+    operators.DupGraph.connectedComponents(edges.toDF("a", "b"), maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two planted components resolve to their min ids") {
+    // {1,2,3} as a path + {10,11} as an edge; transitivity 1-2-3 must
+    // merge even though (1,3) is never a pair
+    val m = components(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("star and triangle shapes collapse to one rep") {
+    val star = components(Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)))
+    assert(star.values.toSet == Set(1L), s"star must collapse to min id 1: $star")
+    val tri = components(Seq((7L, 8L), (8L, 9L), (7L, 9L)))
+    assert(tri.values.toSet == Set(7L))
+  }
+
+  test("a 64-node path converges within the pointer-jump round bound") {
+    // worst-case diameter: plain per-edge propagation would need 63
+    // rounds; min-label + path halving must finish inside 30 (the
+    // default bound — O(log n) in theory, and the convergence check
+    // stops as soon as the label sum is stable)
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val m = components(path)
+    assert(m.size == 64 && m.values.toSet == Set(0L),
+      "all 64 path nodes must resolve to rep 0 within the default round bound")
+  }
+
+  test("dupClusters output is deterministic and first-writer-wins") {
+    val dir = "/root/testdata/sf0.001"
+    val a = operators.DupGraph.dupClusters(spark, dir).collect()
+    val b = operators.DupGraph.dupClusters(spark, dir).collect()
+    assert(a.sameElements(b), "repeat evaluation must be bit-identical")
+    assert(a.nonEmpty)
+    a.groupBy(_.getLong(1)).foreach { case (rep, rows) =>
+      val ids = rows.map(_.getLong(0))
+      assert(ids.min == rep, s"cluster rep must be the min member id: $rep vs ${ids.min}")
+      assert(rows.count(_.getBoolean(3)) == 1, "exactly one keeper per cluster")
+      assert(rows.forall(_.getLong(2) == ids.length), "cluster_size must match member count")
+    }
+  }
+}
