@@ -63,6 +63,11 @@ object SparkEntry {
     "q29c_dedup_ivf_indexed" -> ((s, d) => Dedup.dedupEmbeddingIvfIndexed(s, d)),
     "q44_dedup_emb_lsh"     -> ((s, d) => Dedup.dedupEmbeddingLshPlanted(s, d)),
     "q53_dup_clusters"      -> ((s, d) => DupGraph.dupClusters(s, d)),
+    "q54_decontam"          -> ((s, d) => Curation.decontaminate(s, d)),
+    "q55_pii_scrub"         -> ((s, d) => Curation.piiScrub(s, d)),
+    "q57_pack_sequences"    -> ((s, d) => Curation.packSequences(s, d)),
+    "q58_distinctive_terms" -> ((s, d) => Curation.distinctiveTerms(s, d)),
+    "q59_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "q56_reply_threads"     -> ((s, d) => ReplyChains.eventThreads(s, d)),
     "q56b_thread_stats"     -> ((s, d) => ReplyChains.eventThreadStats(s, d)),
     "q30_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
@@ -234,6 +239,72 @@ object SparkEntry {
          |SELECT c.id AS doc_id, c.rep AS cluster_rep, sz.n AS cluster_size, (c.id = c.rep) AS is_keep
          |FROM comp c JOIN sz ON c.rep = sz.rep
          |ORDER BY cluster_rep, doc_id""".stripMargin,
+    "q54_decontam" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS g3
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT unnest(g3) AS gr FROM g WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, g3, len(g3) AS n_grams FROM g WHERE doc_id % 97 <> 0),
+        |ex AS (SELECT doc_id, unnest(g3) AS gr FROM train),
+        |ov AS (SELECT e.doc_id, COUNT(b.gr) AS n_overlap
+        |       FROM ex e LEFT JOIN bench b ON e.gr = b.gr GROUP BY e.doc_id)
+        |SELECT t.doc_id, CAST(t.n_grams AS INT) AS n_grams,
+        |  COALESCE(o.n_overlap, 0) AS n_overlap,
+        |  CASE WHEN t.n_grams = 0 THEN NULL
+        |       ELSE CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / t.n_grams END AS rate,
+        |  COALESCE(CASE WHEN t.n_grams = 0 THEN NULL
+        |       ELSE CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / t.n_grams END >= 0.3, FALSE) AS contaminated
+        |FROM train t LEFT JOIN ov o ON t.doc_id = o.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "q55_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@mail.example.com for details' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call +1555' || doc_id || ' now' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' see https://ex.example.org/p/' || doc_id || ' page' ELSE '' END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[a-z0-9._]+@[a-z0-9.]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '\+[0-9]{5,}')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t2, 'https://[a-z0-9./]+')) AS INT) AS n_urls,
+        |  regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    'https://[a-z0-9./]+', '<URL>', 'g'),
+        |    '\+[0-9]{5,}', '<PHONE>', 'g') AS clean_text
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q57_pack_sequences" ->
+      s"""WITH RECURSIVE o AS (
+         |  SELECT lang, doc_id, CAST($wcSql AS BIGINT) AS wc,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |p AS (
+         |  SELECT lang, rn, doc_id, wc, CAST(0 AS BIGINT) AS pack_id, wc AS acc FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.lang, o.rn, o.doc_id, o.wc,
+         |    CASE WHEN p.acc + o.wc > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+         |    CASE WHEN p.acc + o.wc > 256 THEN o.wc ELSE p.acc + o.wc END
+         |  FROM o JOIN p ON o.lang = p.lang AND o.rn = p.rn + 1)
+         |SELECT lang, doc_id, wc, pack_id FROM p ORDER BY lang, doc_id""".stripMargin,
+    "q58_distinctive_terms" ->
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT lang, word, COUNT(*) AS tf FROM w GROUP BY lang, word),
+        |dfc AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |nl AS (SELECT COUNT(DISTINCT lang) AS n_langs FROM documents)
+        |SELECT lang, word, tf, df, score, CAST(rk AS INT) AS rk FROM (
+        |  SELECT t.lang, t.word, t.tf, d.df, t.tf * (nl.n_langs - d.df + 1) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY t.lang
+        |      ORDER BY t.tf * (nl.n_langs - d.df + 1) DESC, t.word) AS rk
+        |  FROM tf t JOIN dfc d ON t.word = d.word, nl) s
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    "q59_stratified_sample" ->
+      """WITH s AS (SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source),
+        |m AS (SELECT MIN(cnt) AS min_cnt FROM s),
+        |t AS (SELECT s.lang, s.source, (m.min_cnt * 1048576) // s.cnt AS thr FROM s, m)
+        |SELECT d.doc_id, d.lang, d.source, (d.doc_id * 2654435761) % 1048576 AS hkey
+        |FROM documents d JOIN t ON d.lang = t.lang AND d.source = t.source
+        |WHERE (d.doc_id * 2654435761) % 1048576 < t.thr
+        |ORDER BY d.doc_id""".stripMargin,
     "q56_reply_threads" ->
       """WITH RECURSIVE ev AS (
         |  SELECT event_id, CAST(json_extract_string(props, 'k') AS INT) AS k FROM events),

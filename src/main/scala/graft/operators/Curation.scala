@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond dedup: benchmark
+  * decontamination, PII scrubbing, sequence packing, distinctive-term
+  * mining, and balanced stratified sampling — the steps a pretraining
+  * pipeline runs between "deduplicated corpus" and "training batches".
+  * (The reference stops at analytics; these extend the same documents
+  * surface with the LLM-pipeline stages the brief names as
+  * first-class components.)
+  *
+  * All five are single-pass declarative plans: the only non-window
+  * kernel is the greedy packer, which is a sorted per-partition fold
+  * (the sessionize-by-sort shape). Everything is oracle-EXACT — the
+  * scoring arithmetic is integer or exact-IEEE division only (no libm
+  * transcendentals, which are NOT guaranteed bit-identical across
+  * engines; q58 uses an integer df-rarity weight instead of ln-idf
+  * for exactly this reason).
+  */
+object Curation {
+
+  /** q54: train/eval decontamination — the n-gram overlap check run
+    * before training to drop documents that leak benchmark content
+    * (the standard 13-gram check, here 3-grams against the synthetic
+    * vocabulary). The benchmark slice is derived deterministically
+    * (doc_id ≡ 0 mod 97); its DISTINCT trigram set is broadcast — at
+    * 100 TB the benchmark side is eval suites (tiny, broadcastable
+    * by construction) while the corpus side stays a single scan with
+    * one explode + hash-join, no shuffle of document text.
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+                    benchMod: Int = 97, threshold: Double = 0.3): DataFrame = {
+    val toks = col("toks")
+    // materialize the split once (interpreted-HOF re-eval trap,
+    // SURVEY §4); guard: sequence(1, n) with n < 1 would DESCEND in
+    // Spark ([1,0]), so short docs get an explicit empty gram set
+    val grams = when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    val withG = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), grams.as("g3"))
+    val bench = withG.filter(col("doc_id") % benchMod === 0)
+      .select(explode(col("g3")).as("g")).distinct()
+    val overlap = withG.filter(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"), size(col("g3")).as("n_grams"), explode_outer(col("g3")).as("g"))
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(col("hit")).as("n_overlap"))
+    overlap
+      // exact IEEE long/long division — bit-identical cross-engine;
+      // try_divide: a gram-less doc must yield NULL, not abort
+      .withColumn("rate", try_divide(col("n_overlap").cast("double"), col("n_grams")))
+      .withColumn("contaminated", coalesce(col("rate") >= threshold, lit(false)))
+      .select("doc_id", "n_grams", "n_overlap", "rate", "contaminated")
+      .orderBy("doc_id")
+  }
+
+  private val emailPat = "[a-z0-9._]+@[a-z0-9.]+"
+  private val phonePat = "\\+[0-9]{5,}"
+  private val urlPat   = "https://[a-z0-9./]+"
+
+  /** q55: PII scrubbing — regex redaction of emails/phones/URLs with
+    * per-doc counts. The testdata corpus is synthetic (no real PII),
+    * so the entry PLANTS deterministic PII by doc_id residue — the
+    * same make-the-check-non-vacuous derivation q44 uses for planted
+    * duplicates — then scrubs it. Patterns are restricted to syntax
+    * with identical Java-regex/RE2 semantics (character classes +
+    * bounded repetition; no backrefs or lookarounds, which RE2 lacks).
+    * One projection pass; counts come from the pre-scrub text.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = concat(col("text"),
+      when(id % 7 === 0, concat(lit(" contact user"), id, lit("@mail.example.com for details"))).otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" call +1555"), id, lit(" now"))).otherwise(lit("")),
+      when(id % 13 === 0, concat(lit(" see https://ex.example.org/p/"), id, lit(" page"))).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(id, planted.as("t2"))
+      .select(id,
+        size(regexp_extract_all(col("t2"), lit(emailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t2"), lit(phonePat), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("t2"), lit(urlPat), lit(0))).as("n_urls"),
+        regexp_replace(regexp_replace(regexp_replace(col("t2"),
+          emailPat, "<EMAIL>"), urlPat, "<URL>"), phonePat, "<PHONE>").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  private[operators] case class DocTok(lang: String, doc_id: Long, wc: Long)
+
+  /** q57: greedy sequence packing — fill fixed token-budget training
+    * sequences with documents in (lang, doc_id) order; a doc that
+    * would overflow the open pack starts the next one (an oversized
+    * doc owns a pack alone). The greedy fold's state (open-pack fill)
+    * makes it inexpressible as a window function — it is a sorted
+    * per-partition fold, the same physical shape as sessionize-by-
+    * sort: one shuffle on lang, one sort within partitions, one
+    * streaming pass. At 100 TB you pack per (lang, shard) — drop the
+    * doc_id sort key down to shard granularity and the fold
+    * parallelizes arbitrarily with identical per-shard semantics; the
+    * global per-lang order here exists so the DuckDB recursive-CTE
+    * oracle can replay the exact fold.
+    */
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 256): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), TextAnalysis.wordCount.cast("long").as("wc"))
+      .as[DocTok]
+      .repartition(col("lang"))
+      .sortWithinPartitions("lang", "doc_id")
+      .mapPartitions { it =>
+        // langs are contiguous after the sort; reset the fold on a
+        // lang boundary. State is two longs — constant memory.
+        var curLang: String = null
+        var pack = 0L
+        var acc = 0L
+        it.map { d =>
+          if (d.lang != curLang) { curLang = d.lang; pack = 0L; acc = d.wc }
+          else if (acc + d.wc > budget) { pack += 1; acc = d.wc }
+          else acc += d.wc
+          (d.lang, d.doc_id, d.wc, pack)
+        }
+      }
+      .toDF("lang", "doc_id", "wc", "pack_id")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** q58: distinctive terms per language — tf weighted by integer
+    * df-rarity (n_langs − df + 1), the exact-arithmetic analog of
+    * tf-idf: ln-idf would hinge on libm bit-parity across engines
+    * (Java Math.log vs DuckDB std::log can differ in the last ulp),
+    * so the weight stays in ℤ and the result stays hash-EXACT.
+    * tf and df shuffle on the word key (hash-derived, skew-safe);
+    * n_langs is a broadcast scalar.
+    */
+  def distinctiveTerms(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nLangs = docs.select(countDistinct(col("lang")).as("n_langs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("score").desc, col("word"))
+    tf.join(dfc, "word")
+      .crossJoin(broadcast(nLangs))
+      .withColumn("score", col("tf") * (col("n_langs") - col("df") + 1))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select("lang", "word", "tf", "df", "score", "rk")
+      .orderBy("lang", "rk")
+  }
+
+  /** q59: balanced stratified sampling — downsample every
+    * (lang, source) stratum to ≈ the smallest stratum's size, keyed
+    * by a deterministic multiplicative hash of doc_id (Knuth's
+    * 2654435761) so the sample is reproducible run-over-run and
+    * engine-independent (pure integer arithmetic — no RNG, no
+    * engine-internal hash). Two linear passes: tiny strata-count
+    * frame (broadcast back), then one scan with a per-row threshold
+    * test — no shuffle of the data itself, which is what makes this
+    * the 100 TB spelling (sampling must never need a global sort).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "source")
+    val strata = docs.groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+    val minCnt = strata.agg(min("cnt").as("min_cnt"))
+    val thr = strata.crossJoin(broadcast(minCnt))
+      .withColumn("thr", expr("(min_cnt * 1048576) div cnt"))
+      .select("lang", "source", "thr")
+    docs.join(broadcast(thr), Seq("lang", "source"))
+      .withColumn("hkey", expr("(doc_id * 2654435761) % 1048576"))
+      .filter(col("hkey") < col("thr"))
+      .select("doc_id", "lang", "source", "hkey")
+      .orderBy("doc_id")
+  }
+}

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Reference word-count formula (analyze_dialogues.py:273). */
-  private val wordCount: Column =
+  private[operators] val wordCount: Column =
     when(trim(col("text")) === "", 0)
       .otherwise(length(trim(col("text"))) - length(regexp_replace(trim(col("text")), " ", "")) + 1)
 

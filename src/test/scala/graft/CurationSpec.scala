@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins operators.Curation: planted benchmark contamination, planted
+  * PII redaction, the greedy packing fold (hand-computed pack ids,
+  * lang-boundary reset, oversized docs), integer-rarity term scores,
+  * and stratified-sample determinism + threshold honesty.
+  *
+  * Synthetic inputs ride Tables.registerOverride under fake dir keys
+  * (the bench's shared-table mechanism), so the operators' real
+  * dir-bound entries are what runs.
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("decontaminate flags a planted benchmark leak and nothing else") {
+    val dir = "/fake/curation_decontam"
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (0L, "alpha beta gamma delta epsilon"), // benchmark (0 % 97 == 0)
+      (97L, "zeta eta theta"),                // benchmark too (97 % 97 == 0)
+      (1L, "alpha beta gamma delta epsilon"), // identical to bench doc 0 -> rate 1
+      (2L, "one two three four five six"),    // disjoint -> rate 0
+      (3L, "hi there")                        // < 3 tokens -> no grams
+    ).toDF("doc_id", "text"))
+    val r = operators.Curation.decontaminate(spark, dir)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(0L) && !r.contains(97L), "benchmark docs are not scored")
+    assert(r(1L).getBoolean(4) && r(1L).getDouble(3) == 1.0, "a verbatim bench doc must be fully contaminated")
+    assert(!r(2L).getBoolean(4) && r(2L).getLong(2) == 0L)
+    assert(r(3L).getInt(1) == 0 && r(3L).isNullAt(3) && !r(3L).getBoolean(4),
+      "a gram-less doc has NULL rate and is not flagged")
+  }
+
+  test("piiScrub counts and redacts exactly the planted PII") {
+    val dir = "/fake/curation_pii"
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (0L, "plain words here"),   // 0 mod everything -> all three planted
+      (1L, "no pii at all")
+    ).toDF("doc_id", "text"))
+    val r = operators.Curation.piiScrub(spark, dir).collect().map(x => x.getLong(0) -> x).toMap
+    val c0 = r(0L)
+    assert(c0.getInt(1) == 1 && c0.getInt(2) == 1 && c0.getInt(3) == 1)
+    val clean = c0.getString(4)
+    assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>") && clean.contains("<URL>"))
+    assert(!clean.contains("@") && !clean.contains("+1555") && !clean.contains("https://"))
+    val c1 = r(1L)
+    assert(c1.getInt(1) == 0 && c1.getInt(2) == 0 && c1.getInt(3) == 0)
+    assert(c1.getString(4) == "no pii at all", "a clean doc passes through unchanged")
+  }
+
+  private def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+
+  test("packSequences replays the greedy fold exactly") {
+    val dir = "/fake/curation_pack"
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (0L, "en", words(100)), (1L, "en", words(100)), (2L, "en", words(100)), // 100+100 fits, third spills
+      (3L, "en", words(500)),                                                // oversized -> own pack
+      (4L, "en", words(10)),
+      (5L, "fr", words(200)), (6L, "fr", words(10))                          // fresh fold per lang
+    ).toDF("doc_id", "lang", "text"))
+    val r = operators.Curation.packSequences(spark, dir, budget = 256)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(3)).toMap
+    assert(r(("en", 0L)) == 0L && r(("en", 1L)) == 0L, "100+100 <= 256 shares pack 0")
+    assert(r(("en", 2L)) == 1L, "the third 100 overflows to pack 1")
+    assert(r(("en", 3L)) == 2L, "an oversized doc opens its own pack")
+    assert(r(("en", 4L)) == 3L, "after a 500-doc the open pack is full (500+10 > 256)")
+    assert(r(("fr", 5L)) == 0L && r(("fr", 6L)) == 0L,
+      "fold resets on the lang boundary (200+10 fits pack 0, not en's running pack 3)")
+  }
+
+  test("distinctiveTerms weights lang-unique words above shared ones") {
+    val dir = "/fake/curation_terms"
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (0L, "en", "shared unique_en unique_en"),
+      (1L, "fr", "shared shared shared partage")
+    ).toDF("doc_id", "lang", "text"))
+    val r = operators.Curation.distinctiveTerms(spark, dir)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> (x.getLong(4), x.getInt(5))).toMap
+    // n_langs=2: lang-unique word df=1 -> weight 2; shared df=2 -> weight 1
+    assert(r(("en", "unique_en")) == (4L, 1), "tf=2 * weight 2 outranks shared tf=1 * weight 1")
+    assert(r(("en", "shared")) == (1L, 2))
+    assert(r(("fr", "shared")) == (3L, 1) && r(("fr", "partage")) == (2L, 2))
+  }
+
+  test("stratifiedSample is deterministic, threshold-honest, and keeps the min stratum whole") {
+    val dir = "/root/testdata/sf0.001"
+    val a = operators.Curation.stratifiedSample(spark, dir).collect()
+    val b = operators.Curation.stratifiedSample(spark, dir).collect()
+    assert(a.sameElements(b), "repeat evaluation must be bit-identical")
+    assert(a.nonEmpty)
+    a.foreach { row =>
+      val id = row.getLong(0)
+      assert(row.getLong(3) == (id * 2654435761L) % 1048576L, "hkey must be the documented hash")
+    }
+    // the smallest stratum's threshold is 2^20 -> every member kept
+    val docs = Tables.documents(spark, dir).groupBy("lang", "source").count().collect()
+    val minStratum = docs.minBy(_.getLong(2))
+    val keptMin = a.count(r => r.getString(1) == minStratum.getString(0) && r.getString(2) == minStratum.getString(1))
+    assert(keptMin == minStratum.getLong(2), "the min stratum is kept in full")
+  }
+}
