@@ -87,10 +87,20 @@ object Bench {
       }
     }
     val results = names.map(n => n -> best(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The consumer captures only the LAST ~2000 chars of this
+    // process's output (with sbt's "[success] ..." trailer inside that
+    // window); round 5's full-precision doubles pushed the line past
+    // the window and the recorded bench parsed as null. 2dp keeps
+    // ~67 queries at ~1760 chars; warn on stderr before it regresses.
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // budget: 2000-char window − "\n[success] Total time: ..." ≈ 1925
+    if (line.length > 1880)
+      System.err.println(s"WARN: bench JSON line ${line.length} chars; trim before it exceeds the ~1925-char budget")
+    println(line)
     spark.stop()
   }
 }
