@@ -68,6 +68,10 @@ object SparkEntry {
     "q57_pack_sequences"    -> ((s, d) => Curation.packSequences(s, d)),
     "q58_distinctive_terms" -> ((s, d) => Curation.distinctiveTerms(s, d)),
     "q59_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "q60_repetition"        -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "q63_quality_bins"      -> ((s, d) => TextAnalysis.qualityBins(s, d)),
+    "q61_emb_outliers"      -> ((s, d) => EmbeddingQuality.embeddingOutliers(s, d)),
+    "q62_hard_negs"         -> ((s, d) => EmbeddingQuality.hardNegatives(s, d)),
     "q56_reply_threads"     -> ((s, d) => ReplyChains.eventThreads(s, d)),
     "q56b_thread_stats"     -> ((s, d) => ReplyChains.eventThreadStats(s, d)),
     "q30_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
@@ -344,6 +348,62 @@ object SparkEntry {
          |  CAST(SUM(wc) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
          |FROM (SELECT lang, text, $wcSql AS wc FROM documents) t
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q60_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n_words, len(list_distinct(toks)) AS n_uniq_words,
+        |  CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+        |       ELSE CAST([] AS VARCHAR[]) END AS bi
+        |  FROM t),
+        |s AS (SELECT doc_id, n_words, n_uniq_words, len(bi) AS n_bigrams,
+        |  len(list_distinct(bi)) AS n_uniq_bigrams, bi FROM b),
+        |ex AS (SELECT doc_id, unnest(bi) AS g FROM s),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM ex GROUP BY doc_id, g),
+        |tc AS (SELECT doc_id, MAX(c) AS top_cnt FROM bc GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(n_words AS INT) AS n_words, CAST(n_uniq_words AS INT) AS n_uniq_words,
+        |  CAST(n_bigrams AS INT) AS n_bigrams, CAST(n_uniq_bigrams AS INT) AS n_uniq_bigrams,
+        |  CAST(COALESCE(tc.top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE CAST(n_words - n_uniq_words AS DOUBLE) / n_words END AS dup_word_frac,
+        |  CASE WHEN n_bigrams = 0 THEN NULL ELSE CAST(n_bigrams - n_uniq_bigrams AS DOUBLE) / n_bigrams END AS dup_bigram_frac,
+        |  CASE WHEN n_bigrams = 0 THEN NULL ELSE CAST(COALESCE(tc.top_cnt, 0) AS DOUBLE) / n_bigrams END AS top_bigram_frac,
+        |  (COALESCE(CASE WHEN n_words = 0 THEN NULL ELSE CAST(n_words - n_uniq_words AS DOUBLE) / n_words END >= 0.55, FALSE)
+        |   OR (COALESCE(tc.top_cnt, 0) >= 2
+        |       AND COALESCE(CASE WHEN n_bigrams = 0 THEN NULL ELSE CAST(COALESCE(tc.top_cnt, 0) AS DOUBLE) / n_bigrams END >= 0.125, FALSE))) AS repetitive
+        |FROM s LEFT JOIN tc ON s.doc_id = tc.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+    "q63_quality_bins" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, round(CAST(n_stop AS DOUBLE) / wc * 0.5 + LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) * 0.5, 6) AS quality
+         |  FROM (SELECT doc_id, text, $wcSql AS wc,
+         |        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS n_stop
+         |        FROM documents) t),
+         |b AS (SELECT d.lang, q.doc_id, q.quality,
+         |  ntile(10) OVER (PARTITION BY d.lang ORDER BY q.quality DESC, q.doc_id) AS bin
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id)
+         |SELECT lang, CAST(bin AS INT) AS bin, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q
+         |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q61_emb_outliers" ->
+      """WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |dims AS (
+        |  SELECT label, unnest(list_transform(generate_series(1, len(emb)), i -> {'d': i, 'v': emb[i]}), recursive := true)
+        |  FROM d),
+        |c AS (SELECT label, d, CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+        |      FROM dims GROUP BY label, d),
+        |cent AS (SELECT label, list(m ORDER BY d) AS cvec FROM c GROUP BY label),
+        |sc AS (SELECT d.vec_id, d.label, round(list_cosine_similarity(d.emb, cent.cvec), 6) AS csim
+        |       FROM d JOIN cent ON d.label = cent.label)
+        |SELECT vec_id, label, csim, CAST(rk AS INT) AS rk FROM (
+        |  SELECT vec_id, label, csim, ROW_NUMBER() OVER (PARTITION BY label ORDER BY csim ASC, vec_id) AS rk FROM sc) s
+        |WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
+    "q62_hard_negs" ->
+      """WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |a AS (SELECT vec_id AS anchor_id, label AS anchor_label, emb AS avec FROM d WHERE vec_id % 101 = 0),
+        |sc AS (SELECT a.anchor_id, a.anchor_label, d.vec_id, d.label,
+        |  round(list_cosine_similarity(d.emb, a.avec), 6) AS sim
+        |  FROM d JOIN a ON d.label <> a.anchor_label)
+        |SELECT anchor_id, anchor_label, vec_id, label, sim, CAST(rk AS INT) AS rk FROM (
+        |  SELECT anchor_id, anchor_label, vec_id, label, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rk FROM sc) s
+        |WHERE rk <= 5 ORDER BY anchor_id, rk""".stripMargin,
     "q31_quality_score" ->
       s"""SELECT doc_id, wc, n_stop,
          |  CAST(n_stop AS DOUBLE) / wc AS stop_ratio,

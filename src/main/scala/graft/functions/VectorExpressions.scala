@@ -22,27 +22,40 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // each side independently ARRAY<FLOAT> or ARRAY<DOUBLE> (floats are
+  // promoted to double before any arithmetic either way, so a mixed
+  // float-vector x double-centroid call is bit-identical to casting
+  // the vector to DOUBLE[] first — the DuckDB-oracle spelling)
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _                       => false
-    })
+    val ok = Seq(left, right).forall(elemType(_).isDefined)
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects ARRAY<FLOAT> inputs, got ${left.dataType} / ${right.dataType}")
+      s"cosine_sim expects ARRAY<FLOAT> or ARRAY<DOUBLE> inputs, got ${left.dataType} / ${right.dataType}")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  private def get(v: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => v.getFloat(i).toDouble
+    case _         => v.getDouble(i)
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lt = elemType(left).get; val rt = elemType(right).get
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       // promote BEFORE multiplying: float*float rounds the product to
       // float and diverges from double-accumulating engines by ~1ulp
-      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
+      val xi = get(x, i, lt); val yi = get(y, i, rt)
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
@@ -52,11 +65,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      def rd(v: String, t: DataType): String = t match {
+        case FloatType => s"(double) $v.getFloat($i)"
+        case _         => s"$v.getDouble($i)"
+      }
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double xa = (double) $x.getFloat($i); double ya = (double) $y.getFloat($i);
+         |  double xa = ${rd(x, elemType(left).get)}; double ya = ${rd(y, elemType(right).get)};
          |  $dot += xa * ya; $nx += xa * xa; $ny += ya * ya;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0)

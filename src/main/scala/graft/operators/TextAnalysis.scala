@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis family for LLM-pipeline workloads (SURVEY.md §2 E)
@@ -178,6 +179,79 @@ object TextAnalysis {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("wc").as("total_tokens"))
       .orderBy("lang")
+  }
+
+  /** q60: intra-document repetition signals — the Gopher/C4-family
+    * quality rules that catch boilerplate and degenerate generation:
+    * duplicate-word fraction, duplicate-bigram fraction, and the
+    * character share of the single most frequent bigram. Word-level
+    * stats are per-row array expressions (no shuffle); only the
+    * per-doc bigram MODE needs an explode + two-level aggregation —
+    * keys are (doc_id, gram), hash-derived and skew-free, and the
+    * map-side partial agg collapses each doc's grams before the
+    * shuffle, so the plan is one linear pass at any corpus size.
+    * All fractions are exact long/long IEEE divisions ⇒ ORACLE-EXACT.
+    */
+  def repetition(spark: SparkSession, dir: String,
+                 topFracThr: Double = 0.125, dupWordThr: Double = 0.55): DataFrame = {
+    val toks = col("toks")
+    // bigrams NON-distinct (BigramShingles dedups, so spell it out);
+    // guard: sequence(1, n) DESCENDS for n < 1
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), toks,
+        size(toks).as("n_words"),
+        size(array_distinct(toks)).as("n_uniq_words"))
+      .select(col("doc_id"), col("n_words"), col("n_uniq_words"),
+        bigrams.as("bi"))
+      .select(col("doc_id"), col("n_words"), col("n_uniq_words"),
+        size(col("bi")).as("n_bigrams"),
+        size(array_distinct(col("bi"))).as("n_uniq_bigrams"), col("bi"))
+    val topCnt = base
+      .select(col("doc_id"), explode(col("bi")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_cnt"))
+    base.drop("bi")
+      .join(topCnt, Seq("doc_id"), "left")
+      .withColumn("top_bigram_cnt", coalesce(col("top_bigram_cnt"), lit(0L)))
+      .withColumn("dup_word_frac",
+        try_divide((col("n_words") - col("n_uniq_words")).cast("double"), col("n_words")))
+      .withColumn("dup_bigram_frac",
+        try_divide((col("n_bigrams") - col("n_uniq_bigrams")).cast("double"), col("n_bigrams")))
+      .withColumn("top_bigram_frac",
+        try_divide(col("top_bigram_cnt").cast("double"), col("n_bigrams")))
+      // the top-bigram rule fires only when the top bigram actually
+      // repeats — 1/n_bigrams alone would flag every short doc
+      .withColumn("repetitive",
+        coalesce(col("dup_word_frac") >= dupWordThr, lit(false)) ||
+          (col("top_bigram_cnt") >= 2 &&
+            coalesce(col("top_bigram_frac") >= topFracThr, lit(false))))
+      .select("doc_id", "n_words", "n_uniq_words", "n_bigrams", "n_uniq_bigrams",
+        "top_bigram_cnt", "dup_word_frac", "dup_bigram_frac", "top_bigram_frac", "repetitive")
+      .orderBy("doc_id")
+  }
+
+  /** q63: quality-decile binning — ntile(10) per language over the
+    * q31 quality score (the curriculum/sampling step that follows
+    * quality scoring in a pretraining pipeline), rolled up to
+    * per-(lang, bin) counts and score ranges. The ntile window
+    * shuffles on lang with a total (quality desc, doc_id) order —
+    * deterministic tie-breaks, identical bucket-boundary arithmetic
+    * in both engines.
+    */
+  def qualityBins(spark: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    Tables.documents(spark, dir).select("doc_id", "lang")
+      .join(qualityScore(spark, dir).select("doc_id", "quality"), "doc_id")
+      .withColumn("bin", ntile(bins).over(w))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min("quality").as("min_q"), max("quality").as("max_q"))
+      .orderBy("lang", "bin")
   }
 
   /** q33: content fingerprinting via the one-pass rolling-hash

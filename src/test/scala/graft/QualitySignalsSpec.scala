@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the round-6 quality-signal operators: q60 repetition
+  * (hand-computed fractions on planted degenerate docs, the
+  * short-doc guard on the top-bigram rule), q63 quality bins
+  * (bucket sizes + monotone score ranges), q61 embedding outliers
+  * (a planted far-from-centroid vector must rank first), and q62
+  * hard negatives (cross-label only, planted near-identical
+  * different-label vector wins).
+  */
+class QualitySignalsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("repetition computes exact fractions on planted degenerate docs") {
+    val dir = "/fake/quality_repetition"
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (0L, "spam spam spam spam"),        // 4 words, 1 uniq; 3 bigrams all "spam spam"
+      (1L, "a b c d e"),                  // fully distinct, 4 bigrams
+      (2L, "solo"),                       // 1 word -> no bigrams, NULL fracs
+      (3L, "go go stop go go stop go go") // top bigram "go go" repeats
+    ).toDF("doc_id", "text"))
+    val r = operators.TextAnalysis.repetition(spark, dir)
+      .collect().map(x => x.getLong(0) -> x).toMap
+
+    val d0 = r(0L)
+    assert(d0.getInt(1) == 4 && d0.getInt(2) == 1, "4 words, 1 unique")
+    assert(d0.getInt(3) == 3 && d0.getInt(4) == 1 && d0.getLong(5) == 3L)
+    assert(d0.getDouble(6) == 0.75 && d0.getDouble(8) == 1.0)
+    assert(d0.getBoolean(9), "pure repetition is flagged")
+
+    val d1 = r(1L)
+    assert(d1.getDouble(6) == 0.0 && d1.getLong(5) == 1L)
+    assert(!d1.getBoolean(9),
+      "a short fully-distinct doc is NOT flagged even though 1/n_bigrams > threshold")
+
+    val d2 = r(2L)
+    assert(d2.getInt(3) == 0 && d2.isNullAt(7) && d2.isNullAt(8) && !d2.getBoolean(9),
+      "a bigram-less doc has NULL bigram fractions and is not flagged")
+
+    val d3 = r(3L)
+    assert(d3.getLong(5) == 3L, "top bigram 'go go' occurs 3 times")
+    assert(d3.getBoolean(9), "3/7 top-bigram share is flagged")
+  }
+
+  test("qualityBins fills every lang with balanced, score-monotone deciles") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = operators.TextAnalysis.qualityBins(spark, dir).collect()
+    val langs = rows.map(_.getString(0)).distinct
+    assert(langs.nonEmpty)
+    langs.foreach { l =>
+      val bins = rows.filter(_.getString(0) == l).sortBy(_.getInt(1))
+      assert(bins.map(_.getInt(1)).toSeq == (1 to bins.length), s"contiguous bins for $l")
+      // ntile balance: sizes differ by at most one
+      val sizes = bins.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"ntile balance for $l: ${sizes.toSeq}")
+      // bin 1 holds the best scores: each bin's min >= the next bin's max
+      bins.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getDouble(3) >= lo.getDouble(4),
+            s"$l bin ${hi.getInt(1)} min_q must be >= bin ${lo.getInt(1)} max_q")
+        case _ => ()
+      }
+    }
+  }
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  test("embeddingOutliers ranks a planted far-from-centroid vector first") {
+    val dir = "/fake/quality_outliers"
+    Tables.registerOverride(spark, dir, "embeddings", Seq(
+      (0, 0, vec(1.0, 0.05)), (1, 0, vec(1.0, -0.05)), (2, 0, vec(0.95, 0.0)),
+      (3, 0, vec(-1.0, 0.0)), // label-0 outlier: opposite the cluster
+      (10, 1, vec(0.0, 1.0)), (11, 1, vec(0.05, 1.0)), (12, 1, vec(-0.05, 1.0))
+    ).toDF("vec_id", "label", "embedding"))
+    val r = operators.EmbeddingQuality.embeddingOutliers(spark, dir, bottomK = 2).collect()
+    assert(r.length == 4, "bottom-2 per label over 2 labels")
+    val lbl0 = r.filter(_.getInt(1) == 0).sortBy(_.getInt(3))
+    assert(lbl0.head.getInt(0) == 3, "the planted opposite vector is the #1 outlier")
+    assert(lbl0.head.getDouble(2) < 0, "...with negative centroid similarity")
+    assert(lbl0(1).getDouble(2) >= lbl0.head.getDouble(2), "rank order follows csim")
+  }
+
+  test("hardNegatives returns only cross-label results, nearest first") {
+    val dir = "/fake/quality_hardneg"
+    Tables.registerOverride(spark, dir, "embeddings", Seq(
+      (0, 0, vec(1.0, 0.0)),          // anchor (0 % anchorMod == 0)
+      (1, 0, vec(0.99, 0.01)),        // same label: must NOT appear
+      (2, 1, vec(0.999, 0.01)),       // planted near-identical, other label
+      (3, 1, vec(0.0, 1.0)),
+      (4, 2, vec(0.5, 0.5))
+    ).toDF("vec_id", "label", "embedding"))
+    val r = operators.EmbeddingQuality.hardNegatives(spark, dir, k = 2).collect()
+    assert(r.forall(_.getInt(0) == 0), "only vec 0 is an anchor here")
+    assert(r.forall(x => x.getInt(3) != x.getInt(1)), "negatives never share the anchor's label")
+    val byRank = r.sortBy(_.getInt(5))
+    assert(byRank.head.getInt(2) == 2, "the planted near-duplicate is the hardest negative")
+    assert(byRank.map(_.getDouble(4)).toSeq == byRank.map(_.getDouble(4)).sortBy(-(_: Double)).toSeq)
+  }
+}
