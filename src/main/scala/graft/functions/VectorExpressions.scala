@@ -232,5 +232,7 @@ object GraftFunctions {
         val k = exprs(1).eval(null).asInstanceOf[Int]
         SignBits(exprs(0), k)
       }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "repetition_stats", (exprs: Seq[Expression]) => RepetitionStats(exprs(0)), "built-in")
   }
 }

@@ -45,6 +45,40 @@ class QualitySignalsSpec extends AnyFunSuite {
     assert(d3.getBoolean(9), "3/7 top-bigram share is flagged")
   }
 
+  test("repetition_stats matches the declarative split/HOF spelling bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    // edge cases: empty string (split -> [""]), multi-space runs
+    // (empty tokens), single token, unicode, heavy repetition
+    val docs = Seq("", " ", "a", "a  b", "x y x y x y", "héllo wörld héllo wörld",
+      "the the the", "a b", "trailing space ", " leading").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    df.createOrReplaceTempView("rs_parity")
+    val got = spark.sql(
+      """SELECT doc_id, repetition_stats(text) AS r FROM rs_parity""")
+      .selectExpr("doc_id", "r.n_words", "r.n_uniq_words", "r.n_bigrams",
+        "r.n_uniq_bigrams", "r.top_bigram_cnt")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4), x.getLong(5)))
+      .sortBy(_._1)
+    val want = spark.sql(
+      """SELECT doc_id, toks, CASE WHEN size(toks) >= 2
+        |  THEN transform(sequence(1, size(toks) - 1),
+        |       i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+        |  ELSE CAST(array() AS ARRAY<STRING>) END AS bi
+        |FROM (SELECT doc_id, split(text, ' ') AS toks FROM rs_parity)""".stripMargin)
+      .selectExpr("doc_id", "size(toks)", "size(array_distinct(toks))", "size(bi)",
+        "size(array_distinct(bi))",
+        // per-doc mode multiplicity via a per-row fold over the sorted array
+        """CAST(coalesce(aggregate(array_sort(bi), struct(CAST(NULL AS STRING) AS p, 0L AS run, 0L AS best),
+          |  (s, g) -> named_struct('p', g,
+          |     'run', CASE WHEN s.p IS NOT NULL AND g = s.p THEN s.run + 1 ELSE 1L END,
+          |     'best', greatest(s.best, CASE WHEN s.p IS NOT NULL AND g = s.p THEN s.run + 1 ELSE 1L END)),
+          |  s -> s.best), 0L) AS BIGINT)""".stripMargin)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4), x.getLong(5)))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("qualityBins fills every lang with balanced, score-monotone deciles") {
     val dir = "/root/testdata/sf0.001"
     val rows = operators.TextAnalysis.qualityBins(spark, dir).collect()
