@@ -72,6 +72,7 @@ object SparkEntry {
     "q63_quality_bins"      -> ((s, d) => TextAnalysis.qualityBins(s, d)),
     "q61_emb_outliers"      -> ((s, d) => EmbeddingQuality.embeddingOutliers(s, d)),
     "q62_hard_negs"         -> ((s, d) => EmbeddingQuality.hardNegatives(s, d)),
+    "q62b_hard_negs_ivf"    -> ((s, d) => EmbeddingQuality.hardNegativesIvf(s, d)),
     "q56_reply_threads"     -> ((s, d) => ReplyChains.eventThreads(s, d)),
     "q56b_thread_stats"     -> ((s, d) => ReplyChains.eventThreadStats(s, d)),
     "q30_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),

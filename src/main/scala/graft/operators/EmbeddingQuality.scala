@@ -63,11 +63,11 @@ object EmbeddingQuality {
   /** q62: hard-negative mining — for each anchor (deterministic
     * vec_id residue sample), the top-k most cosine-similar vectors
     * with a DIFFERENT label: the classic contrastive-training
-    * negatives. Brute-force scored scan vs a broadcast anchor set
-    * (nAnchors ≈ N/anchorMod — bounded by construction); at corpus
-    * scale the scan prunes through the persisted IVF index (q48)
-    * exactly as q19b's probe side does — this operator is the
-    * oracle-checkable brute-force semantics.
+    * negatives. Brute-force nested-loop over N×nAnchors with
+    * nAnchors ∝ N — O(N²/anchorMod) cosines: the ORACLE-checkable
+    * exact semantics, kept as the correctness twin of the IVF-pruned
+    * scale path `hardNegativesIvf` (the q29/q29b split; VERDICT r06
+    * named this brute force the last O(N²) shape in the engine).
     */
   def hardNegatives(spark: SparkSession, dir: String,
                     k: Int = 5, anchorMod: Int = 101): DataFrame = {
@@ -78,6 +78,61 @@ object EmbeddingQuality {
         col("embedding").as("avec"))
     val w = Window.partitionBy("anchor_id").orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(anchors), col("label") =!= col("anchor_label"))
+      .withColumn("sim", round(expr("cosine_sim(embedding, avec)"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("anchor_id"), col("anchor_label"), col("vec_id"), col("label"),
+        col("sim"), col("rk").cast("int").as("rk"))
+      .orderBy("anchor_id", "rk")
+  }
+
+  /** q62b: IVF-pruned hard-negative mining — the 100 TB spelling of
+    * q62. Candidates come from the persisted MINING index
+    * (VectorIndex.buildMining: fine cells ≈ N/125 vectors each,
+    * inverted lists carrying vec_id+label+embedding):
+    *
+    *   1. anchors rank cells through the shared two-level
+    *      `Vectors.assignCells` kernel (coarse→fine, ~√nLists cosines
+    *      per anchor — never an N×nLists crossJoin) and keep their
+    *      top `nProbe` cells;
+    *   2. an EQUALITY join on cell pulls each probed cell's inverted
+    *      list — shuffles on the cell key at scale, never an O(N)
+    *      broadcast of the anchor set;
+    *   3. cross-label filter, cosine scoring, per-anchor top-k.
+    *
+    * Per-anchor work is nProbe·(N/nLists) ≈ nProbe·125 candidate
+    * cosines — CONSTANT under the IVF sizing law — so total mining
+    * cost is O(N·nProbe·cellSize/anchorMod): linear in the corpus,
+    * vs the brute twin's quadratic (measured in tools.NegMineProbe).
+    * Approximate by construction (a true negative hiding in a
+    * non-probed cell is missed): EXACT-dup cross-label negatives are
+    * always recovered — identical vectors rank cells identically, so
+    * the anchor's top probe IS the negative's cell (spec-pinned);
+    * corpus recall vs the brute twin is measured in NegMineProbe.
+    * Rows-only in the driver gate (blocking is engine-internal),
+    * cross-validated against `hardNegatives` in the spec.
+    */
+  def hardNegativesIvf(spark: SparkSession, dir: String,
+                       k: Int = 5, anchorMod: Int = 101,
+                       nProbe: Int = 3, nLists: Int = 0): DataFrame = {
+    GraftFunctions.register(spark)
+    val path = VectorIndex.miningPath(spark, dir)
+    if (!VectorIndex.fresh(spark, dir, path)) VectorIndex.buildMining(spark, dir, path, nLists)
+    val cents = VectorIndex.centroids(spark, path)
+      .select(col("cell").as("c_cell"), col("cvec"))
+    val nCells = cents.count().toInt
+    val anchors = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % anchorMod === 0)
+      .select(col("vec_id"), col("label").as("anchor_label"), col("embedding"))
+    val probes = Vectors.assignCells(anchors.select("vec_id", "embedding"), cents,
+        nProbe = nProbe, nCoarse = Vectors.autoCoarse(nCells))
+      .join(anchors, "vec_id")
+      .select(col("vec_id").as("anchor_id"), col("anchor_label"),
+        col("embedding").as("avec"), col("cell"))
+    val w = Window.partitionBy("anchor_id").orderBy(col("sim").desc, col("vec_id"))
+    VectorIndex.cells(spark, path)
+      .join(probes, Seq("cell"))
+      .filter(col("label") =!= col("anchor_label"))
       .withColumn("sim", round(expr("cosine_sim(embedding, avec)"), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -175,6 +175,46 @@ object VectorIndex {
     writeWatermark(spark, path, snapshot)
   }
 
+  /** MINING-flavored index: fine IVF cells (nLists ≈ N/125, the
+    * dedup-index sizing) whose inverted lists carry the FULL candidate
+    * row (vec_id, label, embedding) — the layout hard-negative mining
+    * probes (q62b). Differs from `build` (one cell per label — cells
+    * bounded by label cardinality) and from `buildDedup` (fine cells
+    * but slim multi-probe assignments): mining needs fine cells so the
+    * per-anchor candidate count is nProbe·(N/nLists) = O(cell size),
+    * AND label+embedding in the list so scoring never joins back to
+    * the base table. Cell = top-1 two-level assignment against
+    * vec_id-seeded decimal-mean centroids — deterministic under any
+    * partitioning; same watermark freshness contract as the others.
+    */
+  def buildMining(spark: SparkSession, dir: String, path: String, nLists: Int = 0,
+                  refineIters: Int = 0): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val snapshot = sourceSnapshot(spark, dir)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+    val n = e.count()
+    val lists = if (nLists > 0) nLists else math.max(16, (n / 125L).toInt)
+    // Centroids are REAL member vectors (q19b's seed rule, via
+    // refinedCentroids) — residue-group MEANS all sit at the global
+    // mean and collapse cells; NegMineProbe measured vector seeds
+    // fastest AND best-recall at the largest n on the synthetic
+    // corpus (no cluster structure for Lloyd to exploit), so the
+    // default skips refinement; corpora with real cluster structure
+    // can pass refineIters > 0 (build-time cost only).
+    val cents = Vectors.refinedCentroids(e.select("vec_id", "embedding"), lists, refineIters)
+    val assign = Vectors.assignCells(e.select("vec_id", "embedding"), cents,
+      nProbe = 1, nCoarse = Vectors.autoCoarse(lists))
+    cents.select(col("c_cell").as("cell"), col("cvec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    e.join(assign.select("vec_id", "cell"), "vec_id")
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    writeWatermark(spark, path, snapshot)
+  }
+
+  def miningPath(spark: SparkSession, dir: String): String =
+    defaultPath(spark, dir) + "_mine"
+
   def centroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/centroids")
 

@@ -175,6 +175,39 @@ object Vectors {
     assign
   }
 
+  /** Lloyd-refined FINE centroids over (vec_id, embedding) rows:
+    * vec_id-residue seeds bootstrap `lists` cells, then `iters`
+    * rounds of top-1 reassignment + decimal-mean recompute tighten
+    * them. Residue seeding alone leaves every centroid ≈ the global
+    * mean (random groups — the same no-signal trap the coarse level
+    * documents below), which is fine for blocking that verifies
+    * candidates exactly (q29b) but ruins PROBE recall for consumers
+    * that rank cells and never look outside them (q62b mining:
+    * measured 0.47→0.18 top-k recall as nLists grew, pre-refinement).
+    * Deterministic: decimal means + rounded-cosine ranking with cell
+    * tie-breaks, same as every other IVF kernel here.
+    */
+  private[graft] def refinedCentroids(e: DataFrame, lists: Int, iters: Int = 1): DataFrame = {
+    // seeds are ACTUAL member vectors (min vec_id per residue class —
+    // the q19b seed rule), not residue-group means: a mean of a
+    // random group ≈ the global mean for every cell, which makes all
+    // cells equally similar to everything — Lloyd then collapses the
+    // corpus into a few giant cells (measured: probe joins blew up
+    // 1.7s → 14-26s on the replicated-corpus probe) while real-vector
+    // seeds keep cells anchored to distinct points of the space.
+    val seedW = Window.partitionBy(pmod(col("vec_id"), lit(lists))).orderBy("vec_id")
+    var cents = e.withColumn("rn", row_number().over(seedW)).filter(col("rn") === 1)
+      .select(pmod(col("vec_id"), lit(lists)).cast("int").as("c_cell"),
+        col("embedding").as("cvec"))
+    for (_ <- 1 to iters) {
+      val a = assignCells(e.select("vec_id", "embedding"), cents,
+        nProbe = 1, nCoarse = autoCoarse(lists))
+      cents = centroidsOf(
+        e.join(a.select("vec_id", "cell"), "vec_id").select("cell", "embedding"))
+    }
+    cents
+  }
+
   /** Exact decimal-mean centroids of an assignment (cell, cvec). */
   private[graft] def centroidsOf(assign: DataFrame): DataFrame =
     assign.select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
