@@ -66,10 +66,12 @@ object SparkEntry {
     "q54_decontam"          -> ((s, d) => Curation.decontaminate(s, d)),
     "q55_pii_scrub"         -> ((s, d) => Curation.piiScrub(s, d)),
     "q57_pack_sequences"    -> ((s, d) => Curation.packSequences(s, d)),
+    "q57b_pack_sharded"     -> ((s, d) => Curation.packSequencesSharded(s, d)),
     "q58_distinctive_terms" -> ((s, d) => Curation.distinctiveTerms(s, d)),
     "q59_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "q60_repetition"        -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q63_quality_bins"      -> ((s, d) => TextAnalysis.qualityBins(s, d)),
+    "q63b_bins_chunked"     -> ((s, d) => TextAnalysis.qualityBinsChunked(s, d)),
     "q61_emb_outliers"      -> ((s, d) => EmbeddingQuality.embeddingOutliers(s, d)),
     "q62_hard_negs"         -> ((s, d) => EmbeddingQuality.hardNegatives(s, d)),
     "q62b_hard_negs_ivf"    -> ((s, d) => EmbeddingQuality.hardNegativesIvf(s, d)),
@@ -116,6 +118,18 @@ object SparkEntry {
        |    SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms,
        |      LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
        |    FROM events) a) b""".stripMargin
+
+  private val q63Sql =
+    s"""WITH q AS (
+       |  SELECT doc_id, round(CAST(n_stop AS DOUBLE) / wc * 0.5 + LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) * 0.5, 6) AS quality
+       |  FROM (SELECT doc_id, text, $wcSql AS wc,
+       |        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS n_stop
+       |        FROM documents) t),
+       |b AS (SELECT d.lang, q.doc_id, q.quality,
+       |  ntile(10) OVER (PARTITION BY d.lang ORDER BY q.quality DESC, q.doc_id) AS bin
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id)
+       |SELECT lang, CAST(bin AS INT) AS bin, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q
+       |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_temporal_sessions" ->
@@ -291,6 +305,19 @@ object SparkEntry {
          |    CASE WHEN p.acc + o.wc > 256 THEN o.wc ELSE p.acc + o.wc END
          |  FROM o JOIN p ON o.lang = p.lang AND o.rn = p.rn + 1)
          |SELECT lang, doc_id, wc, pack_id FROM p ORDER BY lang, doc_id""".stripMargin,
+    "q57b_pack_sharded" ->
+      s"""WITH RECURSIVE o AS (
+         |  SELECT lang, doc_id // 128 AS shard, doc_id, CAST($wcSql AS BIGINT) AS wc,
+         |    ROW_NUMBER() OVER (PARTITION BY lang, doc_id // 128 ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |p AS (
+         |  SELECT lang, shard, rn, doc_id, wc, CAST(0 AS BIGINT) AS pack_id, wc AS acc FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.lang, o.shard, o.rn, o.doc_id, o.wc,
+         |    CASE WHEN p.acc + o.wc > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+         |    CASE WHEN p.acc + o.wc > 256 THEN o.wc ELSE p.acc + o.wc END
+         |  FROM o JOIN p ON o.lang = p.lang AND o.shard = p.shard AND o.rn = p.rn + 1)
+         |SELECT lang, shard, doc_id, wc, pack_id FROM p ORDER BY lang, shard, doc_id""".stripMargin,
     "q58_distinctive_terms" ->
       """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
         |tf AS (SELECT lang, word, COUNT(*) AS tf FROM w GROUP BY lang, word),
@@ -371,17 +398,9 @@ object SparkEntry {
         |       AND COALESCE(CASE WHEN n_bigrams = 0 THEN NULL ELSE CAST(COALESCE(tc.top_cnt, 0) AS DOUBLE) / n_bigrams END >= 0.125, FALSE))) AS repetitive
         |FROM s LEFT JOIN tc ON s.doc_id = tc.doc_id
         |ORDER BY s.doc_id""".stripMargin,
-    "q63_quality_bins" ->
-      s"""WITH q AS (
-         |  SELECT doc_id, round(CAST(n_stop AS DOUBLE) / wc * 0.5 + LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) * 0.5, 6) AS quality
-         |  FROM (SELECT doc_id, text, $wcSql AS wc,
-         |        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS n_stop
-         |        FROM documents) t),
-         |b AS (SELECT d.lang, q.doc_id, q.quality,
-         |  ntile(10) OVER (PARTITION BY d.lang ORDER BY q.quality DESC, q.doc_id) AS bin
-         |  FROM q JOIN documents d ON q.doc_id = d.doc_id)
-         |SELECT lang, CAST(bin AS INT) AS bin, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q
-         |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q63_quality_bins" -> q63Sql,
+    // q63b is the skew-safe decomposition of the SAME result contract
+    "q63b_bins_chunked" -> q63Sql,
     "q61_emb_outliers" ->
       """WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |dims AS (

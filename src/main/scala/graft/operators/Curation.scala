@@ -129,6 +129,52 @@ object Curation {
       .orderBy("lang", "doc_id")
   }
 
+  private[operators] case class DocTokS(lang: String, shard: Long, doc_id: Long, wc: Long)
+
+  /** q57b: SHARDED sequence packing — the 100 TB spelling of q57
+    * (VERDICT r06: `repartition(lang)` packs each language in ONE
+    * task; any real pretraining corpus is one dominant language).
+    * Shard = doc_id DIV shardWidth — a fixed-width, data-independent
+    * range bucket, so the fold key becomes (lang, shard) and the
+    * dominant language parallelizes across ⌈|lang|/shardWidth⌉ tasks
+    * while the fold inside a shard is IDENTICAL to the global fold
+    * run on that shard's documents alone (spec-pinned law: packing is
+    * a per-key streaming fold, so restricting the input restricts the
+    * output). Pack ids are per-(lang, shard) — at training time a
+    * pack is addressed (lang, shard, pack_id), which is exactly how a
+    * sharded corpus addresses its sequences anyway. Oracle-EXACT: the
+    * DuckDB twin replays the same fold as a recursive CTE partitioned
+    * by (lang, shard).
+    */
+  def packSequencesSharded(spark: SparkSession, dir: String, budget: Long = 256,
+                           shardWidth: Long = 128): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("lang"), expr(s"doc_id DIV $shardWidth").as("shard"),
+        col("doc_id"), TextAnalysis.wordCount.cast("long").as("wc"))
+      .as[DocTokS]
+      .repartition(col("lang"), col("shard"))
+      .sortWithinPartitions("lang", "shard", "doc_id")
+      .mapPartitions { it =>
+        // (lang, shard) runs are contiguous after the sort; reset the
+        // fold on either boundary. State is two longs — constant memory.
+        var curLang: String = null
+        var curShard = Long.MinValue
+        var pack = 0L
+        var acc = 0L
+        it.map { d =>
+          if (d.lang != curLang || d.shard != curShard) {
+            curLang = d.lang; curShard = d.shard; pack = 0L; acc = d.wc
+          }
+          else if (acc + d.wc > budget) { pack += 1; acc = d.wc }
+          else acc += d.wc
+          (d.lang, d.shard, d.doc_id, d.wc, pack)
+        }
+      }
+      .toDF("lang", "shard", "doc_id", "wc", "pack_id")
+      .orderBy("lang", "shard", "doc_id")
+  }
+
   /** q58: distinctive terms per language — tf weighted by integer
     * df-rarity (n_langs − df + 1), the exact-arithmetic analog of
     * tf-idf: ln-idf would hinge on libm bit-parity across engines

@@ -241,6 +241,61 @@ object TextAnalysis {
       .orderBy("lang", "bin")
   }
 
+  /** q63b: SKEW-SAFE quality binning — identical bins to q63 (same
+    * oracle), but the per-lang ntile window is decomposed the way
+    * q01b decomposes sessionization: Window.partitionBy(lang) alone
+    * serializes a dominant language into one task, and ntile is
+    * purely positional, so the global rank is rebuilt from
+    * per-(lang, RANGE-BUCKET) pieces:
+    *
+    *   1. bucket = floor(quality·buckets) — monotone in the ORDER key
+    *      (quality DESC ⇔ bucket DESC; equal qualities share a
+    *      bucket; NULL quality → bucket −1, which sorts last under
+    *      DESC exactly like ntile's default null placement);
+    *   2. local rank within (lang, bucket) — the skew-split window:
+    *      the hot language spreads over up to `buckets`+1 tasks;
+    *   3. offset = rows in strictly-higher buckets (a window over the
+    *      tiny |lang|×|buckets| count frame), rn = offset + local;
+    *   4. bin from ntile's positional law: with c rows, q = c div n,
+    *      r = c mod n, the first r bins hold q+1 rows.
+    *
+    * Identical-rn ⇒ identical-bin, so the result is bit-equal to q63
+    * (spec-pinned on a planted 10×-skewed lang). Residual limit: a
+    * corpus where one lang's quality mass concentrates in ONE bucket
+    * re-serializes that bucket — the same residual q01b documents for
+    * single-burst users; more buckets or a second split key fix it.
+    */
+  def qualityBinsChunked(spark: SparkSession, dir: String, bins: Int = 10,
+                         buckets: Int = 64): DataFrame = {
+    val scored = Tables.documents(spark, dir).select("doc_id", "lang")
+      .join(qualityScore(spark, dir).select("doc_id", "quality"), "doc_id")
+      .withColumn("bucket",
+        when(col("quality").isNull, lit(-1))
+          .otherwise(floor(col("quality") * buckets).cast("int")))
+    val wLocal = Window.partitionBy("lang", "bucket").orderBy(col("quality").desc, col("doc_id"))
+    val local = scored.withColumn("r", row_number().over(wLocal))
+    val wOff = Window.partitionBy("lang").orderBy(col("bucket").desc)
+    val offs = scored.groupBy("lang", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum("cnt").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "bucket", "off")
+    val totals = scored.groupBy("lang").agg(count(lit(1)).as("c"))
+    local.join(offs, Seq("lang", "bucket"))
+      .join(broadcast(totals), "lang")
+      .withColumn("rn", col("off") + col("r"))
+      .withColumn("nq", expr(s"c DIV $bins"))
+      .withColumn("rem", expr(s"c % $bins"))
+      .withColumn("bin",
+        when(col("rn") <= col("rem") * (col("nq") + 1),
+          expr("(rn - 1) DIV (nq + 1) + 1"))
+          .otherwise(expr("rem + (rn - rem * (nq + 1) - 1) DIV nq + 1"))
+          .cast("int"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min("quality").as("min_q"), max("quality").as("max_q"))
+      .orderBy("lang", "bin")
+  }
+
   /** q33: content fingerprinting via the one-pass rolling-hash
     * expression; dup-group id = min doc_id per fingerprint. Hash bits
     * are engine-internal ⇒ rows-only oracle.

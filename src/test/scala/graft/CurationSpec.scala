@@ -71,6 +71,32 @@ class CurationSpec extends AnyFunSuite {
       "fold resets on the lang boundary (200+10 fits pack 0, not en's running pack 3)")
   }
 
+  test("packSequencesSharded: per-shard fold equals the global fold on that shard's docs") {
+    val dir = "/fake/curation_pack_sharded"
+    // dominant lang spanning 3 shards at shardWidth=128, minority lang in one
+    val en = (0L until 300L).map(i => (i, "en", words(if (i % 3 == 0) 200 else 60)))
+    val fr = Seq((301L, "fr", words(100)), (302L, "fr", words(100)))
+    Tables.registerOverride(spark, dir, "documents", (en ++ fr).toDF("doc_id", "lang", "text"))
+    val sharded = operators.Curation.packSequencesSharded(spark, dir, budget = 256)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)) -> (x.getLong(3), x.getLong(4)))
+      .toMap
+    val shards = sharded.keys.filter(_._1 == "en").map(_._2).toSet
+    assert(shards == Set(0L, 1L, 2L), "the dominant lang splits across 3 independent fold keys")
+    // shard law: restrict the corpus to one shard, run the GLOBAL
+    // (q57) fold on it — rows must match the sharded output exactly
+    shards.foreach { s =>
+      val subDir = s"/fake/curation_pack_sharded_$s"
+      Tables.registerOverride(spark, subDir, "documents",
+        en.filter(_._1 / 128 == s).toDF("doc_id", "lang", "text"))
+      val global = operators.Curation.packSequences(spark, subDir, budget = 256)
+        .collect().map(x => (x.getString(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+      global.foreach { case ((lang, docId), (wc, packId)) =>
+        assert(sharded((lang, s, docId)) == ((wc, packId)),
+          s"shard $s doc $docId: sharded fold must equal the global fold on the restricted input")
+      }
+    }
+  }
+
   test("distinctiveTerms weights lang-unique words above shared ones") {
     val dir = "/fake/curation_terms"
     Tables.registerOverride(spark, dir, "documents", Seq(

@@ -100,6 +100,26 @@ class QualitySignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityBinsChunked equals qualityBins on a planted 10x-skewed lang") {
+    val dir = "/fake/quality_bins_skew"
+    // one dominant lang (1000 docs) vs two small ones (100 each),
+    // with repeated quality values so bucket-boundary ties exercise
+    // the positional-rank reconstruction, plus an empty-text doc for
+    // the NULL-quality path
+    val docs = (0L until 1000L).map(i => (i, "en", Seq.fill((i % 37 + 1).toInt)("the word").mkString(" "))) ++
+      (1000L until 1100L).map(i => (i, "fr", Seq.fill((i % 11 + 1).toInt)("le mot").mkString(" "))) ++
+      (1100L until 1200L).map(i => (i, "es", Seq.fill((i % 7 + 1).toInt)("la palabra").mkString(" "))) ++
+      Seq((1200L, "en", ""))
+    Tables.registerOverride(spark, dir, "documents", docs.toDF("doc_id", "lang", "text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3), if (r.isNullAt(4)) null else r.getDouble(4))
+    val base = operators.TextAnalysis.qualityBins(spark, dir).collect().map(key).toSeq
+    val chunked = operators.TextAnalysis.qualityBinsChunked(spark, dir).collect().map(key).toSeq
+    assert(base.nonEmpty && chunked == base,
+      "the skew-split decomposition must be bit-identical to the single-window ntile")
+  }
+
   private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
 
   private def deleteIndex(path: String): Unit = {
