@@ -18,17 +18,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * their parents; a reply whose parent never arrived roots at the
   * dangling id exactly like the batch operator).
   *
-  * State is O(messages per chat) — threads reference arbitrarily old
-  * roots, so entries cannot expire on a watermark without breaking
-  * late replies. Production bound: pass idleTtlMs > 0 to evict a
-  * chat's map after that much processing-time silence (a revived
-  * chat's replies to pre-eviction messages then root at the dangling
-  * parent id — degraded exactly to the batch operator's
-  * deleted-parent behavior, never wrong structure). The default is
-  * NO timeout: ProcessingTimeTimeout makes the engine fire timer
-  * micro-batches on every trigger, which livelocks
-  * processAllAvailable-style draining — opt in only under a real
-  * trigger interval.
+  * State is O(messages per chat) by default — threads reference
+  * arbitrarily old roots, so entries cannot expire on a watermark
+  * without breaking late replies. Two production bounds compose:
+  *
+  *   - idleTtlMs > 0 evicts a chat's whole map after that much
+  *     processing-time silence (a revived chat's replies to
+  *     pre-eviction messages then root at the dangling parent id —
+  *     degraded exactly to the batch operator's deleted-parent
+  *     behavior, never wrong structure). Default NO timeout:
+  *     ProcessingTimeTimeout makes the engine fire timer
+  *     micro-batches on every trigger, which livelocks
+  *     processAllAvailable-style draining — opt in only under a real
+  *     trigger interval.
+  *   - maxRecent > 0 ROOT-COMPRESSES a live chat's map after every
+  *     batch: keep every THREAD-ROOT entry (replies resolve against
+  *     their thread's root forever — roots are what threads
+  *     reference) plus the maxRecent highest message ids (the
+  *     frontier a chronological reply actually targets). State is
+  *     then O(threads + maxRecent) instead of O(messages): a
+  *     single-thread firehose chat plateaus at 1 + maxRecent entries
+  *     (spec-asserted). A late reply to an evicted MID-CHAIN message
+  *     roots at the dangling parent id — again the deleted-parent
+  *     degradation, never wrong structure.
   */
 object ReplyChainStream {
 
@@ -36,8 +48,25 @@ object ReplyChainStream {
   case class ThreadOut(chat_id: Long, message_id: Long, root_id: Long, depth: Long)
   case class ChainState(roots: Map[Long, (Long, Long)])
 
+  /** Root-compression law: every root entry (root_id == message_id)
+    * survives; non-root entries keep only the maxRecent newest ids.
+    * O(state) per batch via a selection threshold, not a full sort.
+    */
+  private[graft] def compress(roots: Map[Long, (Long, Long)],
+                                  maxRecent: Int): Map[Long, (Long, Long)] =
+    if (maxRecent <= 0) roots
+    else {
+      val nonRoots = roots.iterator.filter { case (id, (r, _)) => r != id }.map(_._1).toArray
+      if (nonRoots.length <= maxRecent) roots
+      else {
+        java.util.Arrays.sort(nonRoots)
+        val cutoff = nonRoots(nonRoots.length - maxRecent) // keep ids >= cutoff
+        roots.filter { case (id, (r, _)) => r == id || id >= cutoff }
+      }
+    }
+
   def resolve(spark: SparkSession, messages: Dataset[Msg],
-              idleTtlMs: Long = 0L): Dataset[ThreadOut] = {
+              idleTtlMs: Long = 0L, maxRecent: Int = 0): Dataset[ThreadOut] = {
     import spark.implicits._
     val timeout =
       if (idleTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
@@ -61,7 +90,7 @@ object ReplyChainStream {
               roots += m.message_id -> (root, depth)
               ThreadOut(chat, m.message_id, root, depth)
             }
-            state.update(ChainState(roots))
+            state.update(ChainState(compress(roots, maxRecent)))
             if (idleTtlMs > 0) state.setTimeoutDuration(idleTtlMs)
             out.iterator
           }

@@ -44,4 +44,34 @@ class ReplyChainStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(got == batch, "stream state across batches must equal batch pointer jumping")
   }
+
+  test("root-compressed state plateaus on a single-thread firehose and keeps roots resolvable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Msg]
+    val q = resolve(spark, stream.toDS(), maxRecent = 8)
+      .writeStream.format("memory").queryName("chains_rc").outputMode("append").start()
+    // one long-lived chat: message i replies to i-1 (a single thread)
+    (0L until 60L).grouped(20).foreach { ids =>
+      stream.addData(ids.map(i => Msg(1, i, if (i == 0) None else Some(i - 1))): _*)
+      q.processAllAvailable()
+    }
+    // a late reply to the ROOT (always kept) resolves exactly; a late
+    // reply to an evicted mid-chain message degrades to dangling-root
+    stream.addData(Msg(1, 100, Some(0)), Msg(1, 101, Some(30)))
+    q.processAllAvailable()
+    val got = spark.table("chains_rc").as[ThreadOut].collect()
+      .map(t => t.message_id -> (t.root_id, t.depth)).toMap
+    q.stop()
+    assert(got(59L) == (0L, 59L), "the chronological chain resolves exactly under compression")
+    assert(got(100L) == (0L, 1L), "roots survive compression forever")
+    assert(got(101L) == (30L, 1L), "a reply to an evicted mid-chain id roots at the dangling parent")
+
+    // the plateau law, asserted directly on the compression kernel:
+    // a 10k-message single-thread state keeps 1 root + maxRecent
+    val big = (0L until 10000L).map(i => i -> (0L, i)).toMap + (0L -> (0L, 0L))
+    val c = compress(big, maxRecent = 8)
+    assert(c.size == 9, s"state must plateau at roots + maxRecent, got ${c.size}")
+    assert(c.contains(0L) && (9992L until 10000L).forall(c.contains))
+  }
 }
