@@ -63,12 +63,14 @@ object SparkEntry {
     "q29c_dedup_ivf_indexed" -> ((s, d) => Dedup.dedupEmbeddingIvfIndexed(s, d)),
     "q44_dedup_emb_lsh"     -> ((s, d) => Dedup.dedupEmbeddingLshPlanted(s, d)),
     "q53_dup_clusters"      -> ((s, d) => DupGraph.dupClusters(s, d)),
+    "q64_substring_dup"     -> ((s, d) => Dedup.substringDup(s, d)),
     "q54_decontam"          -> ((s, d) => Curation.decontaminate(s, d)),
     "q55_pii_scrub"         -> ((s, d) => Curation.piiScrub(s, d)),
     "q57_pack_sequences"    -> ((s, d) => Curation.packSequences(s, d)),
     "q57b_pack_sharded"     -> ((s, d) => Curation.packSequencesSharded(s, d)),
     "q58_distinctive_terms" -> ((s, d) => Curation.distinctiveTerms(s, d)),
     "q59_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "q65_temperature_mix"   -> ((s, d) => Curation.temperatureMix(s, d)),
     "q60_repetition"        -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q63_quality_bins"      -> ((s, d) => TextAnalysis.qualityBins(s, d)),
     "q63b_bins_chunked"     -> ((s, d) => TextAnalysis.qualityBinsChunked(s, d)),
@@ -305,6 +307,23 @@ object SparkEntry {
          |    CASE WHEN p.acc + o.wc > 256 THEN o.wc ELSE p.acc + o.wc END
          |  FROM o JOIN p ON o.lang = p.lang AND o.rn = p.rn + 1)
          |SELECT lang, doc_id, wc, pack_id FROM p ORDER BY lang, doc_id""".stripMargin,
+    "q64_substring_dup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT t.doc_id, u.i AS pos,
+        |        array_to_string(list_slice(t.toks, u.i, u.i + 7), ' ') AS g
+        |      FROM t, unnest(generate_series(1, len(t.toks) - 7)) AS u(i)
+        |      WHERE len(t.toks) >= 8),
+        |s AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |c AS (SELECT g.doc_id, g.pos FROM g JOIN s ON g.g = s.g),
+        |u2 AS (SELECT doc_id, pos, LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM c),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_dup_grams,
+        |        SUM(LEAST(8, COALESCE(nxt - pos, 8))) AS dup_tokens FROM u2 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+        |  CAST(COALESCE(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(string_split(d.text, ' ')) AS dup_frac
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q57b_pack_sharded" ->
       s"""WITH RECURSIVE o AS (
          |  SELECT lang, doc_id // 128 AS shard, doc_id, CAST($wcSql AS BIGINT) AS wc,
@@ -335,6 +354,16 @@ object SparkEntry {
         |t AS (SELECT s.lang, s.source, (m.min_cnt * 1048576) // s.cnt AS thr FROM s, m)
         |SELECT d.doc_id, d.lang, d.source, (d.doc_id * 2654435761) % 1048576 AS hkey
         |FROM documents d JOIN t ON d.lang = t.lang AND d.source = t.source
+        |WHERE (d.doc_id * 2654435761) % 1048576 < t.thr
+        |ORDER BY d.doc_id""".stripMargin,
+    "q65_temperature_mix" ->
+      """WITH s AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |m AS (SELECT MIN(cnt) AS min_cnt FROM s),
+        |t AS (SELECT s.source,
+        |        CAST(FLOOR(sqrt(CAST(m.min_cnt AS DOUBLE)) / sqrt(CAST(s.cnt AS DOUBLE)) * 1048576) AS BIGINT) AS thr
+        |      FROM s, m)
+        |SELECT d.doc_id, d.lang, d.source, (d.doc_id * 2654435761) % 1048576 AS hkey, t.thr
+        |FROM documents d JOIN t ON d.source = t.source
         |WHERE (d.doc_id * 2654435761) % 1048576 < t.thr
         |ORDER BY d.doc_id""".stripMargin,
     "q56_reply_threads" ->

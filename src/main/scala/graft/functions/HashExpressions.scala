@@ -229,6 +229,59 @@ object BigramShingles {
   }
 }
 
+/** Ordered, NON-distinct k-token grams of a STRING → ARRAY<STRING>,
+  * one codegen-able pass (the k-generalization of BigramShingles,
+  * which is distinct+sorted for set-similarity; span-level dedup
+  * needs every POSITION's gram in order so coverage spans can be
+  * reconstructed). Tokenization is the ShinglesParitySpec-pinned
+  * UTF8String.split contract; inputs with fewer than k tokens yield
+  * an EMPTY array (mirrors the declarative sequence() guard).
+  */
+case class KGrams(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(s"kgrams needs k >= 1, got $k")
+    case other      => TypeCheckResult.TypeCheckFailure(s"kgrams expects STRING, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "kgrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    KGrams.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = KGrams.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.compute($c, $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KGrams {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Static so generated code can call it (see Hashing note above). */
+  def compute(text: UTF8String, k: Int): GenericArrayData = {
+    val toks = text.split(SPACE, -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      var g = toks(i)
+      var j = 1
+      while (j < k) { g = UTF8String.concat(g, SPACE, toks(i + j)); j += 1 }
+      out(i) = g
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** All five intra-document repetition counters of a STRING in ONE
   * codegen-able pass → STRUCT<n_words INT, n_uniq_words INT,
   * n_bigrams INT, n_uniq_bigrams INT, top_bigram_cnt BIGINT>.

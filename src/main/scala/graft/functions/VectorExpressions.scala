@@ -234,5 +234,10 @@ object GraftFunctions {
       }, "built-in")
     reg.createOrReplaceTempFunction(
       "repetition_stats", (exprs: Seq[Expression]) => RepetitionStats(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kgrams", (exprs: Seq[Expression]) => {
+        val k = exprs(1).eval(null).asInstanceOf[Int]
+        KGrams(exprs(0), k)
+      }, "built-in")
   }
 }

@@ -223,4 +223,38 @@ object Curation {
       .select("doc_id", "lang", "source", "hkey")
       .orderBy("doc_id")
   }
+
+  /** q65: TEMPERATURE data mixing (α = 0.5) — the standard
+    * multilingual/multi-source rebalancing step between "curated
+    * corpus" and "training batches": source s keeps rate
+    * √min_cnt / √cnt_s, so post-mix shares follow p_s^α instead of
+    * p_s (a 1:4 source imbalance flattens to 1:2; the smallest
+    * source is kept whole). q59 is the α→0 extreme (full
+    * equalization); this is the tunable-in-between the pretraining
+    * recipes actually use.
+    *
+    * ORACLE-EXACT despite the real-valued rates: sqrt is IEEE-754
+    * correctly rounded in BOTH engines (unlike ln/exp, which is why
+    * q58 avoids idf), the rate arithmetic is a fixed left-assoc
+    * chain of exact IEEE ops, and the keep rule is the same
+    * deterministic multiplicative doc_id hash as q59 — no RNG, no
+    * engine-internal hashing, reproducible run-over-run. Same scale
+    * shape as q59: tiny strata frame broadcast back, one scan, ZERO
+    * shuffle of the data itself.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "source")
+    val strata = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val minCnt = strata.agg(min("cnt").as("min_cnt"))
+    val thr = strata.crossJoin(broadcast(minCnt))
+      .withColumn("thr",
+        floor(sqrt(col("min_cnt").cast("double")) / sqrt(col("cnt").cast("double")) * 1048576)
+          .cast("long"))
+      .select("source", "thr")
+    docs.join(broadcast(thr), Seq("source"))
+      .withColumn("hkey", expr("(doc_id * 2654435761) % 1048576"))
+      .filter(col("hkey") < col("thr"))
+      .select("doc_id", "lang", "source", "hkey", "thr")
+      .orderBy("doc_id")
+  }
 }

@@ -519,4 +519,60 @@ object Dedup {
         col("a.label").as("label"), col("sim"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** q64: cross-document SUBSTRING (span) dedup — the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * flavor the doc-level family above cannot see: two documents that
+    * share a long verbatim passage but differ elsewhere pass every
+    * whole-doc screen (Jaccard, MinHash, SimHash, embedding), yet the
+    * shared span is exactly what a pretraining pipeline must clip.
+    * Per document: the fraction of tokens covered by any k-token gram
+    * that also occurs in ANOTHER document.
+    *
+    *   1. one fused scan emits every position's k-gram via the native
+    *      `kgrams` expression (the q60 lesson: no interpreted HOF
+    *      chain in a hot scan);
+    *   2. grams owned by ≥ 2 distinct docs survive a (gram → distinct
+    *      doc count) aggregation — partial-agg collapses each doc's
+    *      repeats before the shuffle; keys are content-derived and
+    *      near-uniform (a boilerplate-heavy corpus caps the candidate
+    *      gram list the same way q12 caps buckets — documented, not
+    *      needed at tested sizes);
+    *   3. a left-semi join marks covered positions; per-doc covered-
+    *      TOKEN count is the classic sorted-interval union — sum of
+    *      min(k, next_pos − pos) over covered positions (one window
+    *      per doc, skew-bounded by doc length).
+    *
+    * At 100 TB the gram STRINGS never need to ride the shuffle: key
+    * by fingerprint64(gram) instead (64-bit collisions are ~n²/2⁶⁵;
+    * candidates get an exact verify) — the string spelling here is
+    * what makes the operator ORACLE-EXACT, since both engines agree
+    * on strings but not on private hash bits.
+    */
+  def substringDup(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val grams = docs
+      .select(col("doc_id"), posexplode(expr(s"kgrams(text, $k)")).as(Seq("pos", "g")))
+    val shared = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val cov = grams.join(shared, Seq("g"), "left_semi")
+      .withColumn("nxt", lead("pos", 1).over(w))
+      .withColumn("covered", least(lit(k), coalesce(col("nxt") - col("pos"), lit(k))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"), sum("covered").as("dup_tokens"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("n_dup_grams", coalesce(col("n_dup_grams"), lit(0L)))
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac",
+        try_divide(col("dup_tokens").cast("double"), col("n_tokens")))
+      .select("doc_id", "n_tokens", "n_dup_grams", "dup_tokens", "dup_frac")
+      .orderBy("doc_id")
+  }
 }

@@ -93,8 +93,16 @@ object NegMineProbe {
       val b = brute.cache(); val total = b.count()
       val hit = ivf.join(b.select(col("anchor_id").as("b_a"), col("vec_id").as("b_v")),
         col("anchor_id") === col("b_a") && col("vec_id") === col("b_v")).count()
+      // HARDNESS RETENTION: pair recall understates mining quality —
+      // a missed exact-top-k pair is usually replaced by a nearly-as-
+      // similar one from a probed cell. Compare the mean similarity
+      // of what IVF returns vs the exact top-k's mean: a ratio near 1
+      // means the negatives found are still hard, recall aside.
+      val bruteSim = b.agg(avg("sim")).head.getDouble(0)
+      val ivfSim = ivf.agg(avg("sim")).head.getDouble(0)
       println(f"NEGMINE n=$n%,d iters=$iters anchors=${total / k} nLists=$lists " +
-        f"brute=$tBrute%.2fs ivf=$tIvf%.2fs recall_topk=${hit.toDouble / total}%.3f")
+        f"brute=$tBrute%.2fs ivf=$tIvf%.2fs recall_topk=${hit.toDouble / total}%.3f " +
+        f"hardness=${ivfSim / bruteSim}%.3f (ivf mean sim $ivfSim%.4f vs brute $bruteSim%.4f)")
       b.unpersist(); cents.unpersist(); cells.unpersist(); e.unpersist()
     }
   }

@@ -134,4 +134,31 @@ class DedupEdgeSpec extends AnyFunSuite {
     val rows = operators.TextAnalysis.corpusPrep(spark, dir, minQuality = 0.0).collect()
     assert(rows.nonEmpty)
   }
+
+  test("substringDup computes exact span coverage on planted shared passages") {
+    import spark.implicits._
+    val sdir = "/fake/substring_dup"
+    Tables.registerOverride(spark, sdir, "documents", Seq(
+      (0L, "a b c d e f g h i j"),              // shares its full text with doc 2
+      (1L, "x y a b c d e f g h z"),            // embeds doc 0's first 8 tokens mid-doc
+      (2L, "a b c d e f g h i j"),              // exact copy of doc 0
+      (3L, "short doc"),                        // < k tokens: no grams
+      (4L, "p q r s t u v w p q r s t u v w")   // WITHIN-doc repeat only: not cross-doc
+    ).toDF("doc_id", "text"))
+    val r = operators.Dedup.substringDup(spark, sdir, k = 8)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 0/2: all 3 grams shared with the copy; interval union =
+    // 1 + 1 + 8 = 10 tokens -> fully covered
+    Seq(0L, 2L).foreach { id =>
+      assert(r(id).getInt(1) == 10 && r(id).getLong(2) == 3L && r(id).getLong(3) == 10L)
+      assert(r(id).getDouble(4) == 1.0)
+    }
+    // doc 1: exactly one gram ("a b c d e f g h") is cross-doc; 8 of 11 tokens covered
+    assert(r(1L).getLong(2) == 1L && r(1L).getLong(3) == 8L && r(1L).getDouble(4) == 8.0 / 11)
+    // doc 3: no grams at all
+    assert(r(3L).getLong(2) == 0L && r(3L).getLong(3) == 0L && r(3L).getDouble(4) == 0.0)
+    // doc 4: its repeated gram lives in ONE doc only - cross-doc rule must not fire
+    assert(r(4L).getLong(2) == 0L && r(4L).getLong(3) == 0L,
+      "within-doc repetition is q60's business, not span dedup's")
+  }
 }
