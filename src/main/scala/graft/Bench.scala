@@ -89,17 +89,34 @@ object Bench {
     val results = names.map(n => n -> best(n))
     // The consumer captures only the LAST ~2000 chars of this
     // process's output (with sbt's "[success] ..." trailer inside that
-    // window); round 5's full-precision doubles pushed the line past
-    // the window and the recorded bench parsed as null. 2dp keeps
-    // ~67 queries at ~1760 chars; warn on stderr before it regresses.
+    // window). One per-query map no longer fits: 76 queries x ~26
+    // chars overflowed the window in round 7 and the line's HEAD —
+    // including "metric":"total" — was clipped (parsed: null; same
+    // failure as round 5). The full map only ever grows, so the
+    // stdout line is now a COMPACT summary that fits at any query
+    // count, and the complete per-query detail goes to a file.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    // budget: 2000-char window − "\n[success] Total time: ..." ≈ 1925
-    if (line.length > 1880)
-      System.err.println(s"WARN: bench JSON line ${line.length} chars; trim before it exceeds the ~1925-char budget")
+    val detailPath = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json")).getAbsolutePath
+    val detailLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detailLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // errors belong in the headline when present (a silent failure
+    // would flatter the total), but never at the cost of the window:
+    // cap their contribution and point at the detail file.
+    val errField = if (errors.isEmpty) "{}" else if (errJson.length <= 600) errJson else "\"see detail\""
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"nerr":${errors.size},"errors":$errField,"slowest5":$slowest,"detail":"$detailPath","sf":"$sfDir"}"""
+    // budget: 2000-char window − "\n[success] Total time: ..." ≈ 1925;
+    // the compact line is ~350 chars and independent of query count.
+    if (line.length > 1500)
+      System.err.println(s"WARN: bench summary line ${line.length} chars; must stay far under the ~1925-char budget")
     println(line)
     spark.stop()
   }

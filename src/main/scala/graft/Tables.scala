@@ -29,8 +29,43 @@ object Tables {
     * analog of pointing the catalog at a better physical layout of
     * the SAME data. Every operator picks it up transparently.
     */
-  def registerOverride(spark: SparkSession, dir: String, name: String, df: DataFrame): Unit =
+  def registerOverride(spark: SparkSession, dir: String, name: String, df: DataFrame): Unit = {
     cache.put((spark, dir, name), df)
+    overrideVersions.merge((spark, dir, name), 1, (a, b) => a + b)
+  }
+
+  private val overrideVersions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Integer]()
+
+  /** Freshness token for a table as this session currently sees it:
+    * changes whenever the table is re-registered (registerOverride)
+    * OR its backing files are regenerated — the two ways derived
+    * caches (ReplyChains' converged thread frames) go silently stale
+    * (ADVICE r07). Same (name, length, mtime) recursive-listing
+    * contract as VectorIndex.sourceSnapshot: snapshot EQUALITY decides
+    * freshness, no clock agreement needed.
+    */
+  def sourceToken(spark: SparkSession, dir: String, name: String): String = {
+    val v = Option(overrideVersions.get((spark, dir, name))).map(_.intValue).getOrElse(0)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (!fs.exists(p)) ""
+      else if (!fs.getFileStatus(p).isDirectory) {
+        val s = fs.getFileStatus(p)
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+      } else {
+        val root = p.toUri.getPath.stripSuffix("/") + "/"
+        val it = fs.listFiles(p, true)
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val s = it.next()
+          parts += s"${s.getPath.toUri.getPath.stripPrefix(root)}:${s.getLen}:${s.getModificationTime}"
+        }
+        parts.sorted.mkString(",")
+      }
+    s"v$v|$files"
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "nation")

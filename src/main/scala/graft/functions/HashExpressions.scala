@@ -282,6 +282,78 @@ object KGrams {
   }
 }
 
+/** 64-bit hashes of the ordered k-token grams of a STRING →
+  * ARRAY<BIGINT>: element i is exactly fnv1a64 of the UTF-8 bytes of
+  * kgrams(text, k)[i] (KGramHashParitySpec pins that law), computed
+  * WITHOUT materializing the gram strings.
+  *
+  * This is the shuffle-bytes spelling of KGrams for blocking keys
+  * (q64): an 8-token gram string averages ~50 bytes and rides the
+  * gram-frequency shuffle AND the semi-join shuffle — ~8× the corpus
+  * text, twice. The 8-byte hash carries the same grouping information
+  * (collisions at ~n²/2⁶⁴ merge two grams into one block — at 10¹²
+  * grams that's odds-on ONE spurious shared gram corpus-wide, noise
+  * for a coverage FRACTION; any exact-span consumer re-verifies
+  * strings per candidate anyway).
+  */
+case class KGramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(s"kgram_hashes needs k >= 1, got $k")
+    case other      => TypeCheckResult.TypeCheckFailure(s"kgram_hashes expects STRING, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kgram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    KGramHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = KGramHashes.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.compute($c, $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KGramHashes {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Static so generated code can call it (see Hashing note above).
+    * FNV-1a is byte-sequential, so feeding token bytes interleaved
+    * with the 0x20 separator reproduces fnv1a64 of the concatenated
+    * gram exactly — no UTF8String.concat allocations in the loop.
+    */
+  def compute(text: UTF8String, k: Int): GenericArrayData = {
+    val toks = text.split(SPACE, -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val tokBytes = new Array[Array[Byte]](toks.length)
+    var t = 0
+    while (t < toks.length) { tokBytes(t) = toks(t).getBytes; t += 1 }
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        if (j > 0) { h ^= 0x20L; h *= 0x100000001b3L }
+        val b = tokBytes(i + j)
+        var p = 0
+        while (p < b.length) { h ^= (b(p) & 0xffL); h *= 0x100000001b3L; p += 1 }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** All five intra-document repetition counters of a STRING in ONE
   * codegen-able pass → STRUCT<n_words INT, n_uniq_words INT,
   * n_bigrams INT, n_uniq_bigrams INT, top_bigram_cnt BIGINT>.

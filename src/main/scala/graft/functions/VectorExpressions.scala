@@ -239,5 +239,10 @@ object GraftFunctions {
         val k = exprs(1).eval(null).asInstanceOf[Int]
         KGrams(exprs(0), k)
       }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "kgram_hashes", (exprs: Seq[Expression]) => {
+        val k = exprs(1).eval(null).asInstanceOf[Int]
+        KGramHashes(exprs(0), k)
+      }, "built-in")
   }
 }

@@ -529,9 +529,14 @@ object Dedup {
     * Per document: the fraction of tokens covered by any k-token gram
     * that also occurs in ANOTHER document.
     *
-    *   1. one fused scan emits every position's k-gram via the native
-    *      `kgrams` expression (the q60 lesson: no interpreted HOF
-    *      chain in a hot scan);
+    *   1. one fused scan emits every position's k-gram HASH via the
+    *      native `kgram_hashes` expression (the q60 lesson: no
+    *      interpreted HOF chain in a hot scan) — 8 bytes per gram
+    *      where the string spelling shipped ~50 (the gram text never
+    *      matters downstream, only gram EQUALITY, so both shuffles
+    *      shrink ~8×; collisions at ~n²/2⁶⁴ are noise for a coverage
+    *      fraction, and KGramHashParitySpec pins hash-blocked output
+    *      ≡ string-blocked output on the test corpora);
     *   2. grams owned by ≥ 2 distinct docs survive a (gram → distinct
     *      doc count) aggregation — partial-agg collapses each doc's
     *      repeats before the shuffle; keys are content-derived and
@@ -543,18 +548,19 @@ object Dedup {
     *      min(k, next_pos − pos) over covered positions (one window
     *      per doc, skew-bounded by doc length).
     *
-    * At 100 TB the gram STRINGS never need to ride the shuffle: key
-    * by fingerprint64(gram) instead (64-bit collisions are ~n²/2⁶⁵;
-    * candidates get an exact verify) — the string spelling here is
-    * what makes the operator ORACLE-EXACT, since both engines agree
-    * on strings but not on private hash bits.
+    * The output carries no hash bits (doc_id, counts, fraction), so
+    * the operator stays ORACLE-EXACT against a string-gram DuckDB CTE.
+    * `hashedBlocking = false` keeps the string-keyed twin alive for
+    * the parity spec.
     */
-  def substringDup(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  def substringDup(spark: SparkSession, dir: String, k: Int = 8,
+      hashedBlocking: Boolean = true): DataFrame = {
     GraftFunctions.register(spark)
+    val gramExpr = if (hashedBlocking) s"kgram_hashes(text, $k)" else s"kgrams(text, $k)"
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
     val grams = docs
-      .select(col("doc_id"), posexplode(expr(s"kgrams(text, $k)")).as(Seq("pos", "g")))
+      .select(col("doc_id"), posexplode(expr(gramExpr)).as(Seq("pos", "g")))
     val shared = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)

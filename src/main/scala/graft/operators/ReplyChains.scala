@@ -127,18 +127,55 @@ object ReplyChains {
     * both need the same ⌈log₂ 64⌉ = 6-round resolution; computing it
     * twice doubled the most expensive join chain in the engine
     * (VERDICT r06: q56 6.1s + q56b 8.9s were mostly the same work).
-    * The testdata dir is immutable within a run, so the converged slim
-    * (chat, id, root, depth) frame stays persisted and keyed by
-    * (session, dir) — the same leak-bounding registry pattern as
-    * `lastState`, but deliberately OUTSIDE it so an unrelated
-    * `threads()` call cannot evict the shared frame mid-run.
+    * The converged slim (chat, id, root, depth) frame stays persisted
+    * keyed by (session, dir) — deliberately OUTSIDE the `lastState`
+    * registry so an unrelated `threads()` call cannot evict the
+    * shared frame mid-run. Bounded and freshness-checked (VERDICT/
+    * ADVICE r07: the unbounded computeIfAbsent both leaked persisted
+    * frames across many dirs and served stale resolutions after the
+    * source was regenerated or re-registered):
+    *   - ONE live frame per session — resolving a new dir unpersists
+    *     and drops the previous dir's frame;
+    *   - the entry carries `Tables.sourceToken(events)` (override
+    *     version + recursive file snapshot, VectorIndex's watermark
+    *     contract); a token mismatch unpersists and rebuilds.
     */
+  private case class CachedThreads(token: String, frame: DataFrame)
   private val eventThreadCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), CachedThreads]()
 
-  private def resolvedEventThreads(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    eventThreadCache.computeIfAbsent((spark, dir),
-      _ => resolveIter(eventReplyFrame(spark, dir), maxDepth = 64))
+  private def resolvedEventThreads(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val it = eventThreadCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq spark) && e.getKey._2 != dir) {
+        e.getValue.frame.unpersist(false); it.remove()
+      }
+    }
+    val token = graft.Tables.sourceToken(spark, dir, "events")
+    eventThreadCache.compute((spark, dir), (_, old) =>
+      if (old != null && old.token == token) old
+      else {
+        if (old != null) old.frame.unpersist(false)
+        CachedThreads(token, resolveIter(eventReplyFrame(spark, dir), maxDepth = 64))
+      }).frame
+  }
+
+  /** Explicit evict hook: unpersist and drop every cached converged
+    * frame this session holds (mirror of Vectors' unpersist registry).
+    */
+  def clearEventThreadCache(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val it = eventThreadCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.frame.unpersist(false); it.remove() }
+    }
+  }
+
+  /** Spec access: the live cached frame for (session, dir), if any. */
+  private[graft] def cachedEventFrame(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] =
+    Option(eventThreadCache.get((spark, dir))).map(_.frame)
 
   /** q56: per-event thread resolution — (event_id, root_id, depth). */
   def eventThreads(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =

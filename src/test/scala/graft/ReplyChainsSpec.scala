@@ -70,4 +70,63 @@ class ReplyChainsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
     assert(f.toSeq == Seq((1L, "chanA", 2L, 1), (1L, "chanB", 1L, 2)))
   }
+
+  // --- eventThreadCache bounds + freshness (VERDICT/ADVICE r07) ---
+
+  private def writeEvents(dir: String, ks: Seq[Int]): Unit =
+    ks.zipWithIndex.map { case (k, i) => (i.toLong + 1L, s"""{"k":$k}""") }
+      .toDF("event_id", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("resolving a second dir unpersists and drops the first dir's frame") {
+    val a = java.nio.file.Files.createTempDirectory("rc_cache_a").toString
+    val b = java.nio.file.Files.createTempDirectory("rc_cache_b").toString
+    try {
+      writeEvents(a, Seq(0, 1, 2, 3, 0, 5))
+      writeEvents(b, Seq(0, 0, 1, 1, 2, 2))
+      operators.ReplyChains.eventThreads(spark, a).collect()
+      val frameA = operators.ReplyChains.cachedEventFrame(spark, a)
+      assert(frameA.isDefined)
+      assert(frameA.get.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "the converged frame must be persisted while live")
+      operators.ReplyChains.eventThreads(spark, b).collect()
+      assert(operators.ReplyChains.cachedEventFrame(spark, a).isEmpty,
+        "one live frame per session: dir A's entry must be evicted")
+      assert(frameA.get.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "dir A's frame must be UNPERSISTED after dir B's resolution")
+      operators.ReplyChains.clearEventThreadCache(spark)
+      assert(operators.ReplyChains.cachedEventFrame(spark, b).isEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(a)).deleteRecursively()
+      new Directory(new java.io.File(b)).deleteRecursively()
+      operators.ReplyChains.clearEventThreadCache(spark)
+    }
+  }
+
+  test("re-registering the events source busts the cache (no stale resolutions)") {
+    val d = java.nio.file.Files.createTempDirectory("rc_cache_fresh").toString
+    try {
+      // k % 4 != 0 => event replies to (event_id - 1 - k % 8), so k=1
+      // chains each event to event_id - 2 (two interleaved chains);
+      // k=0 makes every event a root
+      writeEvents(d, Seq(0, 1, 1, 1))
+      val before = operators.ReplyChains.eventThreads(spark, d).collect()
+      assert(before.count(r => r.getLong(0) != r.getLong(1)) == 2,
+        "events 3 and 4 chain to roots 1 and 2")
+      val stale = operators.ReplyChains.cachedEventFrame(spark, d).get
+      val roots = Seq((1L, """{"k":0}"""), (2L, """{"k":0}"""), (3L, """{"k":0}"""), (4L, """{"k":0}"""))
+        .toDF("event_id", "props")
+      Tables.registerOverride(spark, d, "events", roots)
+      val after = operators.ReplyChains.eventThreads(spark, d).collect()
+      assert(after.forall(r => r.getLong(0) == r.getLong(1) && r.getLong(2) == 0L),
+        "after the override every event is its own root — a stale cache would still chain them")
+      assert(stale.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "the stale frame must be unpersisted on invalidation")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(d)).deleteRecursively()
+      operators.ReplyChains.clearEventThreadCache(spark)
+    }
+  }
 }
