@@ -57,7 +57,9 @@ object SparkEntry {
     "q26_dedup_ngram"       -> ((s, d) => Dedup.dedupNgram(s, d)),
     "q40_dedup_allpairs"    -> ((s, d) => Dedup.dedupAllPairs(s, d)),
     "q27_dedup_minhash"     -> ((s, d) => Dedup.dedupMinHash(s, d)),
+    "q27b_minhash_planted"  -> ((s, d) => Dedup.dedupMinHashPlanted(s, d)),
     "q28_dedup_simhash"     -> ((s, d) => Dedup.dedupSimHash(s, d)),
+    "q28b_simhash_exact"    -> ((s, d) => Dedup.dedupSimHashExact(s, d)),
     "q29_dedup_embedding"   -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "q29b_dedup_emb_ivf"    -> ((s, d) => Dedup.dedupEmbeddingIvf(s, d)),
     "q29c_dedup_ivf_indexed" -> ((s, d) => Dedup.dedupEmbeddingIvfIndexed(s, d)),
@@ -236,6 +238,32 @@ object SparkEntry {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) >= 0.9
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // q27b/q28b: LSH over documents + planted verbatim copies. The
+    // oracles are hash-free (brute-force Jaccard / shingle-set
+    // equality); they are exact because banding recovery on these
+    // corpora is deterministic and certain — see the operator docs.
+    "q27b_minhash_planted" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
+         |t AS (SELECT doc_id, list_sort($shinglesSql) AS sh FROM u),
+         |s AS (SELECT doc_id, sh, len(sh) AS n FROM t WHERE len(sh) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) AS jac
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q28b_simhash_exact" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
+         |t AS (SELECT doc_id, list_sort($shinglesSql) AS sh FROM u),
+         |s AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.sh = b.sh
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q29_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
@@ -352,9 +380,9 @@ object SparkEntry {
       """WITH s AS (SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source),
         |m AS (SELECT MIN(cnt) AS min_cnt FROM s),
         |t AS (SELECT s.lang, s.source, (m.min_cnt * 1048576) // s.cnt AS thr FROM s, m)
-        |SELECT d.doc_id, d.lang, d.source, (d.doc_id * 2654435761) % 1048576 AS hkey
+        |SELECT d.doc_id, d.lang, d.source, ((d.doc_id % 1048576) * 2654435761) % 1048576 AS hkey
         |FROM documents d JOIN t ON d.lang = t.lang AND d.source = t.source
-        |WHERE (d.doc_id * 2654435761) % 1048576 < t.thr
+        |WHERE ((d.doc_id % 1048576) * 2654435761) % 1048576 < t.thr
         |ORDER BY d.doc_id""".stripMargin,
     "q65_temperature_mix" ->
       """WITH s AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
@@ -362,9 +390,9 @@ object SparkEntry {
         |t AS (SELECT s.source,
         |        CAST(FLOOR(sqrt(CAST(m.min_cnt AS DOUBLE)) / sqrt(CAST(s.cnt AS DOUBLE)) * 1048576) AS BIGINT) AS thr
         |      FROM s, m)
-        |SELECT d.doc_id, d.lang, d.source, (d.doc_id * 2654435761) % 1048576 AS hkey, t.thr
+        |SELECT d.doc_id, d.lang, d.source, ((d.doc_id % 1048576) * 2654435761) % 1048576 AS hkey, t.thr
         |FROM documents d JOIN t ON d.source = t.source
-        |WHERE (d.doc_id * 2654435761) % 1048576 < t.thr
+        |WHERE ((d.doc_id % 1048576) * 2654435761) % 1048576 < t.thr
         |ORDER BY d.doc_id""".stripMargin,
     "q56_reply_threads" ->
       """WITH RECURSIVE ev AS (

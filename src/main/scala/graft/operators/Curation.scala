@@ -205,7 +205,11 @@ object Curation {
     * by a deterministic multiplicative hash of doc_id (Knuth's
     * 2654435761) so the sample is reproducible run-over-run and
     * engine-independent (pure integer arithmetic — no RNG, no
-    * engine-internal hash). Two linear passes: tiny strata-count
+    * engine-internal hash). doc_id is reduced mod 2^20 BEFORE the
+    * multiply — same value mod 2^20, but the product peaks at ~2^51
+    * instead of overflowing signed 64-bit past doc_id ≈ 3.47e9
+    * (ADVICE r07: the unreduced spelling silently dropped such docs).
+    * Two linear passes: tiny strata-count
     * frame (broadcast back), then one scan with a per-row threshold
     * test — no shuffle of the data itself, which is what makes this
     * the 100 TB spelling (sampling must never need a global sort).
@@ -218,7 +222,7 @@ object Curation {
       .withColumn("thr", expr("(min_cnt * 1048576) div cnt"))
       .select("lang", "source", "thr")
     docs.join(broadcast(thr), Seq("lang", "source"))
-      .withColumn("hkey", expr("(doc_id * 2654435761) % 1048576"))
+      .withColumn("hkey", expr("((doc_id % 1048576) * 2654435761) % 1048576"))
       .filter(col("hkey") < col("thr"))
       .select("doc_id", "lang", "source", "hkey")
       .orderBy("doc_id")
@@ -252,7 +256,7 @@ object Curation {
           .cast("long"))
       .select("source", "thr")
     docs.join(broadcast(thr), Seq("source"))
-      .withColumn("hkey", expr("(doc_id * 2654435761) % 1048576"))
+      .withColumn("hkey", expr("((doc_id % 1048576) * 2654435761) % 1048576"))
       .filter(col("hkey") < col("thr"))
       .select("doc_id", "lang", "source", "hkey", "thr")
       .orderBy("doc_id")

@@ -30,12 +30,27 @@ object Dedup {
     * size(sh) would be pushed through the projection by Catalyst and
     * re-evaluate the shingle expression inside the filter.
     */
-  private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame =
+    docShinglesOn(spark, Tables.documents(spark, dir))
+
+  private[graft] def docShinglesOn(spark: SparkSession, docs: DataFrame): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
+    docs
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), expr("shingles(text)").as("sh"))
   }
+
+  /** The q44 planting pattern on `documents`: every `every`-th doc is
+    * re-emitted verbatim under doc_id + idOffset, in ONE scan via
+    * explode (a self-union would recompute the scan per branch).
+    */
+  private def plantedDocs(spark: SparkSession, dir: String,
+                          every: Int, idOffset: Long): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(when(col("doc_id") % every === 0,
+          array(col("doc_id"), col("doc_id") + idOffset))
+        .otherwise(array(col("doc_id")))).as("doc_id"),
+        col("text"))
 
   /** q25: exact dedup with survivors — group identical texts by
     * content hash, keep min doc_id (the classic first-writer-wins).
@@ -107,7 +122,28 @@ object Dedup {
   private[operators] case class BandRow(doc_id: Long, band: Int, bucket: String)
 
   def dedupMinHash(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                   k: Int = 32, bands: Int = 8): DataFrame = {
+                   k: Int = 32, bands: Int = 8): DataFrame =
+    dedupMinHashOn(spark, docShingles(spark, dir), threshold, k, bands)
+
+  /** q27b: the ORACLE-EXACT twin of q27 (the q44 graduation pattern).
+    * Input is `documents` plus planted verbatim copies; band count is
+    * raised to 16 (2 rows/band) so banding recall is certain on the
+    * gate corpora: the testdata's own near-dup pairs all sit at
+    * Jaccard ≥ 0.909 (no pair lives in [0.5, 0.909)), and a j=0.909
+    * pair misses 16 2-row bands with probability (1−j²)¹⁶ ≈ 4e-13 —
+    * and banding is DETERMINISTIC for fixed texts, so the DuckDB
+    * brute-force Jaccard join over the same derived input is a valid
+    * exact oracle: LSH output == every pair with jac ≥ threshold
+    * (verified at sf0.001/0.01 by the driver gate; q27 keeps the
+    * corpus-default 8×4 banding as the rows-only scale entry).
+    */
+  def dedupMinHashPlanted(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                          every: Int = 20, idOffset: Long = 1000000L): DataFrame =
+    dedupMinHashOn(spark, docShinglesOn(spark, plantedDocs(spark, dir, every, idOffset)),
+      threshold, k = 32, bands = 16)
+
+  private[graft] def dedupMinHashOn(spark: SparkSession, docs: DataFrame,
+                                    threshold: Double, k: Int, bands: Int): DataFrame = {
     require(bands > 0 && k % bands == 0, s"k ($k) must be a positive multiple of bands ($bands)")
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0, 1]: $threshold")
     import spark.implicits._
@@ -120,7 +156,6 @@ object Dedup {
     // LSH collisions are rare by design, so arrays move only once per
     // DISTINCT surviving candidate side in the verify join. (Contrast
     // q26, where blocks are huge and in-group verification wins.)
-    val docs = docShingles(spark, dir)
     val banded = docs
       .withColumn("sig", expr(s"minhash(sh, $k)"))
       .select(col("doc_id"),
@@ -250,12 +285,48 @@ object Dedup {
   private[operators] case class SimBanded(doc_id: Long, sig: Long, band: Int, bucket: Long)
   private[operators] case class SimPair(doc_a: Long, doc_b: Long, hamming: Int)
 
-  def dedupSimHash(spark: SparkSession, dir: String, maxDist: Int = 16): DataFrame = {
+  def dedupSimHash(spark: SparkSession, dir: String, maxDist: Int = 16): DataFrame =
+    dedupSimHashOn(spark, docShingles(spark, dir), maxDist)
+
+  /** q28b: the ORACLE-EXACT twin of q28 — exact-duplicate detection
+    * via SKETCH-COLLISION blocking over `documents` plus planted
+    * verbatim copies, with an exact verify (the same candidates-then-
+    * verify contract as q27/q44):
+    *
+    *   - candidates: pairs with IDENTICAL 64-bit SimHash (maxDist=0).
+    *     SimHash is a pure function of the shingle set, so equal sets
+    *     imply equal sketches and banding recovery is CERTAIN (all
+    *     bands agree) — recall 1 with no probabilistic caveat;
+    *   - verify: sorted distinct shingle arrays compare EQUAL. This
+    *     removes true 64-bit sketch collisions of merely-similar
+    *     sets — the sf0.01 corpus really contains one: a jac ≈ 0.909
+    *     pair whose 64 sketch bits all agree (≈1e-3 per pair at that
+    *     angle), caught by the driver gate when this twin first ran
+    *     unverified.
+    *
+    * Output therefore equals set-equality pairs unconditionally ⇒
+    * the DuckDB oracle is a plain self-join on sorted-array equality.
+    * q28 keeps Hamming ≤ 16 as the rows-only near-dup entry
+    * (hash-distance semantics are engine-internal by nature).
+    */
+  def dedupSimHashExact(spark: SparkSession, dir: String,
+                        every: Int = 20, idOffset: Long = 1000000L): DataFrame = {
+    val docs = docShinglesOn(spark, plantedDocs(spark, dir, every, idOffset))
+    dedupSimHashOn(spark, docs, maxDist = 0)
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private[graft] def dedupSimHashOn(spark: SparkSession, docs: DataFrame,
+                                    maxDist: Int): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     // same per-group shape as dedupNgram/dedupMinHash: one shuffled
     // row per (doc, band); pairs verify in-memory per bucket
-    val banded = docShingles(spark, dir)
+    val banded = docs
       .withColumn("sig", expr("simhash(sh)"))
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bucket", expr("shiftrightunsigned(sig, band * 16) & 65535"))
@@ -464,7 +535,8 @@ object Dedup {
                                threshold: Double = 0.3): DataFrame = {
     GraftFunctions.register(spark)
     val path = VectorIndex.defaultPath(spark, dir) + "-dedup"
-    if (!VectorIndex.fresh(spark, dir, path)) VectorIndex.buildDedup(spark, dir, path)
+    if (!VectorIndex.fresh(spark, dir, path, VectorIndex.dedupParams(nLists = 0, nProbe = 2)))
+      VectorIndex.buildDedup(spark, dir, path)
     val probed = VectorIndex.cells(spark, path)
       .select(col("vec_id"), col("cell").cast("int").as("cell"))
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")

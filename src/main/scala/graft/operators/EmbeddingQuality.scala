@@ -117,7 +117,9 @@ object EmbeddingQuality {
                        nProbe: Int = 3, nLists: Int = 0): DataFrame = {
     GraftFunctions.register(spark)
     val path = VectorIndex.miningPath(spark, dir)
-    if (!VectorIndex.fresh(spark, dir, path)) VectorIndex.buildMining(spark, dir, path, nLists)
+    val params = VectorIndex.miningParams(nLists, refineIters = 0)
+    if (!VectorIndex.fresh(spark, dir, path, params))
+      VectorIndex.buildMining(spark, dir, path, nLists)
     val cents = VectorIndex.centroids(spark, path)
       .select(col("cell").as("c_cell"), col("cvec"))
     val nCells = cents.count().toInt

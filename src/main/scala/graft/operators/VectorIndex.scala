@@ -122,10 +122,19 @@ object VectorIndex {
   /** Index is present AND its recorded build watermark matches the
     * source table's current file snapshot — a stale index (source
     * regenerated after the build) must not serve probes.
+    *
+    * `params` is the build-parameter suffix the builder recorded
+    * (ADVICE r07: an index built earlier with DIFFERENT nLists /
+    * refineIters read as fresh, so the caller's parameter silently
+    * had no effect — the parameters are part of the index's identity,
+    * exactly like the source bytes).
     */
-  def fresh(spark: SparkSession, dir: String, path: String): Boolean =
+  def fresh(spark: SparkSession, dir: String, path: String, params: String = ""): Boolean =
     exists(spark, path) &&
-      readWatermark(spark, path).contains(sourceSnapshot(spark, dir))
+      readWatermark(spark, path).contains(sourceSnapshot(spark, dir) + paramSuffix(params))
+
+  private def paramSuffix(params: String): String =
+    if (params.isEmpty) "" else s"\nparams|$params"
 
   /** Build the index: seeded centroids + cell-partitioned corpus.
     * One pass over the data per table; the cells write is the one
@@ -161,7 +170,7 @@ object VectorIndex {
   def buildDedup(spark: SparkSession, dir: String, path: String,
                  nLists: Int = 0, nProbe: Int = 2): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    val snapshot = sourceSnapshot(spark, dir)
+    val snapshot = sourceSnapshot(spark, dir) + paramSuffix(dedupParams(nLists, nProbe))
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val n = e.count()
     val lists = if (nLists > 0) nLists else math.max(16, (n / 125L).toInt)
@@ -190,7 +199,7 @@ object VectorIndex {
   def buildMining(spark: SparkSession, dir: String, path: String, nLists: Int = 0,
                   refineIters: Int = 0): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    val snapshot = sourceSnapshot(spark, dir)
+    val snapshot = sourceSnapshot(spark, dir) + paramSuffix(miningParams(nLists, refineIters))
     val e = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
     val n = e.count()
     val lists = if (nLists > 0) nLists else math.max(16, (n / 125L).toInt)
@@ -214,6 +223,18 @@ object VectorIndex {
 
   def miningPath(spark: SparkSession, dir: String): String =
     defaultPath(spark, dir) + "_mine"
+
+  /** The mining index's identity params, as recorded in its watermark
+    * (the AS-PASSED values: nLists=0 means "auto-sized", and auto vs
+    * an explicit equal value are the same layout only by accident of
+    * N — treat them as distinct rather than re-deriving N here).
+    */
+  def miningParams(nLists: Int, refineIters: Int): String =
+    s"mining:nLists=$nLists,refine=$refineIters"
+
+  /** The dedup index's identity params (same contract). */
+  def dedupParams(nLists: Int, nProbe: Int): String =
+    s"dedup:nLists=$nLists,nProbe=$nProbe"
 
   def centroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/centroids")

@@ -50,7 +50,11 @@ object ReplyChainStream {
 
   /** Root-compression law: every root entry (root_id == message_id)
     * survives; non-root entries keep only the maxRecent newest ids.
-    * O(state) per batch via a selection threshold, not a full sort.
+    * The cutoff comes from sorting the non-root ids — O(s log s) on
+    * the PRE-compression state size s, which compression itself keeps
+    * at O(threads + maxRecent + batch), so the sort input stays small
+    * in steady state (a quickselect would shave the log factor; not
+    * worth the code while state is bounded).
     */
   private[graft] def compress(roots: Map[Long, (Long, Long)],
                                   maxRecent: Int): Map[Long, (Long, Long)] =

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * trade is visible in one place.
   *
   *   runMain graft.tools.NegMineProbe [maxCopies]
+  *   runMain graft.tools.NegMineProbe nprobe [copies]   # nProbe 1..8 curve
   */
 object NegMineProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("nprobe")) { nProbeSweep(args.drop(1)); return }
     val maxCopies = args.headOption.map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -47,6 +49,79 @@ object NegMineProbe {
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The probe-depth curve (VERDICT r07 item 6): fixed corpus, index
+    * built ONCE, nProbe swept 1..8 so a user can pick a point on the
+    * hardness-retention / cost trade. On this structureless synthetic
+    * corpus recall grows slowly with nProbe (cells carry no semantic
+    * locality — the IVF worst case); on real clustered embeddings the
+    * same sweep climbs much faster because near neighbors co-assign.
+    */
+  private def nProbeSweep(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select("vec_id", "label", "embedding")
+    val e = base.crossJoin(spark.range(copies).select(col("id").cast("int").as("copy")))
+      .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => x + col("copy").cast("float") * lit(0.01f)).cast("array<float>").as("embedding"))
+      .cache()
+    val n = e.count()
+    val k = 5
+    val anchors = e.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("avec"))
+    val wb = Window.partitionBy("anchor_id").orderBy(col("sim").desc, col("vec_id"))
+    val bruteUncached = e.join(broadcast(anchors), col("label") =!= col("anchor_label"))
+      .withColumn("sim", round(expr("cosine_sim(embedding, avec)"), 6))
+      .withColumn("rk", row_number().over(wb))
+      .filter(col("rk") <= k)
+      .select("anchor_id", "vec_id", "sim")
+    bruteUncached.write.format("noop").mode("overwrite").save() // warm
+    val tBrute = time(bruteUncached.write.format("noop").mode("overwrite").save())
+    val brute = bruteUncached.cache()
+    val total = brute.count()
+    val bruteSim = brute.agg(avg("sim")).head.getDouble(0)
+    val lists = math.max(16, (n / 125L).toInt)
+    val cents = Vectors.refinedCentroids(e.select("vec_id", "embedding"), lists, 0).cache()
+    cents.count()
+    val cells = e.join(
+      Vectors.assignCells(e.select("vec_id", "embedding"), cents,
+        nProbe = 1, nCoarse = Vectors.autoCoarse(lists)).select("vec_id", "cell"),
+      "vec_id").cache()
+    cells.count()
+    println(f"NPROBE-SWEEP n=$n%,d nLists=$lists anchors=${total / k} " +
+      f"brute=$tBrute%.2fs bruteMeanSim=$bruteSim%.4f")
+    (1 to 8).foreach { nProbe =>
+      def ivf = {
+        val probes = Vectors.assignCells(
+            anchors.select(col("anchor_id").as("vec_id"), col("avec").as("embedding")),
+            cents, nProbe = nProbe, nCoarse = Vectors.autoCoarse(lists))
+          .join(anchors, col("vec_id") === col("anchor_id"))
+          .select(col("anchor_id"), col("anchor_label"), col("avec"), col("cell"))
+        cells.join(probes, Seq("cell"))
+          .filter(col("label") =!= col("anchor_label"))
+          .withColumn("sim", round(expr("cosine_sim(embedding, avec)"), 6))
+          .withColumn("rk", row_number().over(wb))
+          .filter(col("rk") <= k)
+          .select("anchor_id", "vec_id", "sim")
+      }
+      ivf.write.format("noop").mode("overwrite").save() // warm
+      val tIvf = time(ivf.write.format("noop").mode("overwrite").save())
+      val hit = ivf.join(brute.select(col("anchor_id").as("b_a"), col("vec_id").as("b_v")),
+        col("anchor_id") === col("b_a") && col("vec_id") === col("b_v")).count()
+      val ivfSim = ivf.agg(avg("sim")).head.getDouble(0)
+      println(f"NPROBE nProbe=$nProbe ivf=$tIvf%.2fs recall_topk=${hit.toDouble / total}%.3f " +
+        f"hardness=${ivfSim / bruteSim}%.3f")
+    }
+    spark.stop()
   }
 
   private def sweep(spark: SparkSession, raw: DataFrame, k: Int): Unit = {

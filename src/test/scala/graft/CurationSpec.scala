@@ -119,7 +119,7 @@ class CurationSpec extends AnyFunSuite {
     assert(a.nonEmpty)
     a.foreach { row =>
       val id = row.getLong(0)
-      assert(row.getLong(3) == (id * 2654435761L) % 1048576L, "hkey must be the documented hash")
+      assert(row.getLong(3) == ((id % 1048576L) * 2654435761L) % 1048576L, "hkey must be the documented hash")
     }
     // the smallest stratum's threshold is 2^20 -> every member kept
     val docs = Tables.documents(spark, dir).groupBy("lang", "source").count().collect()

@@ -201,4 +201,23 @@ class QualitySignalsSpec extends AnyFunSuite {
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.4, f"IVF recall vs brute top-k: $recall%.3f")
   }
+
+  test("a build-parameter change invalidates the mining index (ADVICE r07)") {
+    val dir = "/root/testdata/sf0.001"
+    val path = operators.VectorIndex.miningPath(spark, dir)
+    deleteIndex(path)
+    operators.EmbeddingQuality.hardNegativesIvf(spark, dir).collect()
+    val autoCells = operators.VectorIndex.centroids(spark, path).count()
+    assert(autoCells == 16, s"auto sizing at 50 vectors gives max(16, n/125) cells: $autoCells")
+    // same source, DIFFERENT nLists: the index on disk is fresh by
+    // source snapshot alone — the param must force a rebuild, or
+    // nLists silently has no effect
+    operators.EmbeddingQuality.hardNegativesIvf(spark, dir, nLists = 4).collect()
+    val cells4 = operators.VectorIndex.centroids(spark, path).count()
+    assert(cells4 == 4, s"nLists=4 must rebuild the index: got $cells4 cells")
+    // and back: the nLists=4 watermark must not satisfy the auto call
+    operators.EmbeddingQuality.hardNegativesIvf(spark, dir).collect()
+    assert(operators.VectorIndex.centroids(spark, path).count() == 16)
+    deleteIndex(path)
+  }
 }
