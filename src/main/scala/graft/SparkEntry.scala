@@ -66,6 +66,8 @@ object SparkEntry {
     "q44_dedup_emb_lsh"     -> ((s, d) => Dedup.dedupEmbeddingLshPlanted(s, d)),
     "q53_dup_clusters"      -> ((s, d) => DupGraph.dupClusters(s, d)),
     "q64_substring_dup"     -> ((s, d) => Dedup.substringDup(s, d)),
+    "q64b_substring_incr"   -> ((s, d) => Dedup.substringDupIncremental(s, d)),
+    "q66_rarity_score"      -> ((s, d) => TextAnalysis.rarityScore(s, d)),
     "q54_decontam"          -> ((s, d) => Curation.decontaminate(s, d)),
     "q55_pii_scrub"         -> ((s, d) => Curation.piiScrub(s, d)),
     "q57_pack_sequences"    -> ((s, d) => Curation.packSequences(s, d)),
@@ -352,6 +354,39 @@ object SparkEntry {
         |  CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(string_split(d.text, ' ')) AS dup_frac
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q64b: same full-corpus shared-gram law as q64, restricted to
+    // the derived delta (doc_id % 16 = 0) — the engine reads only the
+    // delta text + the persisted gram index; the oracle re-derives
+    // from scratch.
+    "q64b_substring_incr" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT t.doc_id, u.i AS pos,
+        |        array_to_string(list_slice(t.toks, u.i, u.i + 7), ' ') AS g
+        |      FROM t, unnest(generate_series(1, len(t.toks) - 7)) AS u(i)
+        |      WHERE len(t.toks) >= 8),
+        |s AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |c AS (SELECT g.doc_id, g.pos FROM g JOIN s ON g.g = s.g WHERE g.doc_id % 16 = 0),
+        |u2 AS (SELECT doc_id, pos, LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM c),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_dup_grams,
+        |        SUM(LEAST(8, COALESCE(nxt - pos, 8))) AS dup_tokens FROM u2 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+        |  CAST(COALESCE(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(string_split(d.text, ' ')) AS dup_frac
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |WHERE d.doc_id % 16 = 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "q66_rarity_score" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+         |d AS (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM e)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_df,
+         |  MIN(df) AS min_df,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS uniq_frac
+         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q57b_pack_sharded" ->
       s"""WITH RECURSIVE o AS (
          |  SELECT lang, doc_id // 128 AS shard, doc_id, CAST($wcSql AS BIGINT) AS wc,

@@ -653,4 +653,89 @@ object Dedup {
       .select("doc_id", "n_tokens", "n_dup_grams", "dup_tokens", "dup_frac")
       .orderBy("doc_id")
   }
+
+  /** Persisted GRAM-FREQUENCY index — q64's steady-state split (the
+    * VectorIndex build/read pattern applied to substring dedup): the
+    * old corpus's (gram-hash → distinct-doc count) table lives on
+    * storage, so a nightly batch of NEW documents checks span overlap
+    * WITHOUT re-reading a byte of old corpus text. Same watermark
+    * freshness contract as the vector indexes (source token + build
+    * params; k and deltaMod are part of the index identity — deltaMod
+    * decides which docs are "old", so it changes the index CONTENT).
+    */
+  object GramIndex {
+    def path(spark: SparkSession, dir: String): String =
+      VectorIndex.defaultPath(spark, dir) + "_grams"
+
+    def params(k: Int, deltaMod: Int): String = s"grams:k=$k,deltaMod=$deltaMod"
+
+    private def watermark(spark: SparkSession, dir: String, k: Int, deltaMod: Int): String =
+      graft.Tables.sourceToken(spark, dir, "documents") + "\nparams|" + params(k, deltaMod)
+
+    def fresh(spark: SparkSession, dir: String, path: String, k: Int, deltaMod: Int): Boolean = {
+      val fs = VectorIndex.fsFor(spark, path)
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/grams/_SUCCESS")) &&
+        VectorIndex.readWatermark(spark, path).contains(watermark(spark, dir, k, deltaMod))
+    }
+
+    def build(spark: SparkSession, dir: String, path: String, k: Int, deltaMod: Int): Unit = {
+      GraftFunctions.register(spark)
+      val token = watermark(spark, dir, k, deltaMod) // BEFORE reading, like VectorIndex.build
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % deltaMod =!= 0)
+        .select(col("doc_id"), explode(array_distinct(expr(s"kgram_hashes(text, $k)"))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("nd_old"))
+        .write.mode("overwrite").parquet(s"$path/grams")
+      VectorIndex.writeWatermark(spark, path, token)
+    }
+
+    def grams(spark: SparkSession, path: String): DataFrame =
+      spark.read.parquet(s"$path/grams")
+  }
+
+  /** q64b: INCREMENTAL substring dedup — the steady-state spelling of
+    * q64. "New" docs (doc_id ≡ 0 mod deltaMod, the derived nightly
+    * batch) score their span-duplication against the FULL corpus, but
+    * the engine touches only the delta's text plus the persisted gram
+    * index: a gram is shared iff its old-corpus doc count (from the
+    * index) plus its within-delta distinct-doc count reaches 2 — the
+    * identical predicate q64 evaluates by re-scanning everything.
+    * Value-identical to q64 restricted to the delta (spec-pinned),
+    * and ORACLE-EXACT against the full-corpus string-gram CTE
+    * filtered to delta docs. At 100 TB this is the difference between
+    * scanning the batch (plus an index merge-join) and scanning the
+    * lake.
+    */
+  def substringDupIncremental(spark: SparkSession, dir: String, k: Int = 8,
+                              deltaMod: Int = 16): DataFrame = {
+    GraftFunctions.register(spark)
+    val path = GramIndex.path(spark, dir)
+    if (!GramIndex.fresh(spark, dir, path, k, deltaMod))
+      GramIndex.build(spark, dir, path, k, deltaMod)
+    val delta = Tables.documents(spark, dir)
+      .filter(col("doc_id") % deltaMod === 0)
+      .select(col("doc_id"), col("text"))
+    val grams = delta
+      .select(col("doc_id"), posexplode(expr(s"kgram_hashes(text, $k)")).as(Seq("pos", "g")))
+    val shared = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd_new"))
+      .join(GramIndex.grams(spark, path), Seq("g"), "left")
+      .filter(coalesce(col("nd_old"), lit(0L)) + col("nd_new") >= 2)
+      .select("g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val cov = grams.join(shared, Seq("g"), "left_semi")
+      .withColumn("nxt", lead("pos", 1).over(w))
+      .withColumn("covered", least(lit(k), coalesce(col("nxt") - col("pos"), lit(k))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"), sum("covered").as("dup_tokens"))
+    delta.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("n_dup_grams", coalesce(col("n_dup_grams"), lit(0L)))
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac",
+        try_divide(col("dup_tokens").cast("double"), col("n_tokens")))
+      .select("doc_id", "n_tokens", "n_dup_grams", "dup_tokens", "dup_frac")
+      .orderBy("doc_id")
+  }
 }

@@ -296,6 +296,46 @@ object TextAnalysis {
       .orderBy("lang", "bin")
   }
 
+  /** q66: corpus-frequency RARITY score — the LM-free perplexity
+    * proxy: per document, the mean and min corpus document-frequency
+    * of its distinct bigram shingles. Template/boilerplate docs score
+    * high-mean (their n-grams are everywhere); garbage/OCR noise
+    * scores min=1 and low-mean (n-grams nobody else has) — the two
+    * tails a curation pipeline clips when no language model is
+    * available (the integer-exact cousin of a KenLM perplexity
+    * filter; ln is not bit-portable across engines, plain counts
+    * are).
+    *
+    * Scale spelling mirrors q64's r08 lesson END-TO-END string-free:
+    * shingle HASHES (array_distinct over the native kgram_hashes —
+    * distinct-of-hashes ≡ hashes-of-distinct modulo 64-bit
+    * collisions) ride both shuffles at 8 bytes; df comes from a
+    * count-over-Window on the exploded frame (ONE shuffle by gram,
+    * q40's shape — a groupBy+join-back would shuffle the grams
+    * twice), per-doc rollup is the second shuffle. Output carries
+    * only counts ⇒ ORACLE-EXACT vs a string-shingle DuckDB CTE
+    * (mean_df = exact integer sum / count in double — bit-equal
+    * division on both engines).
+    */
+  def rarityScore(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val sh = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), array_distinct(expr("kgram_hashes(text, 2)")).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val wDf = Window.partitionBy("g")
+    sh.withColumn("df", count(lit(1)).over(wDf))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        (sum("df").cast("double") / count(lit(1))).as("mean_df"),
+        min("df").as("min_df"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("uniq_frac",
+        round(col("n_unique").cast("double") / col("n_shingles"), 6))
+      .select("doc_id", "n_shingles", "mean_df", "min_df", "n_unique", "uniq_frac")
+      .orderBy("doc_id")
+  }
+
   /** q33: content fingerprinting via the one-pass rolling-hash
     * expression; dup-group id = min doc_id per fingerprint. Hash bits
     * are engine-internal ⇒ rows-only oracle.

@@ -40,7 +40,7 @@ object VectorIndex {
     root.stripSuffix("/") + "/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
   }
 
-  private def fsFor(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+  private[operators] def fsFor(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -90,7 +90,7 @@ object VectorIndex {
 
   private def watermarkPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/watermark")
 
-  private def readWatermark(spark: SparkSession, path: String): Option[String] = {
+  private[operators] def readWatermark(spark: SparkSession, path: String): Option[String] = {
     val fs = fsFor(spark, path)
     if (!fs.exists(watermarkPath(path))) None
     else {
@@ -102,7 +102,7 @@ object VectorIndex {
     }
   }
 
-  private def writeWatermark(spark: SparkSession, path: String, snapshot: String): Unit = {
+  private[operators] def writeWatermark(spark: SparkSession, path: String, snapshot: String): Unit = {
     // write-then-rename, not in-place truncate+write: a concurrent
     // fresh() reader during an in-place write sees a partial
     // watermark (spurious stale → wasted rebuild) and a crash
