@@ -126,21 +126,25 @@ object Dedup {
     dedupMinHashOn(spark, docShingles(spark, dir), threshold, k, bands)
 
   /** q27b: the ORACLE-EXACT twin of q27 (the q44 graduation pattern).
-    * Input is `documents` plus planted verbatim copies; band count is
-    * raised to 16 (2 rows/band) so banding recall is certain on the
-    * gate corpora: the testdata's own near-dup pairs all sit at
-    * Jaccard ≥ 0.909 (no pair lives in [0.5, 0.909)), and a j=0.909
-    * pair misses 16 2-row bands with probability (1−j²)¹⁶ ≈ 4e-13 —
-    * and banding is DETERMINISTIC for fixed texts, so the DuckDB
-    * brute-force Jaccard join over the same derived input is a valid
-    * exact oracle: LSH output == every pair with jac ≥ threshold
-    * (verified at sf0.001/0.01 by the driver gate; q27 keeps the
-    * corpus-default 8×4 banding as the rows-only scale entry).
+    * Input is `documents` plus planted verbatim copies, same 8×4
+    * banding as q27. The DuckDB brute-force Jaccard join over the
+    * same derived input is a valid exact oracle because banding
+    * recall on the gate corpora is total AND deterministic: planted
+    * copies have identical signatures (recovery certain), and the
+    * testdata's own near-dup pairs all sit at Jaccard ≥ 0.909 — no
+    * pair lives in [0.5, 0.909) — where a miss has a-priori
+    * probability (1−j⁴)⁸ ≈ 1e-4 per pair and the driver gate verifies
+    * the actual outcome bit-exactly at both sf (q27's row counts have
+    * matched the brute-force pair count every round). 16×2 banding
+    * would make the a-priori miss 4e-13 but over-generates candidates
+    * quadratically on this dense-vocabulary corpus (random pairs sit
+    * at j ≈ 0.15, so j² per band × 16 bands ≈ 4M candidate pairs =
+    * 7.4s at sf0.1 vs 0.9s for 8×4 — measured r08).
     */
   def dedupMinHashPlanted(spark: SparkSession, dir: String, threshold: Double = 0.5,
                           every: Int = 20, idOffset: Long = 1000000L): DataFrame =
     dedupMinHashOn(spark, docShinglesOn(spark, plantedDocs(spark, dir, every, idOffset)),
-      threshold, k = 32, bands = 16)
+      threshold, k = 32, bands = 8)
 
   private[graft] def dedupMinHashOn(spark: SparkSession, docs: DataFrame,
                                     threshold: Double, k: Int, bands: Int): DataFrame = {
