@@ -64,6 +64,7 @@ object SparkEntry {
     "q29b_dedup_emb_ivf"    -> ((s, d) => Dedup.dedupEmbeddingIvf(s, d)),
     "q29c_dedup_ivf_indexed" -> ((s, d) => Dedup.dedupEmbeddingIvfIndexed(s, d)),
     "q44_dedup_emb_lsh"     -> ((s, d) => Dedup.dedupEmbeddingLshPlanted(s, d)),
+    "q67_pq_topk"           -> ((s, d) => PQ.pqTopK(s, d)),
     "q53_dup_clusters"      -> ((s, d) => DupGraph.dupClusters(s, d)),
     "q64_substring_dup"     -> ((s, d) => Dedup.substringDup(s, d)),
     "q64b_substring_incr"   -> ((s, d) => Dedup.substringDupIncremental(s, d)),

@@ -244,5 +244,12 @@ object GraftFunctions {
         val k = exprs(1).eval(null).asInstanceOf[Int]
         KGramHashes(exprs(0), k)
       }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "l2_sq", (exprs: Seq[Expression]) => L2Squared(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pq_adc", (exprs: Seq[Expression]) => {
+        val k = exprs(2).eval(null).asInstanceOf[Int]
+        PqAdcScore(exprs(0), exprs(1), k)
+      }, "built-in")
   }
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., TPAMI'11) — the MEMORY scale
+  * path for vector search, complementing the IVF family's compute
+  * scale path (q19/q48): each vector is stored as m one-byte-ish
+  * codes (m=8 here → 8 ints vs 64 floats, 8-32× smaller depending on
+  * physical encoding), and a query scans codes with m table lookups
+  * per vector instead of a d-dim dot product. At 100 TB the corpus's
+  * PQ codes fit in a fraction of the cluster's memory where raw
+  * float32 vectors never could — brute-force-over-codes becomes
+  * viable exactly when IVF's partial scans start missing recall.
+  * The reference's HNSW index (vector_store.py:105-168) solves the
+  * same problem by graph traversal; PQ is the layout a columnar
+  * engine can scan declaratively.
+  *
+  * Determinism (the IVF kernels' rules): codebook seeds are REAL
+  * member subvectors (min vec_id per residue class — q19b's seed
+  * rule), Lloyd refinement uses DECIMAL(20,10) means (order-
+  * insensitive under any partitioning), assignment ties break on
+  * code id via min_by over a (distance, code) struct, and every
+  * array is assembled with array_sort over an explicit position
+  * struct. Scores are float-space ⇒ rows-only in the driver gate;
+  * PqSpec pins the laws (identical vectors ⇒ identical codes,
+  * ADC ≡ JVM-replayed lookup sum, measured recall floor vs brute).
+  */
+object PQ {
+
+  /** (vec_id, s, sv): vector split into m contiguous subvectors. */
+  private def subvectors(e: DataFrame, m: Int, dims: Int): DataFrame = {
+    val dsub = dims / m
+    e.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("vec_id"), col("s"),
+        slice(col("embedding"), col("s") * dsub + 1, lit(dsub)).as("sv"))
+  }
+
+  /** Codebooks (s, code, cvec): per subspace, kCodes codewords —
+    * member-subvector seeds + `iters` Lloyd rounds of decimal means.
+    * m·kCodes rows of dsub floats: always broadcastable.
+    */
+  private[graft] def codebooks(spark: SparkSession, e: DataFrame, m: Int, kCodes: Int,
+                               dims: Int, iters: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val subs = subvectors(e, m, dims)
+    val seedW = Window.partitionBy(col("s"), pmod(col("vec_id"), lit(kCodes))).orderBy("vec_id")
+    var books = subs.withColumn("rn", row_number().over(seedW)).filter(col("rn") === 1)
+      .select(col("s"), pmod(col("vec_id"), lit(kCodes)).cast("int").as("code"),
+        col("sv").as("cvec"))
+    for (_ <- 1 to iters) {
+      val a = assign(subs, books)
+      books = subs.join(a, Seq("vec_id", "s"))
+        .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("s", "code", "pos")
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(20, 10))) / count(lit(1)))
+          .cast("double").as("c"))
+        .groupBy("s", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).cast("array<float>").as("cvec"))
+    }
+    books
+  }
+
+  /** (vec_id, s, code): nearest codeword per subspace. min_by over a
+    * partial-aggregatable struct — no window, the N·m·kCodes distance
+    * rows collapse map-side to one row per (vec_id, s).
+    */
+  private def assign(subs: DataFrame, books: DataFrame): DataFrame =
+    subs.join(broadcast(books), "s")
+      .withColumn("d", expr("l2_sq(sv, cvec)"))
+      .groupBy("vec_id", "s")
+      .agg(expr("min_by(code, struct(d, code))").as("code"))
+
+  /** (vec_id, codes ARRAY<INT> of length m): the compressed corpus. */
+  private[graft] def encode(spark: SparkSession, e: DataFrame, books: DataFrame,
+                            m: Int, dims: Int): DataFrame =
+    assign(subvectors(e, m, dims), books)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** q67: PQ-compressed approximate top-k — build codebooks, encode
+    * the corpus, scan CODES with the pq_adc lookup sum (asymmetric
+    * distance: query subvectors stay exact, corpus is quantized).
+    * Ranking ascends squared-L2 ADC distance with vec_id tie-breaks;
+    * per-query top-k via the q16 window shape.
+    */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+             m: Int = 8, kCodes: Int = 16, iters: Int = 1): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
+    val books = codebooks(spark, e, m, kCodes, dims, iters)
+    val codes = encode(spark, e, books, m, dims)
+    // per-query LUT: distance of each (subspace, codeword) to the
+    // query's exact subvector, flattened to lut[s*kCodes + code]
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val luts = subvectors(q.select(col("query_id").as("vec_id"), col("embedding")), m, dims)
+      .join(broadcast(books), "s")
+      .withColumn("d", expr("l2_sq(sv, cvec)"))
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code"), col("d")))),
+        x => x.getField("d")).as("lut"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", round(expr(s"pq_adc(codes, lut, $kCodes)"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc"), col("rk").cast("int").as("rk"))
+      .orderBy("query_id", "rk")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins operators.PQ's laws: identical vectors get identical codes
+  * (quantization is a pure function of the vector), the native
+  * pq_adc kernel equals its declarative HOF twin bit-for-bit, codes
+  * have the contracted shape, and ADC ranking keeps a measured
+  * recall floor against the EXACT top-k in the same (L2) metric —
+  * quantization loss only, no metric mismatch in the measurement.
+  */
+class PqSpec extends AnyFunSuite {
+  import TestSpark._
+
+  functions.GraftFunctions.register(spark)
+
+  test("identical vectors encode to identical codes; codes have length m") {
+    import spark.implicits._
+    val tdir = "/fake/pq_dup"
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // plant vec 0's embedding again under a high id
+    val dup = base.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Tables.registerOverride(spark, tdir, "embeddings", base.unionAll(dup))
+    val e = Tables.embeddings(spark, tdir).select("vec_id", "embedding")
+    val books = operators.PQ.codebooks(spark, e, m = 8, kCodes = 16, dims = 64, iters = 1)
+    val codes = operators.PQ.encode(spark, e, books, m = 8, dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(_.length == 8), "m codes per vector")
+    assert(codes(0L) == codes(1000000L), "identical vectors must quantize identically")
+  }
+
+  test("native pq_adc == declarative lookup-sum twin (codegen and interpreted)") {
+    import spark.implicits._
+    val codes = Seq(
+      (Seq(0, 1, 2, 3, 4, 5, 6, 7), (0 until 128).map(_.toDouble * 0.25)),
+      (Seq(15, 15, 15, 15, 15, 15, 15, 15), (0 until 128).map(i => 1.0 / (i + 1))),
+      (Seq(3, 0, 9, 12, 7, 1, 14, 2), (0 until 128).map(i => math.sin(i.toDouble))))
+      .toDF("codes", "lut")
+    // NB: [] on arrays (GetArrayItem) is 0-based in Spark SQL;
+    // element_at is the 1-based one
+    val twin = expr(
+      "aggregate(transform(sequence(0, size(codes) - 1), s -> lut[s * 16 + codes[s]]), 0D, (acc, x) -> acc + x)")
+    def check(): Unit = codes.select(expr("pq_adc(codes, lut, 16)").as("fast"), twin.as("slow"))
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("ADC top-10 keeps a recall floor vs exact L2 top-10 (quantization loss only)") {
+    val pq = operators.PQ.pqTopK(spark, dir, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d", expr("l2_sq(embedding, qvec)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    // 64-d STRUCTURELESS random floats are PQ's worst case (the same
+    // floor logic as the IVF recall probes); clustered real
+    // embeddings quantize far tighter. Deterministic — no RNG.
+    assert(recall >= 0.3, f"PQ recall@10 vs exact L2: $recall%.3f")
+    assert(pq.size == exact.size)
+  }
+}
