@@ -29,33 +29,49 @@ object ReplyChains {
     * (TelegramJson.readExport shape): (chat_id, message_id) →
     * (root_id, depth). Roots have root_id = message_id, depth 0.
     */
-  /** Last round's persisted state per session (same leak-bounding
+  private type RowRdd = org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]
+
+  /** Last round's persisted state RDD per session (same leak-bounding
     * registry pattern as Vectors.slidingCache).
     */
   private val lastState =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, RowRdd]()
 
   def threads(messages: DataFrame, maxDepth: Int = 16): DataFrame = {
-    val state = resolveIter(messages, maxDepth)
-    Option(lastState.put(messages.sparkSession, state)).foreach(_.unpersist(false))
+    val (state, rdd) = resolveIter(messages, maxDepth)
+    Option(lastState.put(messages.sparkSession, rdd)).foreach(_.unpersist(false))
     state
   }
 
-  private def resolveIter(messages: DataFrame, maxDepth: Int): DataFrame = {
+  private def resolveIter(messages: DataFrame, maxDepth: Int): (DataFrame, RowRdd) = {
     require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // iterative-persist (the GraphX/GraphFrames pattern): each round
-    // self-joins the CURRENT state, so an unpersisted lineage would
-    // re-evaluate the previous round once per join side — 2^rounds
-    // base scans (the round-1 self-join-recompute trap, SNIPPETS'd in
-    // SURVEY §4). Persist + materialize each round, drop the previous
-    // level; only the final slim (chat, id, root, depth) frame stays
-    // cached, replaced on the next call.
-    var state = messages
+    val spark = messages.sparkSession
+    // iterative-persist + RDD-LEAF LINEAGE CUT each round (the
+    // DupGraph.cutLineage pattern). Persist alone stops the 2^rounds
+    // RECOMPUTE trap but not the 2^rounds PLAN trap: each round's
+    // self-join embeds two copies of the previous round's logical
+    // plan, so by round 6 the converged frame's analyzed tree carried
+    // ~2^14 scan leaves and every later action on it — q56's orderBy,
+    // q56b's rollup, every bench repeat — paid ~2.5s of pure
+    // driver-side analysis while execution itself hit the cache
+    // (measured, tools.ThreadCacheProbe r08: q56 re-run 2.9s → 0.3s
+    // after the cut). The LogicalRDD leaf keeps every consumer's plan
+    // O(1); the RDD lineage chain underneath stays intact for
+    // fault-tolerant recompute (the property localCheckpoint gives
+    // up). The slim 4-long rows never need codegen, so leaving the
+    // columnar path costs nothing — and the join stops planning as a
+    // 100k-row broadcast (state ∝ corpus: SMJ is the right shape).
+    def cut(df: DataFrame, prev: Option[RowRdd]): (DataFrame, RowRdd) = {
+      val rdd = df.rdd.persist(lvl)
+      rdd.count() // materialize from the cached previous level
+      prev.foreach(_.unpersist(false))
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (state, stateRdd) = cut(messages
       .select(col("chat_id"), col("message_id"),
         coalesce(col("reply_to_message_id"), col("message_id")).as("root_id"),
-        when(col("reply_to_message_id").isNull, 0L).otherwise(1L).as("depth"))
-      .persist(lvl)
+        when(col("reply_to_message_id").isNull, 0L).otherwise(1L).as("depth")), None)
     val rounds = 32 - Integer.numberOfLeadingZeros(math.max(1, maxDepth - 1)) // ceil(log2)
     for (_ <- 1 to rounds) {
       // s.root_id -> that ancestor's own (root_id, depth); a missing
@@ -69,12 +85,11 @@ object ReplyChains {
         .select(col("chat_id"), col("message_id"),
           coalesce(col("p_root"), col("root_id")).as("root_id"),
           (col("depth") + coalesce(col("p_depth"), lit(0L))).as("depth"))
-        .persist(lvl)
-      next.count() // materialize from the cached previous level
-      state.unpersist(false)
-      state = next
+      val (s2, r2) = cut(next, Some(stateRdd))
+      state = s2
+      stateRdd = r2
     }
-    state
+    (state, stateRdd)
   }
 
   /** Per-thread rollup from an ALREADY-RESOLVED thread frame
@@ -140,7 +155,7 @@ object ReplyChains {
     *     version + recursive file snapshot, VectorIndex's watermark
     *     contract); a token mismatch unpersists and rebuilds.
     */
-  private case class CachedThreads(token: String, frame: DataFrame)
+  private case class CachedThreads(token: String, frame: DataFrame, rdd: RowRdd)
   private val eventThreadCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), CachedThreads]()
 
@@ -149,15 +164,16 @@ object ReplyChains {
     while (it.hasNext) {
       val e = it.next()
       if ((e.getKey._1 eq spark) && e.getKey._2 != dir) {
-        e.getValue.frame.unpersist(false); it.remove()
+        e.getValue.rdd.unpersist(false); it.remove()
       }
     }
     val token = graft.Tables.sourceToken(spark, dir, "events")
     eventThreadCache.compute((spark, dir), (_, old) =>
       if (old != null && old.token == token) old
       else {
-        if (old != null) old.frame.unpersist(false)
-        CachedThreads(token, resolveIter(eventReplyFrame(spark, dir), maxDepth = 64))
+        if (old != null) old.rdd.unpersist(false)
+        val (frame, rdd) = resolveIter(eventReplyFrame(spark, dir), maxDepth = 64)
+        CachedThreads(token, frame, rdd)
       }).frame
   }
 
@@ -168,14 +184,14 @@ object ReplyChains {
     val it = eventThreadCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey._1 eq spark) { e.getValue.frame.unpersist(false); it.remove() }
+      if (e.getKey._1 eq spark) { e.getValue.rdd.unpersist(false); it.remove() }
     }
   }
 
-  /** Spec access: the live cached frame for (session, dir), if any. */
-  private[graft] def cachedEventFrame(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] =
-    Option(eventThreadCache.get((spark, dir))).map(_.frame)
+  /** Spec access: the live cached state RDD for (session, dir). */
+  private[graft] def cachedEventRdd(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[RowRdd] =
+    Option(eventThreadCache.get((spark, dir))).map(_.rdd)
 
   /** q56: per-event thread resolution — (event_id, root_id, depth). */
   def eventThreads(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =

@@ -85,17 +85,17 @@ class ReplyChainsSpec extends AnyFunSuite {
       writeEvents(a, Seq(0, 1, 2, 3, 0, 5))
       writeEvents(b, Seq(0, 0, 1, 1, 2, 2))
       operators.ReplyChains.eventThreads(spark, a).collect()
-      val frameA = operators.ReplyChains.cachedEventFrame(spark, a)
-      assert(frameA.isDefined)
-      assert(frameA.get.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
-        "the converged frame must be persisted while live")
+      val rddA = operators.ReplyChains.cachedEventRdd(spark, a)
+      assert(rddA.isDefined)
+      assert(rddA.get.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "the converged state must be persisted while live")
       operators.ReplyChains.eventThreads(spark, b).collect()
-      assert(operators.ReplyChains.cachedEventFrame(spark, a).isEmpty,
+      assert(operators.ReplyChains.cachedEventRdd(spark, a).isEmpty,
         "one live frame per session: dir A's entry must be evicted")
-      assert(frameA.get.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
-        "dir A's frame must be UNPERSISTED after dir B's resolution")
+      assert(rddA.get.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "dir A's state must be UNPERSISTED after dir B's resolution")
       operators.ReplyChains.clearEventThreadCache(spark)
-      assert(operators.ReplyChains.cachedEventFrame(spark, b).isEmpty)
+      assert(operators.ReplyChains.cachedEventRdd(spark, b).isEmpty)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(a)).deleteRecursively()
@@ -114,15 +114,15 @@ class ReplyChainsSpec extends AnyFunSuite {
       val before = operators.ReplyChains.eventThreads(spark, d).collect()
       assert(before.count(r => r.getLong(0) != r.getLong(1)) == 2,
         "events 3 and 4 chain to roots 1 and 2")
-      val stale = operators.ReplyChains.cachedEventFrame(spark, d).get
+      val stale = operators.ReplyChains.cachedEventRdd(spark, d).get
       val roots = Seq((1L, """{"k":0}"""), (2L, """{"k":0}"""), (3L, """{"k":0}"""), (4L, """{"k":0}"""))
         .toDF("event_id", "props")
       Tables.registerOverride(spark, d, "events", roots)
       val after = operators.ReplyChains.eventThreads(spark, d).collect()
       assert(after.forall(r => r.getLong(0) == r.getLong(1) && r.getLong(2) == 0L),
         "after the override every event is its own root — a stale cache would still chain them")
-      assert(stale.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
-        "the stale frame must be unpersisted on invalidation")
+      assert(stale.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "the stale state must be unpersisted on invalidation")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(d)).deleteRecursively()
