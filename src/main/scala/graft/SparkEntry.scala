@@ -69,6 +69,7 @@ object SparkEntry {
     "q64_substring_dup"     -> ((s, d) => Dedup.substringDup(s, d)),
     "q64b_substring_incr"   -> ((s, d) => Dedup.substringDupIncremental(s, d)),
     "q66_rarity_score"      -> ((s, d) => TextAnalysis.rarityScore(s, d)),
+    "q33b_fingerprint_groups" -> ((s, d) => TextAnalysis.fingerprintGroups(s, d)),
     "q54_decontam"          -> ((s, d) => Curation.decontaminate(s, d)),
     "q55_pii_scrub"         -> ((s, d) => Curation.piiScrub(s, d)),
     "q57_pack_sequences"    -> ((s, d) => Curation.packSequences(s, d)),
@@ -377,6 +378,18 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |WHERE d.doc_id % 16 = 0
         |ORDER BY d.doc_id""".stripMargin,
+    // q33b: the oracle groups by TEXT — same structure the engine
+    // derives from 64-bit fingerprints (collision-free on the gate
+    // corpora, deterministic; planted copies recover with certainty).
+    "q33b_fingerprint_groups" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
+        |g AS (SELECT text, MIN(doc_id) AS group_min, COUNT(*) AS group_n FROM u GROUP BY text)
+        |SELECT u.doc_id, g.group_min, g.group_n
+        |FROM u JOIN g ON u.text = g.text
+        |ORDER BY u.doc_id""".stripMargin,
     "q66_rarity_score" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents
          |  WHERE len(string_split(text, ' ')) >= 2),

@@ -347,4 +347,30 @@ object TextAnalysis {
     val groups = fp.groupBy("fp").agg(min("doc_id").as("group_min"), count(lit(1)).as("group_n"))
     fp.join(groups, "fp").select("doc_id", "fp", "group_min", "group_n").orderBy("doc_id")
   }
+
+  /** q33b: the ORACLE-EXACT twin of q33 (its structure surface, the
+    * q28b graduation pattern): fingerprint GROUPS over documents plus
+    * planted verbatim copies — group id (min doc_id) and size per
+    * doc, WITHOUT the hash bits. fingerprint64 is a pure function of
+    * the text, so equal texts always share a group (planted recovery
+    * certain); unequal texts sharing a group would be a 64-bit
+    * polynomial collision — deterministic for fixed texts, absent on
+    * the gate corpora (verified bit-exact by the driver gate both
+    * sf). The DuckDB oracle groups by the TEXT itself: identical
+    * structure, no hash in sight. The 8-byte fingerprint is what
+    * rides the shuffle at 100 TB, not the document text — q33 keeps
+    * the raw-fingerprint surface as the rows-only entry.
+    */
+  def fingerprintGroups(spark: SparkSession, dir: String,
+                        every: Int = 20, idOffset: Long = 1000000L): DataFrame = {
+    GraftFunctions.register(spark)
+    val fp = Tables.documents(spark, dir)
+      .select(explode(when(col("doc_id") % every === 0,
+          array(col("doc_id"), col("doc_id") + idOffset))
+        .otherwise(array(col("doc_id")))).as("doc_id"),
+        col("text"))
+      .select(col("doc_id"), expr("fingerprint64(text)").as("fp"))
+    val groups = fp.groupBy("fp").agg(min("doc_id").as("group_min"), count(lit(1)).as("group_n"))
+    fp.join(groups, "fp").select("doc_id", "group_min", "group_n").orderBy("doc_id")
+  }
 }
