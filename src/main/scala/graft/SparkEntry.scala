@@ -65,11 +65,13 @@ object SparkEntry {
     "q29c_dedup_ivf_indexed" -> ((s, d) => Dedup.dedupEmbeddingIvfIndexed(s, d)),
     "q44_dedup_emb_lsh"     -> ((s, d) => Dedup.dedupEmbeddingLshPlanted(s, d)),
     "q67_pq_topk"           -> ((s, d) => PQ.pqTopK(s, d)),
+    "q67b_ivfpq_topk"       -> ((s, d) => PQ.ivfPqTopK(s, d)),
     "q53_dup_clusters"      -> ((s, d) => DupGraph.dupClusters(s, d)),
     "q64_substring_dup"     -> ((s, d) => Dedup.substringDup(s, d)),
     "q64b_substring_incr"   -> ((s, d) => Dedup.substringDupIncremental(s, d)),
     "q66_rarity_score"      -> ((s, d) => TextAnalysis.rarityScore(s, d)),
     "q33b_fingerprint_groups" -> ((s, d) => TextAnalysis.fingerprintGroups(s, d)),
+    "q01c_sessions_native"  -> ((s, d) => Sessions.sessionStatsNative(s, d)),
     "q54_decontam"          -> ((s, d) => Curation.decontaminate(s, d)),
     "q55_pii_scrub"         -> ((s, d) => Curation.piiScrub(s, d)),
     "q57_pack_sequences"    -> ((s, d) => Curation.packSequences(s, d)),
@@ -148,6 +150,12 @@ object SparkEntry {
       s"""SELECT event_id, user_id, session_id
          |FROM (${sessionsCte(1800000)}) s
          |ORDER BY user_id, session_id, event_id""".stripMargin,
+    "q01c_sessions_native" ->
+      s"""SELECT user_id, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+         |  COUNT(*) AS n_events
+         |FROM (${sessionsCte(1800000)}) s
+         |GROUP BY user_id, session_id
+         |ORDER BY user_id, start_ms""".stripMargin,
     "q02_session_stats" ->
       s"""SELECT user_id, session_id, COUNT(*) AS n_events,
          |  MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,

@@ -117,4 +117,53 @@ object PQ {
       .select(col("query_id"), col("vec_id"), col("adc"), col("rk").cast("int").as("rk"))
       .orderBy("query_id", "rk")
   }
+
+  /** q67b: IVF-PQ — the faiss-style composition and the standard
+    * billion-scale layout: coarse IVF cells prune WHICH vectors to
+    * look at (q19b/q29b's cell machinery), PQ codes compress WHAT is
+    * read per vector. A query ranks cells through the shared
+    * two-level `assignCells` kernel, keeps nProbe cells, and
+    * ADC-scans only those cells' code lists — scan cost
+    * nProbe/nLists of the corpus × m bytes per vector, against
+    * full-PQ's all-codes scan and exact search's all-floats scan.
+    * Determinism: top-1 cell per vector (assignCells' 6dp ranking +
+    * cell tie-break) ⇒ each (query, vector) pair appears at most
+    * once; same ADC rounding and tie-breaks as q67. Rows-only;
+    * PqSpec pins identical-twin co-assignment recovery and ADC value
+    * agreement with the full scan on shared pairs.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+                m: Int = 8, kCodes: Int = 16, iters: Int = 1,
+                nLists: Int = 0, nProbe: Int = 3): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
+    val n = e.count()
+    val lists = if (nLists > 0) nLists else math.max(16, (n / 125L).toInt)
+    val cents = Vectors.refinedCentroids(e, lists, iters = 0)
+    val cells = Vectors.assignCells(e, cents, nProbe = 1, nCoarse = Vectors.autoCoarse(lists))
+      .select("vec_id", "cell")
+    val books = codebooks(spark, e, m, kCodes, dims, iters)
+    val coded = encode(spark, e, books, m, dims).join(cells, "vec_id")
+    val q = e.filter(col("vec_id") < nQueries)
+    val probes = Vectors.assignCells(q, cents, nProbe = nProbe,
+        nCoarse = Vectors.autoCoarse(lists))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val luts = subvectors(q.select(col("vec_id"), col("embedding")), m, dims)
+      .join(broadcast(books), "s")
+      .withColumn("d", expr("l2_sq(sv, cvec)"))
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code"), col("d")))),
+        x => x.getField("d")).as("lut"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    coded.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(luts), "query_id")
+      .withColumn("adc", round(expr(s"pq_adc(codes, lut, $kCodes)"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc"), col("rk").cast("int").as("rk"))
+      .orderBy("query_id", "rk")
+  }
 }

@@ -61,6 +61,30 @@ object Sessions {
       .select("event_id", "user_id", "session_id")
       .orderBy("user_id", "session_id", "event_id")
 
+  /** q01c: per-session rollup via Spark's NATIVE `session_window` —
+    * the engine-level spelling of the same gap rule (and the one that
+    * transfers to Structured Streaming unchanged). One subtlety makes
+    * them agree exactly: q01/create_clusters break on gap STRICTLY
+    * GREATER than windowMs, while session_window merges an event only
+    * while its ts is strictly BEFORE the open window's end (end =
+    * last_ts + gap, end-exclusive) — i.e. it breaks at diff ≥ gap.
+    * Passing gap = windowMs + 1 ms turns that into "break at
+    * diff > windowMs": the q01 rule. Session bounds are emitted as
+    * min/max EVENT time (not the window's padded end), so the oracle
+    * is the plain per-(user, session) rollup of q01's CTE — EXACT.
+    * Same one-shuffle shape as the q01 window (session_window plans
+    * as a sort-based aggregation partitioned by user).
+    */
+  def sessionStatsNative(spark: SparkSession, dir: String,
+                         windowMs: Long = 30 * 60 * 1000L): DataFrame =
+    withTsMs(spark, dir)
+      .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+      .groupBy(col("user_id"), session_window(col("ts_t"), s"${windowMs + 1} milliseconds"))
+      .agg(min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .orderBy("user_id", "start_ms")
+
   /** Incremental resessionization — the reference's fast reprocessing
     * path (fast_cluster_reprocessing.py / reprocess_clusters_only:
     * redo cluster logic without redoing the expensive upstream work;

@@ -75,4 +75,34 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.3, f"PQ recall@10 vs exact L2: $recall%.3f")
     assert(pq.size == exact.size)
   }
+
+  test("IVF-PQ: pairs shared with the full PQ scan carry identical ADC values") {
+    val full = operators.PQ.pqTopK(spark, dir, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = operators.PQ.ivfPqTopK(spark, dir, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    val shared = ivf.keySet.intersect(full.keySet)
+    assert(shared.nonEmpty, "probed cells must recover part of the full-scan top-k")
+    shared.foreach(p => assert(ivf(p) == full(p),
+      s"same pair, same codes, same LUT => same ADC: $p"))
+    // sanity: at most one row per (query, vector) — top-1 cell assign
+    assert(ivf.size == ivf.keySet.size)
+  }
+
+  test("IVF-PQ recovers an identical twin: equal vectors co-assign and co-encode") {
+    import spark.implicits._
+    val tdir = "/fake/ivfpq_twin"
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val twin = base.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Tables.registerOverride(spark, tdir, "embeddings", base.unionAll(twin))
+    val r = operators.PQ.ivfPqTopK(spark, tdir, k = 10, nQueries = 1).collect()
+    // identical vectors rank cells identically, so the twin's cell IS
+    // the query's top probe; identical subvectors encode identically,
+    // so its ADC distance is the reconstruction floor for the query
+    val pairs = r.map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((0L, 1000000L)),
+      s"the planted twin must be recovered through the probed cells: ${pairs.mkString(",")}")
+  }
 }
