@@ -73,4 +73,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string,value:double,props:string>"),
       s"scan must read exactly the six needed columns:\n${p.linesIterator.filter(_.contains("ReadSchema")).mkString}")
   }
+
+  test("q66 rarity score runs on two data shuffles (+1 output sort)") {
+    val p = plan(operators.TextAnalysis.rarityScore(spark, dir))
+    val n = count(p, "Exchange hashpartitioning") + count(p, "Exchange rangepartitioning")
+    assert(n == 3, s"gram window, per-doc rollup, orderBy — got $n in:\n$p")
+  }
+
+  test("q01c native session_window is a single shuffle (+1 output sort)") {
+    val p = plan(operators.Sessions.sessionStatsNative(spark, dir))
+    val n = count(p, "Exchange hashpartitioning") + count(p, "Exchange rangepartitioning")
+    assert(n == 2, s"user partition + orderBy — got $n in:\n$p")
+  }
+
+  test("q64's gram shuffles carry 8-byte hashes, not gram strings") {
+    val p = plan(operators.Dedup.substringDup(spark, dir))
+    assert(p.contains("kgram_hashes"), s"the hashed expression must feed the plan:\n$p")
+    // the exploded gram column is LONG end-to-end: no string gram
+    // survives into either exchange
+    assert(!p.contains("kgrams("), "string grams must not appear in the default q64 plan")
+  }
 }
