@@ -66,6 +66,7 @@ object SparkEntry {
     "q44_dedup_emb_lsh"     -> ((s, d) => Dedup.dedupEmbeddingLshPlanted(s, d)),
     "q67_pq_topk"           -> ((s, d) => PQ.pqTopK(s, d)),
     "q67b_ivfpq_topk"       -> ((s, d) => PQ.ivfPqTopK(s, d)),
+    "q67c_pq_indexed"       -> ((s, d) => PQ.pqTopKIndexed(s, d)),
     "q53_dup_clusters"      -> ((s, d) => DupGraph.dupClusters(s, d)),
     "q64_substring_dup"     -> ((s, d) => Dedup.substringDup(s, d)),
     "q64b_substring_incr"   -> ((s, d) => Dedup.substringDupIncremental(s, d)),

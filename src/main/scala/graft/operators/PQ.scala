@@ -118,6 +118,80 @@ object PQ {
       .orderBy("query_id", "rk")
   }
 
+  /** Persisted PQ index — the build/read split (the q48/q29c/q64b
+    * pattern): codebooks + encoded corpus live on storage under the
+    * VectorIndex watermark contract (source token + build params), so
+    * the steady state pays ZERO build cost: read m·kCodes codebook
+    * rows (broadcast) and the slim (vec_id, codes) table, scan.
+    */
+  def indexPath(spark: SparkSession, dir: String): String =
+    VectorIndex.defaultPath(spark, dir) + "_pq"
+
+  def indexParams(m: Int, kCodes: Int, iters: Int): String =
+    s"pq:m=$m,k=$kCodes,iters=$iters"
+
+  def indexFresh(spark: SparkSession, dir: String, path: String,
+                 m: Int, kCodes: Int, iters: Int): Boolean = {
+    val fs = VectorIndex.fsFor(spark, path)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/books/_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")) &&
+      VectorIndex.readWatermark(spark, path)
+        .contains(indexToken(spark, dir, m, kCodes, iters))
+  }
+
+  private def indexToken(spark: SparkSession, dir: String,
+                         m: Int, kCodes: Int, iters: Int): String =
+    graft.Tables.sourceToken(spark, dir, "embeddings") +
+      "\nparams|" + indexParams(m, kCodes, iters)
+
+  def buildIndex(spark: SparkSession, dir: String, path: String,
+                 m: Int = 8, kCodes: Int = 16, iters: Int = 1): Unit = {
+    GraftFunctions.register(spark)
+    val token = indexToken(spark, dir, m, kCodes, iters) // BEFORE reading
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
+    val books = codebooks(spark, e, m, kCodes, dims, iters)
+    books.write.mode("overwrite").parquet(s"$path/books")
+    encode(spark, e, spark.read.parquet(s"$path/books"), m, dims)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    VectorIndex.writeWatermark(spark, path, token)
+  }
+
+  /** q67c: the steady-state PQ scan — codes and codebooks come from
+    * the persisted index (build-if-stale), the query builds its LUT
+    * against the STORED books and scans the stored codes. Value-
+    * identical to q67 at the same params (spec-pinned): same seeds,
+    * same decimal means, same ADC arithmetic — persistence changes
+    * where bytes live, never what they are.
+    */
+  def pqTopKIndexed(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+                    m: Int = 8, kCodes: Int = 16, iters: Int = 1): DataFrame = {
+    GraftFunctions.register(spark)
+    val path = indexPath(spark, dir)
+    if (!indexFresh(spark, dir, path, m, kCodes, iters))
+      buildIndex(spark, dir, path, m, kCodes, iters)
+    val books = spark.read.parquet(s"$path/books")
+    val codes = spark.read.parquet(s"$path/codes")
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    val q = e.filter(col("vec_id") < nQueries)
+    val luts = subvectors(q.select(col("vec_id"), col("embedding")), m, dims)
+      .join(broadcast(books), "s")
+      .withColumn("d", expr("l2_sq(sv, cvec)"))
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code"), col("d")))),
+        x => x.getField("d")).as("lut"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", round(expr(s"pq_adc(codes, lut, $kCodes)"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc"), col("rk").cast("int").as("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   /** q67b: IVF-PQ — the faiss-style composition and the standard
     * billion-scale layout: coarse IVF cells prune WHICH vectors to
     * look at (q19b/q29b's cell machinery), PQ codes compress WHAT is

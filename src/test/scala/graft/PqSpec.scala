@@ -105,4 +105,20 @@ class PqSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1000000L)),
       s"the planted twin must be recovered through the probed cells: ${pairs.mkString(",")}")
   }
+
+  test("indexed PQ scan == per-call PQ scan; param change busts the index") {
+    val path = operators.PQ.indexPath(spark, dir)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(path)).deleteRecursively()
+    val indexed = operators.PQ.pqTopKIndexed(spark, dir, k = 10).collect().toSeq
+    val direct = operators.PQ.pqTopK(spark, dir, k = 10).collect().toSeq
+    assert(indexed == direct,
+      "persistence changes where bytes live, never what they are")
+    assert(operators.PQ.indexFresh(spark, dir, path, m = 8, kCodes = 16, iters = 1))
+    assert(!operators.PQ.indexFresh(spark, dir, path, m = 4, kCodes = 16, iters = 1),
+      "a different m must read as stale")
+    assert(!operators.PQ.indexFresh(spark, dir, path, m = 8, kCodes = 16, iters = 2),
+      "a different iters must read as stale")
+    new Directory(new java.io.File(path)).deleteRecursively()
+  }
 }
