@@ -39,5 +39,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sign_bits"),
       info("sign_bits", "sign_bits(vec, nBits) - random-hyperplane sign-LSH bits packed in a long"),
       (e: Seq[Expression]) => SignBits(e(0), e(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats", "repetition_stats(text) - one-pass word/bigram repetition counters"),
+      (e: Seq[Expression]) => RepetitionStats(e(0))))
+    ext.injectFunction((FunctionIdentifier("kgrams"),
+      info("kgrams", "kgrams(text, k) - ordered k-token grams"),
+      (e: Seq[Expression]) => KGrams(e(0), e(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("kgram_hashes"),
+      info("kgram_hashes", "kgram_hashes(text, k) - fnv1a64 of each ordered k-token gram"),
+      (e: Seq[Expression]) => KGramHashes(e(0), e(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("l2_sq"),
+      info("l2_sq", "l2_sq(a, b) - squared L2 distance of two float/double arrays"),
+      (e: Seq[Expression]) => L2Squared(e(0), e(1))))
+    ext.injectFunction((FunctionIdentifier("pq_adc"),
+      info("pq_adc", "pq_adc(codes, lut, k) - PQ asymmetric-distance lookup sum"),
+      (e: Seq[Expression]) => PqAdcScore(e(0), e(1), e(2).eval(null).asInstanceOf[Int])))
   }
 }
