@@ -41,4 +41,29 @@ class RocksDBStateSpec extends AnyFunSuite {
       assert(got == batch, "RocksDB-backed stream state must equal batch pointer jumping")
     } finally streaming.StateBackend.useDefault(spark)
   }
+
+  test("cross-batch dedup pairs on RocksDB == default backend") {
+    import spark.implicits._
+    import streaming.DedupStream._
+    implicit val sqlCtx = spark.sqlContext
+    streaming.StateBackend.useRocksDB(spark)
+    try {
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+      val q = pairs(spark, stream.toDS())
+        .writeStream.format("memory").queryName("dedup_rocksdb").outputMode("append").start()
+      stream.addData(
+        DocIn(1, "the quick brown fox jumps over the lazy dog every single morning"),
+        DocIn(2, "completely unrelated text about spark query planning and shuffles"))
+      q.processAllAvailable()
+      stream.addData(
+        DocIn(4, "the quick brown fox jumps over the lazy dog every single morning"),
+        DocIn(6, "completely unrelated text about spark query planning and shuffles"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_rocksdb").as[DupPair].collect()
+        .map(p => (p.doc_a, p.doc_b)).toSet
+      q.stop()
+      assert(got == Set((1L, 4L), (2L, 6L)),
+        s"RocksDB-backed dedup state must find the same cross-batch pairs, got $got")
+    } finally streaming.StateBackend.useDefault(spark)
+  }
 }
