@@ -80,6 +80,7 @@ object SparkEntry {
     "q58_distinctive_terms" -> ((s, d) => Curation.distinctiveTerms(s, d)),
     "q59_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "q65_temperature_mix"   -> ((s, d) => Curation.temperatureMix(s, d)),
+    "q68_mix_drift"         -> ((s, d) => Curation.mixDrift(s, d)),
     "q60_repetition"        -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q63_quality_bins"      -> ((s, d) => TextAnalysis.qualityBins(s, d)),
     "q63b_bins_chunked"     -> ((s, d) => TextAnalysis.qualityBinsChunked(s, d)),
@@ -399,6 +400,27 @@ object SparkEntry {
         |SELECT u.doc_id, g.group_min, g.group_n
         |FROM u JOIN g ON u.text = g.text
         |ORDER BY u.doc_id""".stripMargin,
+    // q68: global length-decile binning via the (wc -> count)
+    // histogram's running sum (value-level bins, no tie-splitting);
+    // chi computed from UNROUNDED expected, rounded at the surface.
+    "q68_mix_drift" ->
+      s"""WITH d AS (SELECT doc_id, source, $wcSql AS wc FROM documents),
+         |t AS (SELECT COUNT(*) AS n_total FROM d),
+         |h AS (SELECT wc, COUNT(*) AS c FROM d GROUP BY wc),
+         |b AS (SELECT wc, LEAST(9, CAST(FLOOR(
+         |        COALESCE(SUM(c) OVER (ORDER BY wc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        * 10 / t.n_total) AS INT)) AS bin
+         |      FROM h, t),
+         |bd AS (SELECT d.doc_id, d.source, b.bin FROM d JOIN b ON d.wc = b.wc),
+         |s AS (SELECT source, COUNT(*) AS n_src FROM bd GROUP BY source),
+         |bb AS (SELECT bin, COUNT(*) AS n_bin FROM bd GROUP BY bin),
+         |o AS (SELECT source, bin, COUNT(*) AS n_obs FROM bd GROUP BY source, bin),
+         |e AS (SELECT o.source, o.bin, o.n_obs, s.n_src, bb.n_bin, t.n_total,
+         |        CAST(s.n_src AS DOUBLE) * CAST(bb.n_bin AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS ex
+         |      FROM o JOIN s ON o.source = s.source JOIN bb ON o.bin = bb.bin, t)
+         |SELECT source, bin, n_obs, n_src, n_bin, n_total, round(ex, 6) AS expected,
+         |  round((CAST(n_obs AS DOUBLE) - ex) * (CAST(n_obs AS DOUBLE) - ex) / ex, 6) AS chi
+         |FROM e ORDER BY source, bin""".stripMargin,
     "q66_rarity_score" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents
          |  WHERE len(string_split(text, ' ')) >= 2),

@@ -246,6 +246,57 @@ object Curation {
     * shape as q59: tiny strata frame broadcast back, one scan, ZERO
     * shuffle of the data itself.
     */
+  /** q68: MIXTURE-DRIFT report — per-(source, global length-decile)
+    * observed vs expected counts with a χ² contribution: the
+    * monitoring check a training-data pipeline runs when a new crawl
+    * batch or re-weighted mix lands ("did source X's length
+    * distribution move?"). Sources whose documents concentrate in
+    * extreme deciles light up; the per-cell contributions ARE the
+    * report (no global χ² sum — summing doubles across rows is
+    * order-undefined in BOTH engines, per-cell values are exact
+    * fixed-order arithmetic on integer counts ⇒ ORACLE-EXACT).
+    *
+    * Global deciles without a global sort (the q08/q63b discipline):
+    * word counts are small integers, so the exact quantile structure
+    * lives in the (wc → count) aggregate — a frame bounded by
+    * |distinct wc| rows, NOT corpus size. One unpartitioned running
+    * sum over that tiny frame assigns each wc VALUE a bin via the
+    * positional law bin = ⌊cum_before · bins / N⌋ (ties share a bin
+    * by construction — no doc_id tie-split, so the binning is
+    * value-deterministic); docs then pick up bins by a broadcast
+    * join on wc. Two data shuffles total (wc histogram, source×bin
+    * rollup) — the corpus is never globally sorted.
+    */
+  def mixDrift(spark: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextAnalysis.wordCount.as("wc"))
+    val wcs = docs.groupBy("wc").agg(count(lit(1)).as("c"))
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy("wc")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val binOf = wcs
+      .withColumn("cum", coalesce(sum("c").over(cumW), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("bin",
+        least(lit(bins - 1), floor(col("cum") * bins / col("n_total"))).cast("int"))
+      .select("wc", "bin")
+    val binned = docs.join(broadcast(binOf), "wc")
+    val bySrc = binned.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val byBin = binned.groupBy("bin").agg(count(lit(1)).as("n_bin"))
+    binned.groupBy("source", "bin").agg(count(lit(1)).as("n_obs"))
+      .join(broadcast(bySrc), "source")
+      .join(broadcast(byBin), "bin")
+      .crossJoin(broadcast(total))
+      .withColumn("expected",
+        col("n_src").cast("double") * col("n_bin").cast("double") / col("n_total").cast("double"))
+      .withColumn("chi",
+        round((col("n_obs").cast("double") - col("expected")) *
+          (col("n_obs").cast("double") - col("expected")) / col("expected"), 6))
+      .withColumn("expected", round(col("expected"), 6))
+      .select("source", "bin", "n_obs", "n_src", "n_bin", "n_total", "expected", "chi")
+      .orderBy("source", "bin")
+  }
+
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "lang", "source")
     val strata = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
