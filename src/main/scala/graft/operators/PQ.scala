@@ -205,6 +205,12 @@ object PQ {
     * once; same ADC rounding and tie-breaks as q67. Rows-only;
     * PqSpec pins identical-twin co-assignment recovery and ADC value
     * agreement with the full scan on shared pairs.
+    *
+    * This entry builds cells + codebooks per call (the q41/q29b
+    * build-included contract, honest about total cost); the
+    * steady-state splits already exist separately — q48's persisted
+    * cell layout for the IVF side and q67c's persisted books+codes
+    * for the PQ side — and compose the obvious way at deployment.
     */
   def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
                 m: Int = 8, kCodes: Int = 16, iters: Int = 1,
