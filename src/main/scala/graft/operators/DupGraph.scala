@@ -62,13 +62,52 @@ object DupGraph {
 
   /** Connected components over an undirected edge list with columns
     * (a, b). Returns (id, rep) where rep = min node id reachable.
+    *
+    * Size-based routing (the autoCoarse precedent): the min-label
+    * fixpoint is unique, so HOW it is computed is free to vary with
+    * input size. Below `smallGraphThreshold` edges the whole list
+    * fits in driver memory trivially (100k edges ≈ a few MB) and the
+    * distributed loop's per-round scheduling floor (4 shuffles + a
+    * driver agg per round) dominates actual work — a near-dup pair
+    * graph at gate scale is ~25 edges paying ~1s of round latency.
+    * An in-JVM union-find returns the identical (id, rep) set in
+    * microseconds (spec-pinned equal on planted graphs); anything
+    * larger takes the pointer-jumping loop, whose round count and
+    * state stay bounded at any corpus size.
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30,
+                          smallGraphThreshold: Long = 100000L): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     val lvl = StorageLevel.MEMORY_AND_DISK
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .persist(lvl)
+    // persist the INPUT edge frame before anything touches it twice:
+    // the symmetrizing union reads it once per branch and the small-
+    // graph route collects it — for q53 the edge list is the output
+    // of a full dedupNgram scan, and the unpersisted spelling paid
+    // that scan 2-3x per call (measured 3.6s isolated; ~1.7s fixed)
+    val e0 = edges.select(col("a"), col("b")).persist(lvl)
+    val nEdges = e0.count() // materializes the persist for all readers
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    if (nEdges <= smallGraphThreshold) {
+      import edges.sparkSession.implicits._
+      val es = e0.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      e0.unpersist(false)
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.map(id => (id, find(id)))
+      return edges.sparkSession.createDataset(out).toDF("id", "rep")
+    }
     var (state, stateRdd) = cutLineage(
       sym.select(col("a").as("id")).distinct()
         .select(col("id"), col("id").as("rep")), lvl)
@@ -94,7 +133,7 @@ object DupGraph {
       prevSum = s
       round += 1
     }
-    sym.unpersist(false)
+    e0.unpersist(false)
     Option(lastState.put(edges.sparkSession, stateRdd)).foreach(_.unpersist(false))
     state
   }

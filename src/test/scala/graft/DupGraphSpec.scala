@@ -11,31 +11,42 @@ class DupGraphSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
-  private def components(edges: Seq[(Long, Long)], maxRounds: Int = 30): Map[Long, Long] =
-    operators.DupGraph.connectedComponents(edges.toDF("a", "b"), maxRounds)
+  private def components(edges: Seq[(Long, Long)], maxRounds: Int = 30,
+                         smallThreshold: Long = 100000L): Map[Long, Long] =
+    operators.DupGraph.connectedComponents(edges.toDF("a", "b"), maxRounds, smallThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // every structural shape runs through BOTH routes: the in-JVM
+  // union-find (default at these sizes) and the distributed
+  // pointer-jumping loop (forced via smallThreshold = 0)
+  private def bothRoutes(edges: Seq[(Long, Long)]): (Map[Long, Long], Map[Long, Long]) =
+    (components(edges), components(edges, smallThreshold = 0L))
 
   test("two planted components resolve to their min ids") {
     // {1,2,3} as a path + {10,11} as an edge; transitivity 1-2-3 must
     // merge even though (1,3) is never a pair
-    val m = components(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
-    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val (small, dist) = bothRoutes(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(small == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(dist == small, "size-based routing must not change the fixpoint")
   }
 
-  test("star and triangle shapes collapse to one rep") {
-    val star = components(Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)))
+  test("star and triangle shapes collapse to one rep on both routes") {
+    val (star, starD) = bothRoutes(Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)))
     assert(star.values.toSet == Set(1L), s"star must collapse to min id 1: $star")
-    val tri = components(Seq((7L, 8L), (8L, 9L), (7L, 9L)))
+    assert(starD == star)
+    val (tri, triD) = bothRoutes(Seq((7L, 8L), (8L, 9L), (7L, 9L)))
     assert(tri.values.toSet == Set(7L))
+    assert(triD == tri)
   }
 
   test("a 64-node path converges within the pointer-jump round bound") {
     // worst-case diameter: plain per-edge propagation would need 63
     // rounds; min-label + path halving must finish inside 30 (the
     // default bound — O(log n) in theory, and the convergence check
-    // stops as soon as the label sum is stable)
+    // stops as soon as the label sum is stable). Forced through the
+    // DISTRIBUTED loop: this test exists to pin the round bound.
     val path = (0L until 63L).map(i => (i, i + 1))
-    val m = components(path)
+    val m = components(path, smallThreshold = 0L)
     assert(m.size == 64 && m.values.toSet == Set(0L),
       "all 64 path nodes must resolve to rep 0 within the default round bound")
   }
