@@ -66,4 +66,28 @@ class RocksDBStateSpec extends AnyFunSuite {
         s"RocksDB-backed dedup state must find the same cross-batch pairs, got $got")
     } finally streaming.StateBackend.useDefault(spark)
   }
+
+  test("cross-batch sessionization on RocksDB == batch gap clustering") {
+    import spark.implicits._
+    import streaming.SessionizeStream._
+    implicit val sqlCtx = spark.sqlContext
+    streaming.StateBackend.useRocksDB(spark)
+    try {
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+      val gap = 1000L
+      val q = assign(spark, stream.toDS(), gap)
+        .writeStream.format("memory").queryName("sess_rocksdb").outputMode("append").start()
+      stream.addData(Ev(1, 0, 1), Ev(1, 500, 2), Ev(2, 0, 3))
+      q.processAllAvailable()
+      stream.addData(Ev(1, 900, 4), Ev(1, 5000, 5), Ev(2, 100, 6))
+      q.processAllAvailable()
+      val got = spark.table("sess_rocksdb").as[SessOut].collect()
+        .map(s => s.event_id -> s.session_id).toMap
+      q.stop()
+      // user 1: events 1,2,4 within gaps => session 1; event 5 after a
+      // 4100ms silence => session 2. user 2: both events session 1.
+      assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 2L, 3L -> 1L, 6L -> 1L),
+        s"RocksDB-backed session state must span batches, got $got")
+    } finally streaming.StateBackend.useDefault(spark)
+  }
 }
