@@ -103,8 +103,16 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json")).getAbsolutePath
     val detailLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (detailLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // an unwritable detail file must not take the summary line with it
+    val detailField = try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (detailLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      detailPath
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"WARN: could not write $detailPath: $t")
+        "unwritable"
+    }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // errors belong in the headline when present (a silent failure
@@ -112,7 +120,7 @@ object Bench {
     // cap their contribution and point at the detail file.
     val errField = if (errors.isEmpty) "{}" else if (errJson.length <= 600) errJson else "\"see detail\""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"nerr":${errors.size},"errors":$errField,"slowest5":$slowest,"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"nerr":${errors.size},"errors":$errField,"slowest5":$slowest,"detail":"$detailField","sf":"$sfDir"}"""
     // budget: 2000-char window − "\n[success] Total time: ..." ≈ 1925;
     // the compact line is ~350 chars and independent of query count.
     if (line.length > 1500)
