@@ -81,6 +81,7 @@ object SparkEntry {
     "q59_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "q65_temperature_mix"   -> ((s, d) => Curation.temperatureMix(s, d)),
     "q68_mix_drift"         -> ((s, d) => Curation.mixDrift(s, d)),
+    "q69_length_outliers"   -> ((s, d) => Curation.lengthOutliers(s, d)),
     "q60_repetition"        -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q63_quality_bins"      -> ((s, d) => TextAnalysis.qualityBins(s, d)),
     "q63b_bins_chunked"     -> ((s, d) => TextAnalysis.qualityBinsChunked(s, d)),
@@ -421,6 +422,31 @@ object SparkEntry {
          |SELECT source, bin, n_obs, n_src, n_bin, n_total, round(ex, 6) AS expected,
          |  round((CAST(n_obs AS DOUBLE) - ex) * (CAST(n_obs AS DOUBLE) - ex) / ex, 6) AS chi
          |FROM e ORDER BY source, bin""".stripMargin,
+    // q69: positional lower-median law over per-source histograms —
+    // the same CTE in both engines; all-integer output
+    "q69_length_outliers" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST($wcSql AS BIGINT) AS wc FROM documents),
+         |h AS (SELECT source, wc, COUNT(*) AS c FROM d GROUP BY source, wc),
+         |t AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+         |m AS (SELECT h.source, h.wc AS med
+         |      FROM (SELECT source, wc, c,
+         |              COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY wc
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |            FROM h) h JOIN t ON h.source = t.source
+         |      WHERE h.cum < (t.n + 1) // 2 AND h.cum + h.c >= (t.n + 1) // 2),
+         |dd AS (SELECT d.doc_id, d.source, d.wc, m.med, ABS(d.wc - m.med) AS dev
+         |       FROM d JOIN m ON d.source = m.source),
+         |h2 AS (SELECT source, dev, COUNT(*) AS c FROM dd GROUP BY source, dev),
+         |m2 AS (SELECT h2.source, h2.dev AS mad
+         |       FROM (SELECT source, dev, c,
+         |               COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY dev
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |             FROM h2) h2 JOIN t ON h2.source = t.source
+         |       WHERE h2.cum < (t.n + 1) // 2 AND h2.cum + h2.c >= (t.n + 1) // 2)
+         |SELECT dd.doc_id, dd.source, dd.wc, dd.med, m2.mad, dd.dev,
+         |  dd.dev > m2.mad * 5 AS is_outlier
+         |FROM dd JOIN m2 ON dd.source = m2.source
+         |ORDER BY dd.doc_id""".stripMargin,
     "q66_rarity_score" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents
          |  WHERE len(string_split(text, ' ')) >= 2),

@@ -246,6 +246,50 @@ object Curation {
     * shape as q59: tiny strata frame broadcast back, one scan, ZERO
     * shuffle of the data itself.
     */
+  /** q69: robust LENGTH-OUTLIER screen — per-source exact median and
+    * MAD (median absolute deviation) over word counts, flagging docs
+    * beyond k·MAD: the classic heavy-tail clip (truncation artifacts,
+    * concatenation bugs, boilerplate walls) that mean/stddev screens
+    * miss because the outliers they're hunting drag the mean.
+    *
+    * EXACT medians at 100 TB without a global sort (the q68
+    * discipline): word counts are small integers, so each source's
+    * entire order statistics live in its (wc → count) histogram — a
+    * frame bounded by |distinct wc| per source. The lower median is
+    * the value whose cumulative range covers position ⌈n/2⌉ (a pure
+    * positional law — no tie ambiguity, engines can't disagree), and
+    * MAD is the same law over the |wc − med| histogram. Every value
+    * in the output is an INTEGER ⇒ ORACLE-EXACT with no float
+    * caveats at all.
+    */
+  def lengthOutliers(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextAnalysis.wordCount.cast("long").as("wc"))
+    def medianOf(vals: DataFrame, valCol: String): DataFrame = {
+      // vals: (source, <valCol>) one row per doc — positional lower
+      // median via the per-source histogram's running sum
+      val h = vals.groupBy("source", valCol).agg(count(lit(1)).as("c"))
+      val cumW = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(valCol)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val tot = vals.groupBy("source").agg(count(lit(1)).as("n"))
+      h.withColumn("cum", coalesce(sum("c").over(cumW), lit(0L)))
+        .join(broadcast(tot), "source")
+        .withColumn("pos", expr("(n + 1) DIV 2"))
+        .filter(col("cum") < col("pos") && col("cum") + col("c") >= col("pos"))
+        .select(col("source"), col(valCol).as("m"))
+    }
+    val med = medianOf(docs, "wc").withColumnRenamed("m", "med")
+    val withMed = docs.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("wc") - col("med")))
+    val mad = medianOf(withMed.select(col("source"), col("dev")), "dev")
+      .withColumnRenamed("m", "mad")
+    withMed.join(broadcast(mad), "source")
+      .withColumn("is_outlier", col("dev") > col("mad") * k)
+      .select("doc_id", "source", "wc", "med", "mad", "dev", "is_outlier")
+      .orderBy("doc_id")
+  }
+
   /** q68: MIXTURE-DRIFT report — per-(source, global length-decile)
     * observed vs expected counts with a χ² contribution: the
     * monitoring check a training-data pipeline runs when a new crawl
