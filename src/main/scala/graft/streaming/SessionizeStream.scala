@@ -71,6 +71,27 @@ object SessionizeStream {
       }
   }
 
+  /** The ENGINE-NATIVE spelling of `closedSessions`: Spark's
+    * `session_window` + watermark (append mode emits a session once
+    * the watermark passes its end — the engine manages the state the
+    * flatMapGroupsWithState twin manages by hand). The gap is
+    * gapMs + 1 for the same break-at-diff-> law as the batch q01c
+    * twin (Sessions.sessionStatsNative); output schema matches
+    * `closedSessions` so consumers can swap freely.
+    */
+  def closedSessionsNative(spark: SparkSession, events: Dataset[Ev], gapMs: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    events
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy($"user_id", session_window($"ts", s"${gapMs + 1} milliseconds"))
+      .agg(min($"ts_ms").as("start_ms"), max($"ts_ms").as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"start_ms", $"end_ms", $"n_events")
+  }
+
   /** Works on both streaming and batch Datasets (state spans
     * micro-batches in streaming; within a micro-batch events are
     * ordered by (ts_ms, event_id) before assignment).

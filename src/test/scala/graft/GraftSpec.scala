@@ -385,6 +385,27 @@ class StreamingSpec extends AnyFunSuite {
       s"user 1's 2-event session must close via timeout, got ${rows.toSeq}")
   }
 
+  test("native session_window stream emits the same closed sessions as the hand-rolled state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 60_000L
+    def ms(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00").getTime
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = closedSessionsNative(spark, stream.toDS(), gap)
+      .writeStream.format("memory").queryName("native_sess").outputMode("append").start()
+    // session A: two events a minute apart; then a far-future event
+    // advances the watermark past A's end + gap so the engine closes it
+    stream.addData(Ev(1, ms(0), 1), Ev(1, ms(1), 2)); q.processAllAvailable()
+    assert(spark.table("native_sess").count() == 0, "session still open - nothing emitted")
+    stream.addData(Ev(2, ms(30), 3)); q.processAllAvailable()
+    stream.addData(Ev(2, ms(31), 4)); q.processAllAvailable()
+    val rows = spark.table("native_sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    q.stop()
+    assert(rows.toSeq == Seq((1L, ms(0), ms(1), 2L)),
+      s"user 1's session must close with exact event-time bounds, got ${rows.toSeq}")
+  }
+
   test("stateful stream sessionization matches batch across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
