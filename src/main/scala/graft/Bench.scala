@@ -77,8 +77,12 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { force(name); true } catch {
         case t: Throwable =>
+          // strip ALL JSON-breaking bytes, not just the common five —
+          // any control char (or a stray quote/backslash) in an
+          // exception message would invalidate the summary line and
+          // detail file (ADVICE r08)
           errors(name) = (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160)
           false
       }
       if (ok) {
@@ -112,6 +116,27 @@ object Bench {
       case t: Throwable =>
         System.err.println(s"WARN: could not write $detailPath: $t")
         "unwritable"
+    }
+    // BENCH_detail.json is overwritten per run, so a crashed later
+    // round would clobber the only per-query record (VERDICT r08).
+    // Keep a per-round copy (round inferred from the committed
+    // BENCH_rNN.json artifacts: the CURRENT round is max+1) and an
+    // append-only history line; best-effort — never fatal to the run.
+    try {
+      val dir = new java.io.File(detailPath).getAbsoluteFile.getParentFile
+      val re = "BENCH_r(\\d+)\\.json".r
+      val prior = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      val round = "r%02d".format(if (prior.isEmpty) 0 else prior.max + 1)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(new java.io.File(dir, s"BENCH_detail_$round.json").getPath),
+        (detailLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(new java.io.File(dir, "BENCH_detail_history.jsonl").getPath),
+        (detailLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } catch {
+      case t: Throwable => System.err.println(s"WARN: could not write round-suffixed detail: $t")
     }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -63,10 +63,12 @@ object SparkEntry {
     "q29_dedup_embedding"   -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "q29b_dedup_emb_ivf"    -> ((s, d) => Dedup.dedupEmbeddingIvf(s, d)),
     "q29c_dedup_ivf_indexed" -> ((s, d) => Dedup.dedupEmbeddingIvfIndexed(s, d)),
+    "q29d_dedup_ivf_planted" -> ((s, d) => Dedup.dedupEmbeddingIvfPlanted(s, d)),
     "q44_dedup_emb_lsh"     -> ((s, d) => Dedup.dedupEmbeddingLshPlanted(s, d)),
     "q67_pq_topk"           -> ((s, d) => PQ.pqTopK(s, d)),
     "q67b_ivfpq_topk"       -> ((s, d) => PQ.ivfPqTopK(s, d)),
     "q67c_pq_indexed"       -> ((s, d) => PQ.pqTopKIndexed(s, d)),
+    "q67d_ivfpq_indexed"    -> ((s, d) => PQ.ivfPqTopKIndexed(s, d)),
     "q53_dup_clusters"      -> ((s, d) => DupGraph.dupClusters(s, d)),
     "q64_substring_dup"     -> ((s, d) => Dedup.substringDup(s, d)),
     "q64b_substring_incr"   -> ((s, d) => Dedup.substringDupIncremental(s, d)),
@@ -937,6 +939,21 @@ object SparkEntry {
         |  FROM cand) t
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     "q44_dedup_emb_lsh" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // q29d shares q44's brute-force oracle verbatim: same planted
+    // derived input, same threshold, provably equal output — only the
+    // BLOCKING differs (IVF cells vs sign-LSH bands), and planted
+    // recovery is certain for both (identical vectors ⇒ identical
+    // probe cells / identical sign bits).
+    "q29d_dedup_ivf_planted" ->
       """WITH u AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL

@@ -20,9 +20,23 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Both registries key by SparkSession with strong references, so a
+    * long-lived JVM cycling many sessions would pin every stopped
+    * session (and its plans) forever (ADVICE r08, the eventThreadCache
+    * leak-bounding rule). Evict stopped sessions' entries whenever a
+    * registry is touched — O(live entries), and the touch rate is one
+    * per table load.
+    */
+  private def evictStopped(): Unit = {
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    overrideVersions.keySet.removeIf(k => k._1.sparkContext.isStopped)
+  }
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    evictStopped()
     cache.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Substitute a pre-materialized twin (e.g. a bucketed copy) for a
     * table — the bench's shared-table mechanism, the single-JVM
@@ -30,6 +44,7 @@ object Tables {
     * the SAME data. Every operator picks it up transparently.
     */
   def registerOverride(spark: SparkSession, dir: String, name: String, df: DataFrame): Unit = {
+    evictStopped()
     cache.put((spark, dir, name), df)
     overrideVersions.merge((spark, dir, name), 1, (a, b) => a + b)
   }

@@ -34,7 +34,13 @@ case class L2Squared(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched lengths always indicate a caller bug (a dims/m
+    // slicing error upstream) — silently truncating to the shorter
+    // side would turn that into plausible-but-wrong distances
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"l2_sq: array length mismatch ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     var d = 0.0; var i = 0
     while (i < n) {
       val xi = if (isFloat(left)) x.getFloat(i).toDouble else x.getDouble(i)
@@ -50,7 +56,11 @@ case class L2Squared(left: Expression, right: Expression)
       def rd(v: String, i: String, f: Boolean): String =
         if (f) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "l2_sq: array length mismatch " + $x.numElements() + " vs " + $y.numElements());
+         |}
+         |int $n = $x.numElements();
          |double $d = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double t = ${rd(x, i, isFloat(left))} - ${rd(y, i, isFloat(right))};
@@ -82,20 +92,39 @@ case class PqAdcScore(left: Expression, right: Expression, kCodes: Int)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]; val lut = b.asInstanceOf[ArrayData]
+    // the LUT layout contract is lut[s*kCodes + code] over a DENSE
+    // m×kCodes table: a short LUT or an out-of-range code means a
+    // codebook row went missing upstream and every later slot is
+    // shifted — fail loudly instead of reading a wrong-but-plausible
+    // distance (or tripping ArrayIndexOutOfBounds deep in codegen)
+    if (lut.numElements() < codes.numElements().toLong * kCodes)
+      throw new IllegalArgumentException(
+        s"pq_adc: lut has ${lut.numElements()} slots, need m*kCodes = ${codes.numElements()} * $kCodes")
     var s = 0; var d = 0.0
     while (s < codes.numElements()) {
-      d += lut.getDouble(s * kCodes + codes.getInt(s)); s += 1
+      val c = codes.getInt(s)
+      if (c < 0 || c >= kCodes)
+        throw new IllegalArgumentException(s"pq_adc: code $c out of range [0, $kCodes)")
+      d += lut.getDouble(s * kCodes + c); s += 1
     }
     d
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, l) => {
-      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d"); val cd = ctx.freshName("cd")
       s"""
+         |if ($l.numElements() < (long) $c.numElements() * $kCodes) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc: lut has " + $l.numElements() + " slots, need m*kCodes = " + $c.numElements() + " * $kCodes");
+         |}
          |double $d = 0.0;
          |for (int $s = 0; $s < $c.numElements(); $s++) {
-         |  $d += $l.getDouble($s * $kCodes + $c.getInt($s));
+         |  int $cd = $c.getInt($s);
+         |  if ($cd < 0 || $cd >= $kCodes) {
+         |    throw new IllegalArgumentException("pq_adc: code " + $cd + " out of range [0, $kCodes)");
+         |  }
+         |  $d += $l.getDouble($s * $kCodes + $cd);
          |}
          |${ev.value} = $d;
        """.stripMargin

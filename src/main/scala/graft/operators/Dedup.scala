@@ -315,7 +315,15 @@ object Dedup {
     */
   def dedupSimHashExact(spark: SparkSession, dir: String,
                         every: Int = 20, idOffset: Long = 1000000L): DataFrame = {
+    // the shingles frame feeds the banding AND both verify-join
+    // sides — persist it once instead of re-paying the documents
+    // scan + shingle computation three times (ADVICE r08, the
+    // DupGraph persist-before-double-read rule; within one action the
+    // first-computed partitions serve the other two subtrees from
+    // cache, and the ContextCleaner reclaims the blocks when the
+    // frame goes unreachable)
     val docs = docShinglesOn(spark, plantedDocs(spark, dir, every, idOffset))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     dedupSimHashOn(spark, docs, maxDist = 0)
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -524,6 +532,37 @@ object Dedup {
     val probed = Vectors.assignCells(e, cents, nProbe, coarse)
       .select(col("vec_id"), col("cell"))
     pairsFromCells(spark, probed, e, threshold)
+  }
+
+  /** q29d: the ORACLE-EXACT graduation of the IVF-blocked family (the
+    * q27b/q28b/q44 planting pattern applied to cell blocking): the
+    * corpus plus planted verbatim copies (every `every`-th vector
+    * re-emitted under vec_id + idOffset, ONE scan via explode) runs
+    * q29b's OWN cell blocking at a true near-dup threshold.
+    *
+    * Why the gate closes: cell assignment is a pure function of the
+    * embedding (deterministic centroid ranking, 6dp rounding + cell
+    * tie-breaks), so a planted copy's nProbe probe set is IDENTICAL
+    * to its original's — every planted pair shares all its cells and
+    * candidate recovery on them is CERTAIN, no probabilistic caveat
+    * (spec-pinned in DedupEdgeSpec since r05). At threshold 0.9 the
+    * driver's random corpus has no OTHER pair (q44's measured
+    * property, shared derived input), so output ≡ the brute-force
+    * pair set and the DuckDB oracle is a plain quadratic join — the
+    * same oracle q44 passes, now also certifying the CELL blocking
+    * path end-to-end (blocking differs, output provably equal).
+    * q29b stays the rows-only weak-threshold entry (t=0.3 recall is
+    * intrinsically partial — that's what RecallProbe measures).
+    */
+  def dedupEmbeddingIvfPlanted(spark: SparkSession, dir: String, threshold: Double = 0.9,
+                               every: Int = 20, idOffset: Long = 1000000L,
+                               nLists: Int = 0, nProbe: Int = 2): DataFrame = {
+    val withDups = Tables.embeddings(spark, dir)
+      .select(explode(when(col("vec_id") % every === 0,
+          array(col("vec_id"), col("vec_id") + idOffset))
+        .otherwise(array(col("vec_id")))).as("vec_id"),
+        col("embedding"))
+    dedupEmbeddingIvfOn(spark, withDups, threshold, nLists, nProbe)
   }
 
   /** q29c: the STEADY-STATE spelling of q29b — cell assignments come

@@ -43,18 +43,38 @@ object PQ {
   /** Codebooks (s, code, cvec): per subspace, kCodes codewords —
     * member-subvector seeds + `iters` Lloyd rounds of decimal means.
     * m·kCodes rows of dsub floats: always broadcastable.
+    *
+    * DENSITY INVARIANT (ADVICE r08): the ADC LUT is indexed
+    * lut[s*kCodes + code], so books must carry EVERY (s, code) pair —
+    * one missing row shifts every later LUT slot into silently wrong
+    * distances. Two ways a row could go missing: a residue class with
+    * no members when distinct vec_id residues < kCodes (no seed), and
+    * a codeword losing all members during Lloyd refinement (min_by
+    * tie-breaks can starve a seed whose subvector duplicates a
+    * lower-coded one). Both are closed structurally: books is always
+    * the full m×kCodes grid — never-seeded codes carry a FAR-POINT
+    * sentinel (Float.MaxValue components: never the nearest codeword,
+    * so never assigned, and its LUT slot is a huge-but-unread value),
+    * and a starved codeword carries its previous-round centroid
+    * forward. pq_adc additionally validates the layout at read time.
     */
   private[graft] def codebooks(spark: SparkSession, e: DataFrame, m: Int, kCodes: Int,
                                dims: Int, iters: Int): DataFrame = {
     GraftFunctions.register(spark)
+    val dsub = dims / m
     val subs = subvectors(e, m, dims)
+    val grid = spark.range(m).select(col("id").cast("int").as("s"))
+      .crossJoin(spark.range(kCodes).select(col("id").cast("int").as("code")))
+    val sentinel = array_repeat(lit(Float.MaxValue), lit(dsub)).cast("array<float>")
     val seedW = Window.partitionBy(col("s"), pmod(col("vec_id"), lit(kCodes))).orderBy("vec_id")
-    var books = subs.withColumn("rn", row_number().over(seedW)).filter(col("rn") === 1)
+    val seeds = subs.withColumn("rn", row_number().over(seedW)).filter(col("rn") === 1)
       .select(col("s"), pmod(col("vec_id"), lit(kCodes)).cast("int").as("code"),
         col("sv").as("cvec"))
+    var books = grid.join(seeds, Seq("s", "code"), "left")
+      .select(col("s"), col("code"), coalesce(col("cvec"), sentinel).as("cvec"))
     for (_ <- 1 to iters) {
       val a = assign(subs, books)
-      books = subs.join(a, Seq("vec_id", "s"))
+      val refined = subs.join(a, Seq("vec_id", "s"))
         .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy("s", "code", "pos")
         .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(20, 10))) / count(lit(1)))
@@ -62,6 +82,9 @@ object PQ {
         .groupBy("s", "code")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           x => x.getField("c")).cast("array<float>").as("cvec"))
+      books = grid.join(refined, Seq("s", "code"), "left")
+        .join(books.withColumnRenamed("cvec", "prev"), Seq("s", "code"), "left")
+        .select(col("s"), col("code"), coalesce(col("cvec"), col("prev")).as("cvec"))
     }
     books
   }
@@ -84,11 +107,40 @@ object PQ {
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
         x => x.getField("code")).as("codes"))
 
+  /** Per-query ADC lookup table: distance of each (subspace, codeword)
+    * to the query's EXACT subvector, flattened to lut[s*kCodes + code]
+    * (the dense layout pq_adc validates). One definition for all PQ
+    * entries — ADVICE r08: the pasted copies had already drifted once.
+    * `q` carries (vec_id, embedding); output is (query_id, lut).
+    */
+  private def lutsFor(q: DataFrame, books: DataFrame, m: Int, dims: Int): DataFrame =
+    subvectors(q.select(col("vec_id"), col("embedding")), m, dims)
+      .join(broadcast(books), "s")
+      .withColumn("d", expr("l2_sq(sv, cvec)"))
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code"), col("d")))),
+        x => x.getField("d")).as("lut"))
+
+  /** ADC scan + per-query top-k (the q16 window shape): `scored`
+    * carries (query_id, vec_id, codes, lut) — however the caller
+    * paired queries with code rows (full crossJoin or cell-pruned
+    * join). Ranking ascends squared-L2 ADC distance, vec_id
+    * tie-breaks; self-pairs drop.
+    */
+  private def adcTopK(scored: DataFrame, k: Int, kCodes: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    scored
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", round(expr(s"pq_adc(codes, lut, $kCodes)"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc"), col("rk").cast("int").as("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   /** q67: PQ-compressed approximate top-k — build codebooks, encode
     * the corpus, scan CODES with the pq_adc lookup sum (asymmetric
     * distance: query subvectors stay exact, corpus is quantized).
-    * Ranking ascends squared-L2 ADC distance with vec_id tie-breaks;
-    * per-query top-k via the q16 window shape.
     */
   def pqTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
              m: Int = 8, kCodes: Int = 16, iters: Int = 1): DataFrame = {
@@ -98,24 +150,9 @@ object PQ {
     require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
     val books = codebooks(spark, e, m, kCodes, dims, iters)
     val codes = encode(spark, e, books, m, dims)
-    // per-query LUT: distance of each (subspace, codeword) to the
-    // query's exact subvector, flattened to lut[s*kCodes + code]
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding"))
-    val luts = subvectors(q.select(col("query_id").as("vec_id"), col("embedding")), m, dims)
-      .join(broadcast(books), "s")
-      .withColumn("d", expr("l2_sq(sv, cvec)"))
-      .groupBy(col("vec_id").as("query_id"))
-      .agg(transform(array_sort(collect_list(struct(col("s"), col("code"), col("d")))),
-        x => x.getField("d")).as("lut"))
-    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
-    codes.crossJoin(broadcast(luts))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", round(expr(s"pq_adc(codes, lut, $kCodes)"), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("adc"), col("rk").cast("int").as("rk"))
-      .orderBy("query_id", "rk")
+    val luts = lutsFor(q, books, m, dims)
+    adcTopK(codes.crossJoin(broadcast(luts)), k, kCodes)
   }
 
   /** Persisted PQ index — the build/read split (the q48/q29c/q64b
@@ -176,20 +213,8 @@ object PQ {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val dims = e.select(size(col("embedding"))).head.getInt(0)
     val q = e.filter(col("vec_id") < nQueries)
-    val luts = subvectors(q.select(col("vec_id"), col("embedding")), m, dims)
-      .join(broadcast(books), "s")
-      .withColumn("d", expr("l2_sq(sv, cvec)"))
-      .groupBy(col("vec_id").as("query_id"))
-      .agg(transform(array_sort(collect_list(struct(col("s"), col("code"), col("d")))),
-        x => x.getField("d")).as("lut"))
-    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
-    codes.crossJoin(broadcast(luts))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", round(expr(s"pq_adc(codes, lut, $kCodes)"), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("adc"), col("rk").cast("int").as("rk"))
-      .orderBy("query_id", "rk")
+    val luts = lutsFor(q, books, m, dims)
+    adcTopK(codes.crossJoin(broadcast(luts)), k, kCodes)
   }
 
   /** q67b: IVF-PQ — the faiss-style composition and the standard
@@ -207,10 +232,9 @@ object PQ {
     * agreement with the full scan on shared pairs.
     *
     * This entry builds cells + codebooks per call (the q41/q29b
-    * build-included contract, honest about total cost); the
-    * steady-state splits already exist separately — q48's persisted
-    * cell layout for the IVF side and q67c's persisted books+codes
-    * for the PQ side — and compose the obvious way at deployment.
+    * build-included contract, honest about total cost); q67d
+    * (`ivfPqTopKIndexed`) is the COMPOSED steady state — the same
+    * structure persisted once and probed via partition-pruned reads.
     */
   def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
                 m: Int = 8, kCodes: Int = 16, iters: Int = 1,
@@ -230,20 +254,138 @@ object PQ {
     val probes = Vectors.assignCells(q, cents, nProbe = nProbe,
         nCoarse = Vectors.autoCoarse(lists))
       .select(col("vec_id").as("query_id"), col("cell"))
-    val luts = subvectors(q.select(col("vec_id"), col("embedding")), m, dims)
-      .join(broadcast(books), "s")
-      .withColumn("d", expr("l2_sq(sv, cvec)"))
-      .groupBy(col("vec_id").as("query_id"))
-      .agg(transform(array_sort(collect_list(struct(col("s"), col("code"), col("d")))),
-        x => x.getField("d")).as("lut"))
-    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
-    coded.join(probes, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .join(broadcast(luts), "query_id")
-      .withColumn("adc", round(expr(s"pq_adc(codes, lut, $kCodes)"), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("adc"), col("rk").cast("int").as("rk"))
-      .orderBy("query_id", "rk")
+    val luts = lutsFor(q, books, m, dims)
+    adcTopK(coded.join(probes, Seq("cell")).join(broadcast(luts), "query_id"), k, kCodes)
+  }
+
+  /** The COMPOSED persisted IVF-PQ index — one layout carrying both
+    * halves of the faiss-IVFPQ steady state (the piece VERDICT r08
+    * flagged as named-but-not-shipped):
+    *
+    *   <path>/books/        — PQ codebooks (m·kCodes rows, broadcast)
+    *   <path>/centroids/    — coarse cell centroids (nLists rows)
+    *   <path>/cells/cell=X/ — the corpus's INVERTED LISTS as
+    *                          partition directories, each row a slim
+    *                          (vec_id, codes) — PQ codes INSTEAD of
+    *                          raw vectors, so a probed cell's read is
+    *                          ~m ints per vector, not d floats.
+    *
+    * A probe ranks nProbe cells against the stored centroids (tiny
+    * broadcast), collects the probed cell ids (bounded by
+    * nQueries·nProbe — knowing which inverted lists to open IS the
+    * index-probe contract, the q48 pattern), and partition-pruning
+    * skips every other cell's files: scan cost is
+    * (nProbe/nLists)·m bytes per corpus vector with ZERO build work.
+    * Same watermark contract as the other indexes: source token +
+    * build params (m, kCodes, iters, nLists as-passed) are the
+    * index's identity; param change or source rewrite → stale.
+    */
+  def ivfPqIndexPath(spark: SparkSession, dir: String): String =
+    VectorIndex.defaultPath(spark, dir) + "_ivfpq"
+
+  def ivfPqParams(m: Int, kCodes: Int, iters: Int, nLists: Int): String =
+    s"ivfpq:m=$m,k=$kCodes,iters=$iters,nLists=$nLists"
+
+  private def ivfPqToken(spark: SparkSession, dir: String,
+                         m: Int, kCodes: Int, iters: Int, nLists: Int): String =
+    graft.Tables.sourceToken(spark, dir, "embeddings") +
+      "\nparams|" + ivfPqParams(m, kCodes, iters, nLists)
+
+  def ivfPqIndexFresh(spark: SparkSession, dir: String, path: String,
+                      m: Int, kCodes: Int, iters: Int, nLists: Int): Boolean = {
+    val fs = VectorIndex.fsFor(spark, path)
+    Seq("books", "centroids", "cells").forall(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d/_SUCCESS"))) &&
+      VectorIndex.readWatermark(spark, path)
+        .contains(ivfPqToken(spark, dir, m, kCodes, iters, nLists))
+  }
+
+  /** Build the composed index: exactly q67b's structure (same
+    * refinedCentroids seeds, same top-1 assignCells, same codebooks),
+    * persisted. The snapshot token is taken BEFORE reading (a source
+    * overwritten mid-build leaves the index stale, never wrongly
+    * fresh); codes are written cell-partitioned so each inverted list
+    * is its own directory. At cluster scale precede the write with a
+    * repartition on cell so each list is one task's file.
+    */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, path: String,
+                      m: Int = 8, kCodes: Int = 16, iters: Int = 1,
+                      nLists: Int = 0): Unit = {
+    GraftFunctions.register(spark)
+    val token = ivfPqToken(spark, dir, m, kCodes, iters, nLists)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
+    val n = e.count()
+    val lists = if (nLists > 0) nLists else math.max(16, (n / 125L).toInt)
+    val cents = Vectors.refinedCentroids(e, lists, iters = 0)
+    cents.select(col("c_cell").as("cell"), col("cvec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val books = codebooks(spark, e, m, kCodes, dims, iters)
+    books.write.mode("overwrite").parquet(s"$path/books")
+    val cells = Vectors.assignCells(e, cents, nProbe = 1, nCoarse = Vectors.autoCoarse(lists))
+      .select("vec_id", "cell")
+    encode(spark, e, spark.read.parquet(s"$path/books"), m, dims)
+      .join(cells, "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    // the RESOLVED list count rides along after the identity token
+    // (freshness is a `contains(token)` check, so extra lines are
+    // free): the probe needs it for autoCoarse parity with q67b and
+    // reading it here beats re-counting the corpus per probe
+    VectorIndex.writeWatermark(spark, path, token + s"\nlists|$lists")
+  }
+
+  /** q67d: probe the composed persisted IVF-PQ index — build if
+    * stale (the nightly build), then the steady-state read: stored
+    * centroids rank nProbe cells per query, partition pruning opens
+    * ONLY those cells' code files, stored codebooks feed the LUT, and
+    * the ADC scan touches codes alone. Value-identical to q67b at the
+    * same params (spec-pinned, the q67c ≡ q67 rule): same seeds, same
+    * decimal means, same top-1 cell per corpus vector, same ADC
+    * arithmetic — persistence changes where bytes live, never what
+    * they are.
+    */
+  def ivfPqTopKIndexed(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+                       m: Int = 8, kCodes: Int = 16, iters: Int = 1,
+                       nLists: Int = 0, nProbe: Int = 3): DataFrame = {
+    GraftFunctions.register(spark)
+    val path = ivfPqIndexPath(spark, dir)
+    if (!ivfPqIndexFresh(spark, dir, path, m, kCodes, iters, nLists))
+      buildIvfPqIndex(spark, dir, path, m, kCodes, iters, nLists)
+    val books = spark.read.parquet(s"$path/books")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").as("c_cell"), col("cvec"))
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    // lists must match the build's resolution exactly (autoCoarse is
+    // part of the probe RANKING and q67b-parity depends on it): an
+    // explicit nLists is its own answer, otherwise the build recorded
+    // the resolved value in the watermark; the count() fallback
+    // re-derives it identically for pre-record indexes.
+    val lists =
+      if (nLists > 0) nLists
+      else VectorIndex.readWatermark(spark, path)
+        .flatMap(_.linesIterator.collectFirst {
+          case l if l.startsWith("lists|") => l.stripPrefix("lists|").toInt
+        })
+        .getOrElse(math.max(16, (e.count() / 125L).toInt))
+    val q = e.filter(col("vec_id") < nQueries)
+    // the probe set is bounded by nQueries·nProbe rows, and BOTH its
+    // consumers want it static: the partition-pruning filter needs
+    // concrete cell values at plan time, and the scan-side join is
+    // cheapest as a broadcast local relation. One collect serves
+    // both — the alternative re-runs the whole assignCells subtree
+    // (centroid ranking, windows) inside the probe query's DAG.
+    val probeRows = Vectors.assignCells(q, cents, nProbe = nProbe,
+        nCoarse = Vectors.autoCoarse(lists))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val collected = probeRows.collect()
+    val probedCells = collected.map(_.get(1)).distinct.toSeq
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), probeRows.schema)
+    val coded = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
+    val luts = lutsFor(q, books, m, dims)
+    adcTopK(coded.join(broadcast(probes), Seq("cell")).join(broadcast(luts), "query_id"), k, kCodes)
   }
 }

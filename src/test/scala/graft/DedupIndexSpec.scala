@@ -31,4 +31,16 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(second == direct)
     assert(cellsSuccessMtime == builtAt, "a fresh index must be read, not rebuilt")
   }
+
+  test("q29d: IVF-planted pairs == sign-LSH-planted pairs (blocking-independent truth)") {
+    // two different blockings (IVF cells vs sign-LSH bands) over the
+    // same planted derived input must surface the IDENTICAL pair set:
+    // planted recovery is certain for both, and at t=0.9 the corpus
+    // holds no other pair — this is the engine-side witness of the
+    // shared DuckDB brute-force oracle both entries check against
+    val ivf = Dedup.dedupEmbeddingIvfPlanted(spark, dir).collect().toSeq
+    val lsh = Dedup.dedupEmbeddingLshPlanted(spark, dir).collect().toSeq
+    assert(ivf.nonEmpty, "the planted pairs must be recovered")
+    assert(ivf == lsh, "cell blocking and sign-LSH blocking must agree on the planted truth")
+  }
 }

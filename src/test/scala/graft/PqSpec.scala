@@ -106,6 +106,53 @@ class PqSpec extends AnyFunSuite {
       s"the planted twin must be recovered through the probed cells: ${pairs.mkString(",")}")
   }
 
+  test("q67d composed IVF-PQ index == per-call q67b; probe partition-prunes; params bust") {
+    val path = operators.PQ.ivfPqIndexPath(spark, dir)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(path)).deleteRecursively()
+    val indexed = operators.PQ.ivfPqTopKIndexed(spark, dir, k = 10).collect().toSeq
+    val direct = operators.PQ.ivfPqTopK(spark, dir, k = 10).collect().toSeq
+    assert(indexed == direct,
+      "the composed persisted index must be value-identical to the per-call IVF-PQ scan")
+    assert(operators.PQ.ivfPqIndexFresh(spark, dir, path, m = 8, kCodes = 16, iters = 1, nLists = 0))
+    // the steady-state read: codes scan must partition-prune to the
+    // probed cells (the layout's whole point — the q48 plan contract)
+    val plan = operators.PQ.ivfPqTopKIndexed(spark, dir, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"q67d probe must push a partition filter on cell:\n$plan")
+    assert("cell#\\d+L? IN".r.findFirstIn(plan).isDefined
+      || plan.contains("cell#") && plan.contains(" IN ("),
+      s"partition filter must be a static IN over probed cells:\n$plan")
+    // every build param is part of the index identity
+    assert(!operators.PQ.ivfPqIndexFresh(spark, dir, path, m = 4, kCodes = 16, iters = 1, nLists = 0))
+    assert(!operators.PQ.ivfPqIndexFresh(spark, dir, path, m = 8, kCodes = 16, iters = 2, nLists = 0))
+    assert(!operators.PQ.ivfPqIndexFresh(spark, dir, path, m = 8, kCodes = 16, iters = 1, nLists = 7))
+    new Directory(new java.io.File(path)).deleteRecursively()
+  }
+
+  test("codebooks stay DENSE m×kCodes when kCodes exceeds distinct residues (ADVICE r08)") {
+    import spark.implicits._
+    val tdir = "/fake/pq_sparse"
+    // 3 vectors, kCodes=16: only residues 0..2 have seeds — the other
+    // 13 codes must still occupy their grid slots (far-point
+    // sentinels) or every later LUT slot shifts into wrong distances
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .filter(col("vec_id") < 3)
+    Tables.registerOverride(spark, tdir, "embeddings", base)
+    val e = Tables.embeddings(spark, tdir).select("vec_id", "embedding")
+    val books = operators.PQ.codebooks(spark, e, m = 8, kCodes = 16, dims = 64, iters = 1)
+    assert(books.count() == 8 * 16, "books must be the full m×kCodes grid")
+    // sentinel codewords are never the nearest — codes stay in range
+    val codes = operators.PQ.encode(spark, e, books, m = 8, dims = 64)
+      .select(explode(col("codes"))).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 16))
+    assert(codes.toSet.size <= 3, "only seeded codes can win assignment")
+    // and the end-to-end scan survives (pq_adc layout validation on)
+    val r = operators.PQ.pqTopK(spark, tdir, k = 2, nQueries = 1).collect()
+    assert(r.nonEmpty)
+  }
+
   test("indexed PQ scan == per-call PQ scan; param change busts the index") {
     val path = operators.PQ.indexPath(spark, dir)
     import scala.reflect.io.Directory

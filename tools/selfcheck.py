@@ -14,6 +14,7 @@ import glob
 import json
 import math
 import sys
+import time
 
 import duckdb
 
@@ -35,6 +36,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     failed = []
+    # per-query DuckDB wall seconds (execute + fetch) — the measured
+    # baseline side of the 2x bench gate, recorded as an in-repo
+    # artifact (ORACLE_TIMING.json) instead of a judge estimate
+    timing = {}
     for name, sql in sorted(oracles.items()):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
@@ -46,9 +51,11 @@ def main():
                 f"SELECT * FROM read_parquet({files!r})")
             spark_cols = [d[0] for d in spark_rel.description]
             spark_rows = spark_rel.fetchall()
+            t0 = time.monotonic()
             oracle_rel = con.execute(sql)
             oracle_cols = [d[0] for d in oracle_rel.description]
             oracle_rows = oracle_rel.fetchall()
+            timing[name] = round(time.monotonic() - t0, 3)
         except Exception as e:
             print(f"FAIL {name}: exec error {e}")
             failed.append(name)
@@ -89,7 +96,17 @@ def main():
         else:
             exact = " EXACT" if maxdelta == 0.0 else f" maxrel={maxdelta:.2e} (NOT hash-exact!)"
             print(f"PASS {name}: {len(s)} rows{exact}")
-    print(f"\n{len(oracles) - len(failed)}/{len(oracles)} passed")
+    out = {
+        "sf": sfdir,
+        "engine": f"duckdb {duckdb.__version__}",
+        "n_queries": len(timing),
+        "total_sec": round(sum(timing.values()), 3),
+        "queries": timing,
+    }
+    with open("ORACLE_TIMING.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"\noracle total {out['total_sec']}s over {out['n_queries']} queries -> ORACLE_TIMING.json")
+    print(f"{len(oracles) - len(failed)}/{len(oracles)} passed")
     sys.exit(1 if failed else 0)
 
 
