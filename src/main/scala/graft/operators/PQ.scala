@@ -113,6 +113,9 @@ object PQ {
     * entries — ADVICE r08: the pasted copies had already drifted once.
     * `q` carries (vec_id, embedding); output is (query_id, lut).
     */
+  private[graft] def lutsForDebug(q: DataFrame, books: DataFrame, m: Int, dims: Int): DataFrame =
+    lutsFor(q, books, m, dims)
+
   private def lutsFor(q: DataFrame, books: DataFrame, m: Int, dims: Int): DataFrame =
     subvectors(q.select(col("vec_id"), col("embedding")), m, dims)
       .join(broadcast(books), "s")
@@ -294,10 +297,16 @@ object PQ {
   def ivfPqIndexFresh(spark: SparkSession, dir: String, path: String,
                       m: Int, kCodes: Int, iters: Int, nLists: Int): Boolean = {
     val fs = VectorIndex.fsFor(spark, path)
+    val token = ivfPqToken(spark, dir, m, kCodes, iters, nLists)
     Seq("books", "centroids", "cells").forall(d =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d/_SUCCESS"))) &&
+      // Option.contains is EQUALITY, and the stored watermark carries
+      // the resolved-lists line AFTER the identity token — accept the
+      // exact token or token-plus-extra-lines, never a mere substring
+      // (a params value that prefixes another must not match, hence
+      // the "\n" fence)
       VectorIndex.readWatermark(spark, path)
-        .contains(ivfPqToken(spark, dir, m, kCodes, iters, nLists))
+        .exists(w => w == token || w.startsWith(token + "\n"))
   }
 
   /** Build the composed index: exactly q67b's structure (same
@@ -305,8 +314,16 @@ object PQ {
     * persisted. The snapshot token is taken BEFORE reading (a source
     * overwritten mid-build leaves the index stale, never wrongly
     * fresh); codes are written cell-partitioned so each inverted list
-    * is its own directory. At cluster scale precede the write with a
-    * repartition on cell so each list is one task's file.
+    * is its own directory.
+    *
+    * The repartition(cell) before the write is load-bearing, not
+    * style: partitionBy splits each TASK's rows per cell, so without
+    * it an nTasks×nLists build sprays nTasks small files into every
+    * cell directory — ScaleProbe measured the 10× corpus (400 cells
+    * × 32 tasks ≈ 12.8k files) turning the supposedly-flat steady-
+    * state probe into 14s of file listing + footer reads. With the
+    * shuffle each cell's list is a handful of files and the probe is
+    * flat in corpus size, which is the entire point of the layout.
     */
   def buildIvfPqIndex(spark: SparkSession, dir: String, path: String,
                       m: Int = 8, kCodes: Int = 16, iters: Int = 1,
@@ -327,6 +344,7 @@ object PQ {
       .select("vec_id", "cell")
     encode(spark, e, spark.read.parquet(s"$path/books"), m, dims)
       .join(cells, "vec_id")
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     // the RESOLVED list count rides along after the identity token
     // (freshness is a `contains(token)` check, so extra lines are
@@ -356,7 +374,9 @@ object PQ {
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cell").as("c_cell"), col("cvec"))
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    // dims from the STORED codebooks (m·dsub), not a corpus scan —
+    // the steady state must touch only the index + the query rows
+    val dims = m * books.select(size(col("cvec"))).head.getInt(0)
     // lists must match the build's resolution exactly (autoCoarse is
     // part of the probe RANKING and q67b-parity depends on it): an
     // explicit nLists is its own answer, otherwise the build recorded

@@ -90,6 +90,9 @@ object VectorIndex {
 
   private def watermarkPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/watermark")
 
+  private[graft] def readWatermarkDebug(spark: SparkSession, path: String): Option[String] =
+    readWatermark(spark, path)
+
   private[operators] def readWatermark(spark: SparkSession, path: String): Option[String] = {
     val fs = fsFor(spark, path)
     if (!fs.exists(watermarkPath(path))) None
@@ -180,6 +183,11 @@ object VectorIndex {
     cents.select(col("c_cell").as("cell"), col("cvec"))
       .write.mode("overwrite").parquet(s"$path/centroids")
     probed.select(col("vec_id"), col("s"), col("cell"))
+      // repartition(cell) is load-bearing at fine cell counts:
+      // partitionBy alone sprays nTasks files into EVERY cell dir
+      // (nTasks×nLists small files — ScaleProbe measured this turning
+      // the q67d steady-state probe into pure listing cost at 10×)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     writeWatermark(spark, path, snapshot)
   }
@@ -217,6 +225,7 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
     e.join(assign.select("vec_id", "cell"), "vec_id")
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+      .repartition(col("cell")) // one task per cell's list, not nTasks files per dir
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     writeWatermark(spark, path, snapshot)
   }

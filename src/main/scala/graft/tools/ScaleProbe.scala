@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Messages, Sessions, VectorIndex, Vectors}
+import graft.operators.{Curation, Dedup, Messages, PQ, Sessions, VectorIndex, Vectors}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -65,6 +65,22 @@ object ScaleProbe {
       // linear in the corpus (run at t=0.5 so the random-data OUTPUT
       // stays tiny and wall time measures the plan, not the print)
       time("q29b ivf dedup ", d)(Dedup.dedupEmbeddingIvf(spark, _, threshold = 0.5))
+      // r08 families (VERDICT r08 item 7): PQ build+scan is linear in
+      // the corpus (encode = N·m·kCodes distances collapsing map-side,
+      // ADC scan = N·m lookups); the q67d probe must stay FLAT-ish —
+      // nLists grows with N so each probed cell stays ~125 vectors and
+      // the pruned read is (nProbe/nLists)·N ≈ constant rows
+      time("q67 pq topk    ", d)(PQ.pqTopK(spark, _))
+      time("q67d ivfpq idx ", d)(PQ.ivfPqTopKIndexed(spark, _))
+      // q64b: the delta scan is N/16 docs against the persisted gram
+      // index — slope should track DELTA size, not corpus size
+      time("q64b substr inc", d)(Dedup.substringDupIncremental(spark, _))
+      // q68/q69: exact order statistics over the (wc -> count)
+      // HISTOGRAM — the window frame is bounded by distinct word
+      // counts (sub-linear in N), so 10x rows must not 10x the
+      // unpartitioned-window work
+      time("q68 mix drift  ", d)(Curation.mixDrift(spark, _))
+      time("q69 len outlier", d)(Curation.lengthOutliers(spark, _))
     }
     // Sign-LSH bucket width must TRACK corpus density: with fixed
     // 8-bit bands, random-data collisions per bucket grow linearly

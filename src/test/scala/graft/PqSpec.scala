@@ -108,13 +108,27 @@ class PqSpec extends AnyFunSuite {
 
   test("q67d composed IVF-PQ index == per-call q67b; probe partition-prunes; params bust") {
     val path = operators.PQ.ivfPqIndexPath(spark, dir)
-    import scala.reflect.io.Directory
-    new Directory(new java.io.File(path)).deleteRecursively()
+    // warehouse.dir normalizes to a file: URI — java.io.File on that
+    // string is a silent no-op delete (which once masked a freshness
+    // bug); go through the Hadoop fs of the path instead
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
     val indexed = operators.PQ.ivfPqTopKIndexed(spark, dir, k = 10).collect().toSeq
     val direct = operators.PQ.ivfPqTopK(spark, dir, k = 10).collect().toSeq
     assert(indexed == direct,
       "the composed persisted index must be value-identical to the per-call IVF-PQ scan")
     assert(operators.PQ.ivfPqIndexFresh(spark, dir, path, m = 8, kCodes = 16, iters = 1, nLists = 0))
+    // a second probe must READ the fresh index, not rebuild it — the
+    // regression this pins: a freshness check that never matches
+    // turns every "steady-state" probe into a full rebuild (caught by
+    // ScaleProbe at 10x, masked here by a no-op cleanup delete)
+    val success = new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS")
+    val builtAt = fs.getFileStatus(success).getModificationTime
+    val again = operators.PQ.ivfPqTopKIndexed(spark, dir, k = 10).collect().toSeq
+    assert(again == indexed)
+    assert(fs.getFileStatus(success).getModificationTime == builtAt,
+      "a fresh index must be read, not rebuilt")
     // the steady-state read: codes scan must partition-prune to the
     // probed cells (the layout's whole point — the q48 plan contract)
     val plan = operators.PQ.ivfPqTopKIndexed(spark, dir, k = 10)
@@ -128,7 +142,7 @@ class PqSpec extends AnyFunSuite {
     assert(!operators.PQ.ivfPqIndexFresh(spark, dir, path, m = 4, kCodes = 16, iters = 1, nLists = 0))
     assert(!operators.PQ.ivfPqIndexFresh(spark, dir, path, m = 8, kCodes = 16, iters = 2, nLists = 0))
     assert(!operators.PQ.ivfPqIndexFresh(spark, dir, path, m = 8, kCodes = 16, iters = 1, nLists = 7))
-    new Directory(new java.io.File(path)).deleteRecursively()
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
   }
 
   test("codebooks stay DENSE m×kCodes when kCodes exceeds distinct residues (ADVICE r08)") {
@@ -155,8 +169,9 @@ class PqSpec extends AnyFunSuite {
 
   test("indexed PQ scan == per-call PQ scan; param change busts the index") {
     val path = operators.PQ.indexPath(spark, dir)
-    import scala.reflect.io.Directory
-    new Directory(new java.io.File(path)).deleteRecursively()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true) // file: URI — java.io.File no-ops
     val indexed = operators.PQ.pqTopKIndexed(spark, dir, k = 10).collect().toSeq
     val direct = operators.PQ.pqTopK(spark, dir, k = 10).collect().toSeq
     assert(indexed == direct,
@@ -166,6 +181,6 @@ class PqSpec extends AnyFunSuite {
       "a different m must read as stale")
     assert(!operators.PQ.indexFresh(spark, dir, path, m = 8, kCodes = 16, iters = 2),
       "a different iters must read as stale")
-    new Directory(new java.io.File(path)).deleteRecursively()
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
   }
 }

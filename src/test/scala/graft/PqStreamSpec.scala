@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming PQ gate (streaming.PqStream): arrivals scored against
+  * the persisted IVF-PQ index. Laws pinned:
+  *
+  *  - the gate is a pure function of its input: the MemoryStream
+  *    spelling across micro-batches equals the batch spelling on the
+  *    union (identical code path, so this checks the stream-static
+  *    join and literal plumbing, not luck);
+  *  - ADC optimality of a planted twin: for an arrival that is an
+  *    EXACT copy of an indexed vector q, adc(q → twin) =
+  *    Σ_s min_c l2(q_s, c) — the unconditional lower bound of any
+  *    ADC distance from q — so among the gate's hits the twin is the
+  *    argmin with certainty (ties only from identical codes).
+  */
+class PqStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import streaming.PqStream
+  import streaming.PqStream.VecIn
+
+  private lazy val idx = {
+    // fresh index per suite run: the warehouse path may carry one
+    // from another suite's session with a different lifecycle (NB:
+    // the path is a file: URI — delete via Hadoop fs, java.io.File
+    // no-ops on it)
+    val p = new org.apache.hadoop.fs.Path(operators.PQ.ivfPqIndexPath(spark, dir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    PqStream.loadIndex(spark, dir)
+  }
+
+  private def arrivalsSeq: Seq[VecIn] =
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .filter(col("vec_id").isin(0L, 7L, 13L)).collect()
+      .map(r => VecIn(r.getLong(0) + 5000000L, r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id).toSeq
+
+  test("stream gate across micro-batches == batch gate on the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val arrivals = arrivalsSeq
+    val batchOut = PqStream.nearDupGate(idx, arrivals.toDF(), maxDist = 1e12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VecIn]
+    val q = PqStream.nearDupGate(idx, stream.toDF(), maxDist = 1e12)
+      .writeStream.format("memory").queryName("pq_gate_out").outputMode("append").start()
+    stream.addData(arrivals.head); q.processAllAvailable()
+    stream.addData(arrivals.tail: _*); q.processAllAvailable()
+    val streamOut = spark.table("pq_gate_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(batchOut.nonEmpty, "probed cells must produce candidates")
+    assert(streamOut == batchOut,
+      "the stream across batches must equal the batch gate on the union")
+  }
+
+  test("a planted twin arrival's argmin hit is its indexed original (ADC floor)") {
+    import spark.implicits._
+    val hits = PqStream.nearDupGate(idx, arrivalsSeq.toDF(), maxDist = 1e12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (origId <- Seq(0L, 7L, 13L)) {
+      val mine = hits.filter(_._1 == origId + 5000000L)
+      assert(mine.nonEmpty, s"arrival for $origId must reach its probed cells")
+      val minAdc = mine.map(_._3).min
+      val twinRows = mine.filter(_._2 == origId)
+      assert(twinRows.nonEmpty, s"the original $origId must be in a probed cell")
+      assert(twinRows.head._3 == minAdc,
+        s"twin of $origId must sit at the ADC minimum: twin=${twinRows.head._3} min=$minAdc")
+    }
+  }
+}
