@@ -408,4 +408,110 @@ object PQ {
     val luts = lutsFor(q, books, m, dims)
     adcTopK(coded.join(broadcast(probes), Seq("cell")).join(broadcast(luts), "query_id"), k, kCodes)
   }
+
+  /** q67e: INCREMENTAL PQ encode — the nightly WRITE path of the PQ
+    * steady state (the q64b/Incremental.embedNew pattern applied to
+    * the vector index; PqStream is the matching read path). Standard
+    * PQ practice at scale: codebooks are TRAINED ONCE on the base
+    * corpus and FROZEN — new vectors encode against the stored books
+    * (quantization is a pure per-vector function, so increments
+    * commute with full encodes), and the existing codes are never
+    * re-read or rewritten. The "nightly batch" is derived like q64b:
+    * vec_id ≡ 0 (mod deltaMod) is the delta, the rest is the base
+    * corpus the index was built over.
+    *
+    * The delta run touches: the delta's embedding rows (filter pushed
+    * to the scan), the m·kCodes stored codebooks, nothing else —
+    * at 100 TB that is the difference between encoding the batch and
+    * re-encoding the lake. PqSpec pins the laws: delta-only output,
+    * frozen-books consistency (a delta vector equal to a base vector
+    * gets the base vector's exact stored codes), base codes
+    * byte-untouched, and append ≡ full-encode-under-frozen-books on
+    * the union. Rows-only (codes are engine-internal).
+    */
+  def incrIndexPath(spark: SparkSession, dir: String, deltaMod: Int): String =
+    indexPath(spark, dir) + s"_incr$deltaMod"
+
+  def incrParams(m: Int, kCodes: Int, iters: Int, deltaMod: Int): String =
+    s"pqincr:m=$m,k=$kCodes,iters=$iters,deltaMod=$deltaMod"
+
+  private def incrToken(spark: SparkSession, dir: String,
+                        m: Int, kCodes: Int, iters: Int, deltaMod: Int): String =
+    graft.Tables.sourceToken(spark, dir, "embeddings") +
+      "\nparams|" + incrParams(m, kCodes, iters, deltaMod)
+
+  def incrIndexFresh(spark: SparkSession, dir: String, path: String,
+                     m: Int, kCodes: Int, iters: Int, deltaMod: Int): Boolean = {
+    val fs = VectorIndex.fsFor(spark, path)
+    val token = incrToken(spark, dir, m, kCodes, iters, deltaMod)
+    Seq("books", "codes").forall(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d/_SUCCESS"))) &&
+      VectorIndex.readWatermark(spark, path)
+        .exists(w => w == token || w.startsWith(token + "\n"))
+  }
+
+  /** Base build: books trained on, and codes covering, ONLY the base
+    * corpus (vec_id % deltaMod != 0). deltaMod is part of the index
+    * identity — it decides what "base" means, so it changes content.
+    */
+  def buildIncrBase(spark: SparkSession, dir: String, path: String,
+                    m: Int = 8, kCodes: Int = 16, iters: Int = 1,
+                    deltaMod: Int = 16): Unit = {
+    GraftFunctions.register(spark)
+    val token = incrToken(spark, dir, m, kCodes, iters, deltaMod)
+    val eOld = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .filter(col("vec_id") % deltaMod =!= 0)
+    val dims = eOld.select(size(col("embedding"))).head.getInt(0)
+    require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
+    codebooks(spark, eOld, m, kCodes, dims, iters)
+      .write.mode("overwrite").parquet(s"$path/books")
+    encode(spark, eOld, spark.read.parquet(s"$path/books"), m, dims)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    VectorIndex.writeWatermark(spark, path, token)
+  }
+
+  /** q67e driver entry: the delta's codes under the FROZEN base
+    * books. Builds the base index if stale; the steady state reads
+    * m·kCodes codebook rows and scans only the delta's embeddings.
+    * Does NOT mutate the index (the driver runs entries repeatedly);
+    * `appendDelta` is the idempotent write that follows in a real
+    * nightly run.
+    */
+  def pqEncodeIncremental(spark: SparkSession, dir: String, deltaMod: Int = 16,
+                          m: Int = 8, kCodes: Int = 16, iters: Int = 1): DataFrame = {
+    GraftFunctions.register(spark)
+    val path = incrIndexPath(spark, dir, deltaMod)
+    if (!incrIndexFresh(spark, dir, path, m, kCodes, iters, deltaMod))
+      buildIncrBase(spark, dir, path, m, kCodes, iters, deltaMod)
+    val books = spark.read.parquet(s"$path/books")
+    val dims = m * books.select(size(col("cvec"))).head.getInt(0)
+    val delta = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .filter(col("vec_id") % deltaMod === 0)
+    encode(spark, delta, books, m, dims).orderBy("vec_id")
+  }
+
+  /** The idempotent nightly write: delta codes land in their own
+    * overwrite-mode directory next to the base codes (append-mode
+    * into the base dir would duplicate on re-run); readers scan
+    * base ∪ delta. Kept out of the driver entry so repeated query
+    * runs cannot grow the index.
+    */
+  def appendDelta(spark: SparkSession, dir: String, deltaMod: Int = 16,
+                  m: Int = 8, kCodes: Int = 16, iters: Int = 1): Unit = {
+    val path = incrIndexPath(spark, dir, deltaMod)
+    pqEncodeIncremental(spark, dir, deltaMod, m, kCodes, iters)
+      .write.mode("overwrite").parquet(s"$path/codes_delta")
+  }
+
+  /** All codes the incremental index currently holds (base ∪ any
+    * appended delta).
+    */
+  def incrCodes(spark: SparkSession, dir: String, deltaMod: Int = 16): DataFrame = {
+    val path = incrIndexPath(spark, dir, deltaMod)
+    val fs = VectorIndex.fsFor(spark, path)
+    val base = spark.read.parquet(s"$path/codes")
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")))
+      base.unionAll(spark.read.parquet(s"$path/codes_delta"))
+    else base
+  }
 }

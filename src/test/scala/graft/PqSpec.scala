@@ -167,6 +167,37 @@ class PqSpec extends AnyFunSuite {
     assert(r.nonEmpty)
   }
 
+  test("q67e incremental encode: delta-only under frozen books; base untouched; append == full") {
+    import org.apache.hadoop.fs.Path
+    val path = operators.PQ.incrIndexPath(spark, dir, 16)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val out = keyed(operators.PQ.pqEncodeIncremental(spark, dir).collect())
+    assert(out.nonEmpty && out.keySet.forall(_ % 16 == 0), "the delta is vec_id % 16 == 0, only")
+    // a second run is deterministic and must NOT rewrite the base codes
+    val success = new Path(s"$path/codes/_SUCCESS")
+    val builtAt = fs.getFileStatus(success).getModificationTime
+    assert(keyed(operators.PQ.pqEncodeIncremental(spark, dir).collect()) == out)
+    assert(fs.getFileStatus(success).getModificationTime == builtAt,
+      "an incremental run must never touch the base codes")
+    // frozen-books law: the increment equals the full encode of the
+    // whole corpus under the STORED books, restricted to the delta —
+    // quantization is a pure per-vector function of (vector, books)
+    val books = spark.read.parquet(s"$path/books")
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val fullAll = keyed(operators.PQ.encode(spark, e, books, m = 8, dims = 64).collect())
+    assert(out == fullAll.filter(_._1 % 16 == 0), "increments commute with full encodes")
+    // append: base ∪ delta == the full frozen-books encode; idempotent
+    operators.PQ.appendDelta(spark, dir)
+    assert(keyed(operators.PQ.incrCodes(spark, dir).collect()) == fullAll)
+    operators.PQ.appendDelta(spark, dir)
+    assert(keyed(operators.PQ.incrCodes(spark, dir).collect()) == fullAll,
+      "re-appending the same nightly batch must not duplicate codes")
+    fs.delete(new Path(path), true)
+  }
+
   test("indexed PQ scan == per-call PQ scan; param change busts the index") {
     val path = operators.PQ.indexPath(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(path)
