@@ -113,9 +113,6 @@ object PQ {
     * entries — ADVICE r08: the pasted copies had already drifted once.
     * `q` carries (vec_id, embedding); output is (query_id, lut).
     */
-  private[graft] def lutsForDebug(q: DataFrame, books: DataFrame, m: Int, dims: Int): DataFrame =
-    lutsFor(q, books, m, dims)
-
   private def lutsFor(q: DataFrame, books: DataFrame, m: Int, dims: Int): DataFrame =
     subvectors(q.select(col("vec_id"), col("embedding")), m, dims)
       .join(broadcast(books), "s")

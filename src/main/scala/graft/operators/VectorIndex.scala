@@ -90,9 +90,6 @@ object VectorIndex {
 
   private def watermarkPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/watermark")
 
-  private[graft] def readWatermarkDebug(spark: SparkSession, path: String): Option[String] =
-    readWatermark(spark, path)
-
   private[operators] def readWatermark(spark: SparkSession, path: String): Option[String] = {
     val fs = fsFor(spark, path)
     if (!fs.exists(watermarkPath(path))) None
@@ -156,6 +153,7 @@ object VectorIndex {
       .select(col("label"), col("embedding").as("svec"))
       .write.mode("overwrite").parquet(s"$path/centroids")
     e.select(col("vec_id"), col("label"), col("embedding"), col("label").as("cell"))
+      .repartition(col("cell")) // one task per cell's list, not nTasks files per dir
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     writeWatermark(spark, path, snapshot)
   }

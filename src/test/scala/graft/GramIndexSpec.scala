@@ -13,8 +13,10 @@ class GramIndexSpec extends AnyFunSuite {
   import TestSpark._
 
   private def deleteIndex(path: String): Unit = {
-    import scala.reflect.io.Directory
-    new Directory(new java.io.File(path)).deleteRecursively()
+    // the index path is a file: URI (warehouse-derived) — java.io.File
+    // silently no-ops on those; delete through the Hadoop filesystem
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   test("q64b == q64 restricted to the delta docs") {
