@@ -128,4 +128,63 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     assert(ham(sigs("base"), sigs("near")) < ham(sigs("base"), sigs("far")))
   }
+
+  test("l2_sq codegen == double-accumulation reference; length mismatch throws in both modes") {
+    val pairs = samples(floatArr, 40).grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    def run(): Seq[Double] = pairs.toDF("a", "b")
+      .selectExpr("l2_sq(a, b) AS d").collect().map(_.getDouble(0)).toSeq
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(codegen == interpreted)
+    pairs.zip(codegen).foreach { case ((a, b), g) =>
+      var d = 0.0
+      a.zip(b).foreach { case (x, y) => val t = x.toDouble - y.toDouble; d += t * t }
+      assert(g == d, s"a=${a.toSeq} b=${b.toSeq}")
+    }
+    // the ADVICE-r08 guard: a dims/m slicing bug upstream must fail
+    // loudly, not truncate into plausible-but-wrong distances
+    def mismatch(): Unit = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+      .selectExpr("l2_sq(a, b) AS d").collect()
+    assert(intercept[Exception](mismatch()).getMessage.contains("length mismatch"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(intercept[Exception](mismatch()).getMessage.contains("length mismatch"))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("pq_adc: arbitrary dense LUTs replay in plain Scala; layout violations throw, both modes") {
+    val codeGen = Gen.listOfN(8, Gen.chooseNum(0, 15)).map(_.toArray)
+    val lutGen = Gen.listOfN(128, Gen.chooseNum(-100.0, 100.0)).map(_.toArray)
+    val rows = samples(codeGen, 20).zip(samples(lutGen, 20))
+    def run(): Seq[Double] = rows.toDF("codes", "lut")
+      .selectExpr("pq_adc(codes, lut, 16) AS d").collect().map(_.getDouble(0)).toSeq
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(codegen == interpreted)
+    rows.zip(codegen).foreach { case ((codes, lut), g) =>
+      val want = codes.zipWithIndex.map { case (c, s) => lut(s * 16 + c) }.sum
+      assert(g == want)
+    }
+    // guards: a short LUT and an out-of-range code both indicate a
+    // missing codebook row upstream — every later slot would shift
+    def bad(codes: Array[Int], lut: Array[Double]): Unit =
+      Seq((codes, lut)).toDF("codes", "lut").selectExpr("pq_adc(codes, lut, 16) AS d").collect()
+    assert(intercept[Exception](bad(Array(0, 1), Array.fill(16)(0.0)))
+      .getMessage.contains("lut has"))
+    assert(intercept[Exception](bad(Array(0, 16), Array.fill(32)(0.0)))
+      .getMessage.contains("out of range"))
+  }
 }
