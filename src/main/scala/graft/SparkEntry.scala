@@ -70,6 +70,7 @@ object SparkEntry {
     "q67c_pq_indexed"       -> ((s, d) => PQ.pqTopKIndexed(s, d)),
     "q67d_ivfpq_indexed"    -> ((s, d) => PQ.ivfPqTopKIndexed(s, d)),
     "q67e_pq_encode_incr"   -> ((s, d) => PQ.pqEncodeIncremental(s, d)),
+    "q67f_ivfpq_incr"       -> ((s, d) => PQ.ivfPqIncrTopK(s, d)),
     "q53_dup_clusters"      -> ((s, d) => DupGraph.dupClusters(s, d)),
     "q64_substring_dup"     -> ((s, d) => Dedup.substringDup(s, d)),
     "q64b_substring_incr"   -> ((s, d) => Dedup.substringDupIncremental(s, d)),

@@ -138,6 +138,15 @@ object PQ {
       .orderBy("query_id", "rk")
   }
 
+  /** Test seam: run the (LUT ⋈ ADC top-k) tail over an arbitrary
+    * pre-joined (query_id, vec_id, codes) frame — PqSpec uses it to
+    * replay the frozen-structure full scan that the incremental
+    * index must equal.
+    */
+  private[graft] def frozenStructureScan(scored: DataFrame, q: DataFrame, books: DataFrame,
+                                         k: Int, kCodes: Int, m: Int, dims: Int): DataFrame =
+    adcTopK(scored.join(broadcast(lutsFor(q, books, m, dims)), "query_id"), k, kCodes)
+
   /** q67: PQ-compressed approximate top-k — build codebooks, encode
     * the corpus, scan CODES with the pq_adc lookup sum (asymmetric
     * distance: query subvectors stay exact, corpus is quantized).
@@ -510,5 +519,147 @@ object PQ {
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")))
       base.unionAll(spark.read.parquet(s"$path/codes_delta"))
     else base
+  }
+
+  /** q67f: INCREMENTAL COMPOSED IVF-PQ — q67e's frozen-structure
+    * increment applied to the FLAGSHIP layout (q67d), closing the
+    * last wholesale-rebuild gap: when the corpus grows, neither the
+    * coarse centroids nor the codebooks nor the base code lists are
+    * touched — the derived nightly batch (vec_id ≡ 0 mod deltaMod)
+    * is assigned to the FROZEN cells (top-1 two-level, the same rule
+    * the base build used) and encoded with the FROZEN books, and its
+    * cell-partitioned codes land in an idempotent `codes_delta`
+    * directory beside the base lists. A probe then scans base ∪
+    * delta with the SAME partition pruning on both sides.
+    *
+    * The invariant that makes this sound (spec-pinned): assignment
+    * and encoding are pure per-vector functions of (vector, frozen
+    * structure), so the incremented index is value-identical to an
+    * index hypothetically built over the full corpus UNDER THE SAME
+    * structure — increments commute, order of arrival is irrelevant,
+    * and a query's results after the nightly append are exactly the
+    * full-scan-under-frozen-structure results. Rows-only.
+    */
+  def ivfPqIncrPath(spark: SparkSession, dir: String, deltaMod: Int): String =
+    ivfPqIndexPath(spark, dir) + s"_incr$deltaMod"
+
+  def ivfPqIncrParams(m: Int, kCodes: Int, iters: Int, nLists: Int, deltaMod: Int): String =
+    s"ivfpqincr:m=$m,k=$kCodes,iters=$iters,nLists=$nLists,deltaMod=$deltaMod"
+
+  private def ivfPqIncrToken(spark: SparkSession, dir: String, m: Int, kCodes: Int,
+                             iters: Int, nLists: Int, deltaMod: Int): String =
+    graft.Tables.sourceToken(spark, dir, "embeddings") +
+      "\nparams|" + ivfPqIncrParams(m, kCodes, iters, nLists, deltaMod)
+
+  def ivfPqIncrFresh(spark: SparkSession, dir: String, path: String, m: Int, kCodes: Int,
+                     iters: Int, nLists: Int, deltaMod: Int): Boolean = {
+    val fs = VectorIndex.fsFor(spark, path)
+    val token = ivfPqIncrToken(spark, dir, m, kCodes, iters, nLists, deltaMod)
+    Seq("books", "centroids", "cells").forall(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d/_SUCCESS"))) &&
+      VectorIndex.readWatermark(spark, path)
+        .exists(w => w == token || w.startsWith(token + "\n"))
+  }
+
+  /** Base build over the base corpus only (vec_id % deltaMod != 0):
+    * q67d's exact structure — centroids, books, cell-partitioned
+    * codes — trained on and covering the base.
+    */
+  def buildIvfPqIncrBase(spark: SparkSession, dir: String, path: String,
+                         m: Int = 8, kCodes: Int = 16, iters: Int = 1,
+                         nLists: Int = 0, deltaMod: Int = 16): Unit = {
+    GraftFunctions.register(spark)
+    val token = ivfPqIncrToken(spark, dir, m, kCodes, iters, nLists, deltaMod)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .filter(col("vec_id") % deltaMod =!= 0)
+    val dims = e.select(size(col("embedding"))).head.getInt(0)
+    require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
+    val n = e.count()
+    val lists = if (nLists > 0) nLists else math.max(16, (n / 125L).toInt)
+    val cents = Vectors.refinedCentroids(e, lists, iters = 0)
+    cents.select(col("c_cell").as("cell"), col("cvec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    codebooks(spark, e, m, kCodes, dims, iters)
+      .write.mode("overwrite").parquet(s"$path/books")
+    val cells = Vectors.assignCells(e, cents, nProbe = 1, nCoarse = Vectors.autoCoarse(lists))
+      .select("vec_id", "cell")
+    encode(spark, e, spark.read.parquet(s"$path/books"), m, dims)
+      .join(cells, "vec_id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    VectorIndex.writeWatermark(spark, path, token + s"\nlists|$lists")
+  }
+
+  /** The nightly append: delta vectors assigned to the FROZEN cells
+    * and encoded with the FROZEN books, written cell-partitioned to
+    * an overwrite-mode delta directory (idempotent — re-running the
+    * same batch cannot duplicate).
+    */
+  def appendDeltaIvfPq(spark: SparkSession, dir: String, deltaMod: Int = 16,
+                       m: Int = 8, kCodes: Int = 16, iters: Int = 1,
+                       nLists: Int = 0, nProbe: Int = 3): Unit = {
+    GraftFunctions.register(spark)
+    val path = ivfPqIncrPath(spark, dir, deltaMod)
+    if (!ivfPqIncrFresh(spark, dir, path, m, kCodes, iters, nLists, deltaMod))
+      buildIvfPqIncrBase(spark, dir, path, m, kCodes, iters, nLists, deltaMod)
+    val books = spark.read.parquet(s"$path/books")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").as("c_cell"), col("cvec"))
+    val dims = m * books.select(size(col("cvec"))).head.getInt(0)
+    val lists = storedLists(spark, path).getOrElse(
+      spark.read.parquet(s"$path/centroids").count().toInt)
+    val delta = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .filter(col("vec_id") % deltaMod === 0)
+    val cells = Vectors.assignCells(delta, cents, nProbe = 1,
+        nCoarse = Vectors.autoCoarse(lists))
+      .select("vec_id", "cell")
+    encode(spark, delta, books, m, dims)
+      .join(cells, "vec_id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes_delta")
+  }
+
+  private def storedLists(spark: SparkSession, path: String): Option[Int] =
+    VectorIndex.readWatermark(spark, path).flatMap(_.linesIterator.collectFirst {
+      case l if l.startsWith("lists|") => l.stripPrefix("lists|").toInt
+    })
+
+  /** q67f driver entry: ensure the base index + nightly delta exist,
+    * then probe base ∪ delta — the q67d probe shape with BOTH code
+    * stores partition-pruned to the probed cells. Every structural
+    * input (centroids, books, lists) is frozen and stored; the only
+    * per-night work is the delta's own assignment + encode.
+    */
+  def ivfPqIncrTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+                    m: Int = 8, kCodes: Int = 16, iters: Int = 1,
+                    nLists: Int = 0, nProbe: Int = 3, deltaMod: Int = 16): DataFrame = {
+    GraftFunctions.register(spark)
+    val path = ivfPqIncrPath(spark, dir, deltaMod)
+    val fs = VectorIndex.fsFor(spark, path)
+    if (!ivfPqIncrFresh(spark, dir, path, m, kCodes, iters, nLists, deltaMod) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")))
+      appendDeltaIvfPq(spark, dir, deltaMod, m, kCodes, iters, nLists, nProbe)
+    val books = spark.read.parquet(s"$path/books")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").as("c_cell"), col("cvec"))
+    val dims = m * books.select(size(col("cvec"))).head.getInt(0)
+    val lists = storedLists(spark, path).getOrElse(
+      spark.read.parquet(s"$path/centroids").count().toInt)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < nQueries)
+    val probeRows = Vectors.assignCells(q, cents, nProbe = nProbe,
+        nCoarse = Vectors.autoCoarse(lists))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val collected = probeRows.collect()
+    val probedCells = collected.map(_.get(1)).distinct.toSeq
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), probeRows.schema)
+    // unionAll is positional — pin the column order on both stores
+    val cols = Seq(col("vec_id"), col("codes"), col("cell"))
+    val coded = spark.read.parquet(s"$path/cells").select(cols: _*)
+      .unionAll(spark.read.parquet(s"$path/codes_delta").select(cols: _*))
+      .filter(col("cell").isin(probedCells: _*))
+    val luts = lutsFor(q, books, m, dims)
+    adcTopK(coded.join(broadcast(probes), Seq("cell")).join(broadcast(luts), "query_id"), k, kCodes)
   }
 }

@@ -198,6 +198,52 @@ class PqSpec extends AnyFunSuite {
     fs.delete(new Path(path), true)
   }
 
+  test("q67f incremental IVF-PQ: probe after append == full scan under the frozen structure") {
+    import org.apache.hadoop.fs.Path
+    val path = operators.PQ.ivfPqIncrPath(spark, dir, 16)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    val got = operators.PQ.ivfPqIncrTopK(spark, dir, k = 10).collect().toSeq
+    assert(got.nonEmpty)
+    // the commutation law: the incremented index is value-identical
+    // to one hypothetically built over the FULL corpus under the SAME
+    // frozen structure — assignment and encoding are pure functions
+    // of (vector, structure), so replay them directly over everything
+    val books = spark.read.parquet(s"$path/books")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").as("c_cell"), col("cvec"))
+    val lists = spark.read.parquet(s"$path/centroids").count().toInt
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val allCells = operators.Vectors.assignCells(e, cents, nProbe = 1,
+        nCoarse = operators.Vectors.autoCoarse(lists))
+      .select("vec_id", "cell")
+    val allCoded = operators.PQ.encode(spark, e, books, m = 8, dims = 64)
+      .join(allCells, "vec_id")
+    val q = e.filter(col("vec_id") < 5)
+    val probes = operators.Vectors.assignCells(q, cents, nProbe = 3,
+        nCoarse = operators.Vectors.autoCoarse(lists))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val expected = operators.PQ.frozenStructureScan(
+      allCoded.join(probes, Seq("cell")), q, books, k = 10, kCodes = 16, m = 8, dims = 64)
+      .collect().toSeq
+    assert(got == expected,
+      "increments must commute: base-index + frozen-structure delta == full frozen-structure scan")
+    // base stores untouched by the append; re-append cannot duplicate
+    val success = new Path(s"$path/cells/_SUCCESS")
+    val builtAt = fs.getFileStatus(success).getModificationTime
+    operators.PQ.appendDeltaIvfPq(spark, dir)
+    assert(fs.getFileStatus(success).getModificationTime == builtAt,
+      "the nightly append must never rewrite the base code lists")
+    assert(operators.PQ.ivfPqIncrTopK(spark, dir, k = 10).collect().toSeq == got)
+    // delta vectors are genuinely searchable: some delta id (≡ 0 mod
+    // 16) must appear among the probed results of the base queries —
+    // query 0 itself is a delta vector, so its cell is a probed cell
+    // and its co-residents include whichever corpus vectors share it
+    val deltaHits = got.count(_.getLong(1) % 16 == 0)
+    assert(deltaHits > 0, s"appended delta vectors must be reachable through the probe: $got")
+    fs.delete(new Path(path), true)
+  }
+
   test("indexed PQ scan == per-call PQ scan; param change busts the index") {
     val path = operators.PQ.indexPath(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(path)
