@@ -78,6 +78,7 @@ object SparkEntry {
     "q33b_fingerprint_groups" -> ((s, d) => TextAnalysis.fingerprintGroups(s, d)),
     "q01c_sessions_native"  -> ((s, d) => Sessions.sessionStatsNative(s, d)),
     "q54_decontam"          -> ((s, d) => Curation.decontaminate(s, d)),
+    "q54b_decontam_bloom"   -> ((s, d) => Curation.decontaminateBloom(s, d)),
     "q55_pii_scrub"         -> ((s, d) => Curation.piiScrub(s, d)),
     "q57_pack_sequences"    -> ((s, d) => Curation.packSequences(s, d)),
     "q57b_pack_sharded"     -> ((s, d) => Curation.packSequencesSharded(s, d)),
@@ -308,6 +309,27 @@ object SparkEntry {
          |FROM comp c JOIN sz ON c.rep = sz.rep
          |ORDER BY cluster_rep, doc_id""".stripMargin,
     "q54_decontam" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS g3
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT unnest(g3) AS gr FROM g WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, g3, len(g3) AS n_grams FROM g WHERE doc_id % 97 <> 0),
+        |ex AS (SELECT doc_id, unnest(g3) AS gr FROM train),
+        |ov AS (SELECT e.doc_id, COUNT(b.gr) AS n_overlap
+        |       FROM ex e LEFT JOIN bench b ON e.gr = b.gr GROUP BY e.doc_id)
+        |SELECT t.doc_id, CAST(t.n_grams AS INT) AS n_grams,
+        |  COALESCE(o.n_overlap, 0) AS n_overlap,
+        |  CASE WHEN t.n_grams = 0 THEN NULL
+        |       ELSE CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / t.n_grams END AS rate,
+        |  COALESCE(CASE WHEN t.n_grams = 0 THEN NULL
+        |       ELSE CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / t.n_grams END >= 0.3, FALSE) AS contaminated
+        |FROM train t LEFT JOIN ov o ON t.doc_id = o.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // q54b produces q54's output exactly (the Bloom screen has no
+    // false negatives and the verify join eliminates false
+    // positives) — the oracle is q54's, verbatim.
+    "q54b_decontam_bloom" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
         |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS g3

@@ -251,5 +251,22 @@ object GraftFunctions {
         val k = exprs(2).eval(null).asInstanceOf[Int]
         PqAdcScore(exprs(0), exprs(1), k)
       }, "built-in")
+    // Spark's own runtime-filter kernels (the sketch aggregate that
+    // builds a bloom binary over xxhash64 values, and the codegen
+    // Predicate that tests one) are public classes but not
+    // SQL-registered in 4.1 — expose both for the decontamination
+    // Bloom screen (q54b), same registration path as our own
+    // expressions.
+    reg.createOrReplaceTempFunction(
+      "bloom_filter_agg",
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
   }
 }

@@ -31,6 +31,84 @@ object Curation {
     * by construction) while the corpus side stays a single scan with
     * one explode + hash-join, no shuffle of document text.
     */
+  /** q54b: Bloom-screened decontamination — the BROADCAST-SIZE scale
+    * path of q54 with IDENTICAL output (same oracle, EXACT). q54
+    * broadcasts the benchmark's distinct grams as strings; fine for
+    * eval suites, but a large held-out set (say 10⁹ distinct
+    * 13-grams) is tens of GB of strings — unbroadcastable — while
+    * its Bloom filter at 1% FPR is ~1.2 GB (~10 bits/element,
+    * length-independent). Two phases keep exactness:
+    *
+    *   1. SCREEN (map-side, codegen, zero shuffle): every gram tests
+    *      against the broadcast Bloom via Spark's own
+    *      BloomFilterMightContain kernel (the runtime-filter
+    *      machinery, here driven explicitly). No false negatives by
+    *      construction, so nothing contaminated can slip through;
+    *      the overwhelmingly-clean gram stream dies in the scan
+    *      stage without ever touching a join.
+    *   2. VERIFY (exact, tiny): only bloom-positive grams — true
+    *      hits plus the fpp sliver of false positives — join the
+    *      exact gram set; counts come from VERIFIED hits only, so
+    *      false positives are eliminated and n_overlap is exact.
+    *
+    * Output ≡ q54 row-for-row (hash-EXACT against q54's own DuckDB
+    * oracle). The bloom aggregate runs over the benchmark side once
+    * (bloom_filter_agg, Spark's sketch), collected like any
+    * broadcast dimension.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+                         benchMod: Int = 97, threshold: Double = 0.3,
+                         fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = col("toks")
+    val grams = when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    val withG = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), grams.as("g3"))
+    val bench = withG.filter(col("doc_id") % benchMod === 0)
+      .select(explode(col("g3")).as("g")).distinct()
+    // the Bloom sketch of the benchmark grams: numBits from the
+    // standard -n·ln(p)/ln²2 sizing at the requested fpp
+    val nBench = math.max(1L, bench.count())
+    val nBits = math.max(64L,
+      math.ceil(-nBench * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = bench
+      .select(expr(s"bloom_filter_agg(xxhash64(g), ${nBench}L, ${nBits}L)").as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val bf = lit(bloomBytes)
+    // phase 1 (screen): bloom-test every gram IN THE SCAN STAGE —
+    // clean grams die before any join; no false negatives, so the
+    // filter is safe to apply pre-verification. Three §4 disciplines
+    // meet here: (a) g3 is materialized by its OWN projection in
+    // withG, so the double reference below is a bound column, not a
+    // HOF re-evaluation; (b) explode_OUTER, not explode — the
+    // non-outer Generate infers a `size > 0` guard that Catalyst
+    // pushes below the projection and re-evaluates the interpreted
+    // gram HOF twice more per row (measured: 8s of the first cut's
+    // 10s at sf0.1); (c) every doc carries one extra NULL-gram
+    // sentinel row that passes the screen unconditionally, so a doc
+    // whose every gram is bloom-negative still reaches the aggregate
+    // with n_overlap 0 — q54's single-pass shape survives the screen
+    val screened = withG.filter(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"), size(col("g3")).as("n_grams"),
+        explode_outer(concat(col("g3"), array(lit(null).cast("string")))).as("g"))
+      .filter(col("g").isNull ||
+        call_function("bloom_might_contain", bf, xxhash64(col("g"))))
+    // phase 2 (verify): the fpp sliver of false positives is
+    // eliminated by the EXACT membership join — counts are exact
+    screened
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(col("hit")).as("n_overlap"))
+      .withColumn("rate", try_divide(col("n_overlap").cast("double"), col("n_grams")))
+      .withColumn("contaminated", coalesce(col("rate") >= threshold, lit(false)))
+      .select("doc_id", "n_grams", "n_overlap", "rate", "contaminated")
+      .orderBy("doc_id")
+  }
+
   def decontaminate(spark: SparkSession, dir: String,
                     benchMod: Int = 97, threshold: Double = 0.3): DataFrame = {
     val toks = col("toks")

@@ -34,6 +34,21 @@ class CurationSpec extends AnyFunSuite {
       "a gram-less doc has NULL rate and is not flagged")
   }
 
+  test("decontaminateBloom == decontaminate row-for-row (screen has no false negatives)") {
+    // the Bloom screen must change the PLAN (map-side kill of clean
+    // grams before any join), never the ANSWER: exact equality on
+    // the real testdata, including NULL-rate gram-less docs
+    val exact = operators.Curation.decontaminate(spark, TestSpark.dir).collect().toSeq
+    val bloom = operators.Curation.decontaminateBloom(spark, TestSpark.dir).collect().toSeq
+    assert(bloom == exact, "bloom screen + exact verify must equal the exact path")
+    assert(exact.nonEmpty)
+    // and at a deliberately terrible fpp the verify phase still
+    // eliminates every false positive the screen lets through
+    val sloppy = operators.Curation.decontaminateBloom(spark, TestSpark.dir, fpp = 0.5)
+      .collect().toSeq
+    assert(sloppy == exact, "false positives must die in the verify join at any fpp")
+  }
+
   test("piiScrub counts and redacts exactly the planted PII") {
     val dir = "/fake/curation_pii"
     Tables.registerOverride(spark, dir, "documents", Seq(
