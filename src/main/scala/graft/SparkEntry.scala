@@ -80,6 +80,7 @@ object SparkEntry {
     "q54_decontam"          -> ((s, d) => Curation.decontaminate(s, d)),
     "q54b_decontam_bloom"   -> ((s, d) => Curation.decontaminateBloom(s, d)),
     "q55_pii_scrub"         -> ((s, d) => Curation.piiScrub(s, d)),
+    "q70_importance_select" -> ((s, d) => Curation.importanceSelect(s, d)),
     "q57_pack_sequences"    -> ((s, d) => Curation.packSequences(s, d)),
     "q57b_pack_sharded"     -> ((s, d) => Curation.packSequencesSharded(s, d)),
     "q58_distinctive_terms" -> ((s, d) => Curation.distinctiveTerms(s, d)),
@@ -347,6 +348,37 @@ object SparkEntry {
         |       ELSE CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / t.n_grams END >= 0.3, FALSE) AS contaminated
         |FROM train t LEFT JOIN ov o ON t.doc_id = o.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // q70: identical statistics on STRING bigrams (occurrences, not
+    // distinct — no list_distinct); hash ≡ string grouping is pinned
+    // by KGramHashParitySpec, and the output carries only counts.
+    "q70_importance_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 7 = 0 AS tgt,
+        |    list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]) AS gs
+        |  FROM documents),
+        |e AS (SELECT doc_id, tgt, unnest(gs) AS g FROM t),
+        |d AS (SELECT doc_id, tgt,
+        |        SUM(CASE WHEN tgt THEN 1 ELSE 0 END) OVER (PARTITION BY g) AS ct,
+        |        SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) OVER (PARTITION BY g) AS cr
+        |      FROM e),
+        |p AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |        CAST(SUM(ct) AS BIGINT) AS sum_t, CAST(SUM(cr) AS BIGINT) AS sum_r
+        |      FROM d WHERE NOT tgt GROUP BY doc_id),
+        |tot AS (SELECT CAST(SUM(CASE WHEN tgt THEN len(gs) ELSE 0 END) AS BIGINT) AS nt,
+        |               CAST(SUM(CASE WHEN NOT tgt THEN len(gs) ELSE 0 END) AS BIGINT) AS nr
+        |        FROM t)
+        |SELECT b.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+        |  COALESCE(p.sum_t, 0) AS sum_t, COALESCE(p.sum_r, 0) AS sum_r,
+        |  CASE WHEN COALESCE(p.n_grams, 0) > 0
+        |       THEN round(CAST(p.sum_t AS DOUBLE) * tot.nr / (CAST(p.sum_r AS DOUBLE) * tot.nt), 6)
+        |       END AS w,
+        |  COALESCE(CASE WHEN COALESCE(p.n_grams, 0) > 0
+        |       THEN round(CAST(p.sum_t AS DOUBLE) * tot.nr / (CAST(p.sum_r AS DOUBLE) * tot.nt), 6)
+        |       END >= 1.0, FALSE) AS selected
+        |FROM (SELECT doc_id FROM t WHERE NOT tgt) b
+        |LEFT JOIN p ON b.doc_id = p.doc_id CROSS JOIN tot
+        |ORDER BY b.doc_id""".stripMargin,
     "q55_pii_scrub" ->
       """WITH p AS (
         |  SELECT doc_id, text

@@ -419,6 +419,76 @@ object Curation {
       .orderBy("source", "bin")
   }
 
+  /** q70: IMPORTANCE-WEIGHTED data selection — the n-gram
+    * likelihood-ratio selector a pretraining pipeline runs to upweight
+    * corpus documents that "look like" a small high-quality target set
+    * (the DSIR recipe of Xie et al. 2023, arXiv:2302.03169: score raw
+    * docs by how much more probable their n-gram features are under
+    * the target distribution than the raw distribution, then select /
+    * resample by that weight). Two departures keep it ORACLE-EXACT
+    * (this file's no-transcendentals rule):
+    *
+    *   - DSIR's per-doc score is Σ log p_t(g)/p_r(g); ln is not
+    *     bit-portable across engines, so the score here is the
+    *     ARITHMETIC likelihood ratio (Σ c_t(g) / N_t) / (Σ c_r(g) /
+    *     N_r) — integer occurrence sums with ONE final double
+    *     expression (two products, one division — exact IEEE both
+    *     engines). Same ordering intuition: grams common in the
+    *     target and rare in the raw pool push w above 1.
+    *   - DSIR pools grams into 10⁴ hash buckets for density; bucket
+    *     pooling under OUR 64-bit fnv is irreproducible in the
+    *     DuckDB oracle, so statistics stay per-gram (the unpooled
+    *     limit of the same estimator).
+    *
+    * Target set = doc_id ≡ 0 (mod targetMod), the q54 derivation
+    * trick. Plan shape is q66's end-to-end string-free discipline:
+    * bigram OCCURRENCE hashes (kgram_hashes, 8 bytes) ride the one
+    * gram-keyed shuffle; per-gram class counts come from a
+    * count-over-Window on the exploded frame (no groupBy+join-back
+    * double shuffle); the per-doc rollup is the second shuffle. The
+    * slim per-doc frame (5 numeric cols) is persisted and serves both
+    * the class totals and the output — at 100 TB that persist replaces
+    * a second full text scan (the DupGraph persist-before-double-read
+    * rule). explode_outer keeps gram-less docs through the rollup with
+    * n_grams 0 / NULL weight (q54's sentinel discipline). Output
+    * carries only gram-equality counts ⇒ the DuckDB oracle runs the
+    * identical statistics on string bigrams (hash ≡ string grouping
+    * pinned by KGramHashParitySpec).
+    */
+  def importanceSelect(spark: SparkSession, dir: String,
+                       targetMod: Int = 7, thr: Double = 1.0): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % targetMod === 0).as("tgt"),
+        expr("kgram_hashes(text, 2)").as("gs"))
+      .select(col("doc_id"), col("tgt"), explode_outer(col("gs")).as("g"))
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    // per-gram class occurrence counts; the isNotNull guard zeroes the
+    // shared NULL-gram partition (gram-less docs) so its ct/cr are 0
+    val stats = ex
+      .withColumn("ct", sum(when(col("tgt") && col("g").isNotNull, 1L).otherwise(0L)).over(wG))
+      .withColumn("cr", sum(when(!col("tgt") && col("g").isNotNull, 1L).otherwise(0L)).over(wG))
+    val perdoc = stats.groupBy("doc_id", "tgt")
+      .agg(sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("n_grams"),
+        sum(when(col("g").isNotNull, col("ct")).otherwise(0L)).as("sum_t"),
+        sum(when(col("g").isNotNull, col("cr")).otherwise(0L)).as("sum_r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = perdoc.groupBy().agg(
+      sum(when(col("tgt"), col("n_grams")).otherwise(0L)).as("nt"),
+      sum(when(!col("tgt"), col("n_grams")).otherwise(0L)).as("nr"))
+    // w = (sum_t/nt)/(sum_r/nr) = sum_t·nr / (sum_r·nt); sum_r ≥
+    // n_grams ≥ 1 here (a raw doc's own occurrences count in c_r),
+    // so the only guarded case is the gram-less NULL row
+    perdoc.filter(!col("tgt"))
+      .crossJoin(broadcast(totals))
+      .withColumn("w", when(col("n_grams") > 0,
+        round(col("sum_t").cast("double") * col("nr") /
+          (col("sum_r").cast("double") * col("nt")), 6)))
+      .withColumn("selected", coalesce(col("w") >= thr, lit(false)))
+      .select("doc_id", "n_grams", "sum_t", "sum_r", "w", "selected")
+      .orderBy("doc_id")
+  }
+
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "lang", "source")
     val strata = docs.groupBy("source").agg(count(lit(1)).as("cnt"))

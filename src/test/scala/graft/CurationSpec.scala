@@ -49,6 +49,37 @@ class CurationSpec extends AnyFunSuite {
     assert(sloppy == exact, "false positives must die in the verify join at any fpp")
   }
 
+  test("importanceSelect scores a hand-computed corpus exactly") {
+    val dir = "/fake/curation_dsir"
+    // targetMod=7 -> doc 0 is the target set; docs 1-3 are raw
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (0L, "alpha beta gamma"),  // target: grams {alpha beta, beta gamma}, nt=2
+      (1L, "alpha beta gamma"),  // raw verbatim target copy -> maximally target-like
+      (2L, "zeta eta theta"),    // raw, zero target-gram overlap
+      (3L, "x")                  // raw, gram-less
+    ).toDF("doc_id", "text"))
+    val r = operators.Curation.importanceSelect(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 3L), "target docs are not scored")
+    // nr=4; doc1: sum_t=2, sum_r=2 -> w = (2/2)/(2/4) = 2.0
+    assert(r(1L).getLong(1) == 2 && r(1L).getLong(2) == 2 && r(1L).getLong(3) == 2)
+    assert(r(1L).getDouble(4) == 2.0 && r(1L).getBoolean(5))
+    // doc2 shares no gram with the target: w = 0, not selected
+    assert(r(2L).getLong(2) == 0 && r(2L).getDouble(4) == 0.0 && !r(2L).getBoolean(5))
+    // gram-less doc survives with n_grams 0, NULL weight, not selected
+    assert(r(3L).getLong(1) == 0 && r(3L).isNullAt(4) && !r(3L).getBoolean(5))
+  }
+
+  test("importanceSelect laws on the real corpus") {
+    val rows = operators.Curation.importanceSelect(spark, TestSpark.dir).collect()
+    assert(rows.nonEmpty)
+    // a raw doc's own occurrences count in c_r, so sum_r >= n_grams
+    assert(rows.forall(x => x.getLong(3) >= x.getLong(1)))
+    assert(rows.forall(x => x.getLong(0) % 7 != 0), "no target doc leaks into the output")
+    // non-vacuous on the gate corpus: both selection outcomes occur
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
+
   test("piiScrub counts and redacts exactly the planted PII") {
     val dir = "/fake/curation_pii"
     Tables.registerOverride(spark, dir, "documents", Seq(
