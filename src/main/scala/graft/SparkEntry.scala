@@ -75,6 +75,7 @@ object SparkEntry {
     "q64_substring_dup"     -> ((s, d) => Dedup.substringDup(s, d)),
     "q64b_substring_incr"   -> ((s, d) => Dedup.substringDupIncremental(s, d)),
     "q66_rarity_score"      -> ((s, d) => TextAnalysis.rarityScore(s, d)),
+    "q71_gopher_rules"      -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "q33b_fingerprint_groups" -> ((s, d) => TextAnalysis.fingerprintGroups(s, d)),
     "q01c_sessions_native"  -> ((s, d) => Sessions.sessionStatsNative(s, d)),
     "q54_decontam"          -> ((s, d) => Curation.decontaminate(s, d)),
@@ -516,6 +517,39 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
          |  round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS uniq_frac
          |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q71: identical integer counters + cross-multiplied rule flags;
+    // thresholds mirror the driver entry's corpus-tuned params
+    // (minWords=30, meanLen 4.2-10 scaled by 10, stop list {the, a}).
+    "q71_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+        |         string_split(text, chr(10)) AS ls FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS n_chars,
+        |    CAST(len(text) - len(replace(text, '#', ''))
+        |         + (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(['the', 'a'], w -> list_contains(ws, w))) AS BIGINT) AS n_stop,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l -> substring(l, 1, 2) = '- '
+        |         OR substring(l, 1, 2) = '* ')) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(ls, l -> right(l, 3) = '...')) AS BIGINT) AS n_ellipsis
+        |  FROM t)
+        |SELECT doc_id, n_words, n_chars, n_sym, n_alpha, n_stop, n_lines, n_bullet, n_ellipsis,
+        |  (n_words BETWEEN 30 AND 100000) AS r_words,
+        |  (n_chars * 10 >= n_words * 42 AND n_chars * 10 <= n_words * 100) AS r_meanlen,
+        |  (n_sym * 10 <= n_words) AS r_symbol,
+        |  (n_alpha * 5 >= n_words * 4) AS r_alpha,
+        |  (n_stop >= 2) AS r_stop,
+        |  (n_bullet * 10 <= n_lines) AS r_bullet,
+        |  (n_ellipsis * 10 <= n_lines * 3) AS r_ellipsis,
+        |  ((n_words BETWEEN 30 AND 100000)
+        |   AND (n_chars * 10 >= n_words * 42 AND n_chars * 10 <= n_words * 100)
+        |   AND n_sym * 10 <= n_words AND n_alpha * 5 >= n_words * 4 AND n_stop >= 2
+        |   AND n_bullet * 10 <= n_lines AND n_ellipsis * 10 <= n_lines * 3) AS pass_gopher
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q57b_pack_sharded" ->
       s"""WITH RECURSIVE o AS (
          |  SELECT lang, doc_id // 128 AS shard, doc_id, CAST($wcSql AS BIGINT) AS wc,

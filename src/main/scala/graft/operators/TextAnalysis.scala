@@ -373,4 +373,70 @@ object TextAnalysis {
     val groups = fp.groupBy("fp").agg(min("doc_id").as("group_min"), count(lit(1)).as("group_n"))
     fp.join(groups, "fp").select("doc_id", "group_min", "group_n").orderBy("doc_id")
   }
+
+  /** q71: the GOPHER quality-filter rule set (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) — the per-document heuristic gate most
+    * pretraining pipelines run before any model-based scoring: word
+    * count in range, mean word length in range, bounded symbol ratio
+    * (# / "..."), bounded bullet-start and ellipsis-end line rates, a
+    * minimum alphabetic-word share, and a minimum count of distinct
+    * function words. Every rule is stated on INTEGER counts with
+    * cross-multiplied comparisons (10·n_sym ≤ n_words rather than
+    * n_sym/n_words ≤ 0.1) so the output is ORACLE-EXACT with no float
+    * anywhere — and every counter is emitted beside its flag so a
+    * pipeline can re-threshold without rescanning text.
+    *
+    * Thresholds are parameters (paper defaults differ: 50 ≤ words ≤
+    * 100k, mean len 3-10, Gopher's 8 English stopwords); the driver
+    * entry tunes them to the synthetic corpus (lowercase, 10-99-word,
+    * single-line docs) so each corpus-expressible rule is
+    * non-vacuous — the stop list becomes the corpus's two function
+    * words and the word/mean-length windows sit inside the observed
+    * range. Line-shape and symbol rules are vacuously true here
+    * (single-line, symbol-free corpus) and are exercised by planted
+    * multi-line/symbol docs in the spec instead.
+    *
+    * Scale shape: a pure per-row map over (doc_id, text) — zero
+    * shuffles, zero joins; only doc_id+text are read (column-pruned
+    * scan) and the final orderBy is the output contract's range sort.
+    * At 100 TB this is the cheapest possible pass: one codegen'd
+    * projection per partition.
+    */
+  def gopherRules(spark: SparkSession, dir: String,
+                  minWords: Long = 30L, maxWords: Long = 100000L,
+                  meanLenMin10: Long = 42L, meanLenMax10: Long = 100L,
+                  stopwords: Seq[String] = Seq("the", "a"),
+                  minStopwords: Long = 2L): DataFrame = {
+    val stopArr = s"array(${stopwords.map(w => s"'$w'").mkString(", ")})"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(col("text"), " ").as("ws"),
+        split(col("text"), "\n").as("ls"),
+        col("text"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))").as("n_chars"),
+        ((length(col("text")) - length(expr("replace(text, '#', '')"))) +
+          expr("(length(text) - length(replace(text, '...', ''))) div 3"))
+          .cast("long").as("n_sym"),
+        expr("size(filter(ws, x -> x rlike '[a-zA-Z]'))").cast("long").as("n_alpha"),
+        expr(s"size(filter($stopArr, s -> array_contains(ws, s)))").cast("long").as("n_stop"),
+        size(col("ls")).cast("long").as("n_lines"),
+        expr("size(filter(ls, l -> substring(l, 1, 2) = '- ' OR substring(l, 1, 2) = '* '))")
+          .cast("long").as("n_bullet"),
+        expr("size(filter(ls, l -> right(l, 3) = '...'))").cast("long").as("n_ellipsis"))
+      .withColumn("r_words", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_meanlen",
+        col("n_chars") * 10L >= col("n_words") * meanLenMin10 &&
+          col("n_chars") * 10L <= col("n_words") * meanLenMax10)
+      .withColumn("r_symbol", col("n_sym") * 10L <= col("n_words"))
+      .withColumn("r_alpha", col("n_alpha") * 5L >= col("n_words") * 4L)
+      .withColumn("r_stop", col("n_stop") >= minStopwords)
+      .withColumn("r_bullet", col("n_bullet") * 10L <= col("n_lines"))
+      .withColumn("r_ellipsis", col("n_ellipsis") * 10L <= col("n_lines") * 3L)
+      .withColumn("pass_gopher",
+        col("r_words") && col("r_meanlen") && col("r_symbol") && col("r_alpha") &&
+          col("r_stop") && col("r_bullet") && col("r_ellipsis"))
+      .orderBy("doc_id")
+  }
 }

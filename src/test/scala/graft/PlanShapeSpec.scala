@@ -86,6 +86,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 2, s"user partition + orderBy — got $n in:\n$p")
   }
 
+  test("q71 gopher gate is a pure map pass: zero data shuffles (+1 output sort)") {
+    val p = plan(operators.TextAnalysis.gopherRules(spark, dir))
+    assert(count(p, "Exchange hashpartitioning") == 0,
+      s"no groupBy/join/window may appear in the gate pass:\n$p")
+    assert(count(p, "Exchange rangepartitioning") == 1, s"only the output sort:\n$p")
+    // only doc_id + text leave the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning must reach the parquet scan:\n$p")
+  }
+
   test("q64's gram shuffles carry 8-byte hashes, not gram strings") {
     val p = plan(operators.Dedup.substringDup(spark, dir))
     assert(p.contains("kgram_hashes"), s"the hashed expression must feed the plan:\n$p")

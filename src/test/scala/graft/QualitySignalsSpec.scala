@@ -220,4 +220,47 @@ class QualitySignalsSpec extends AnyFunSuite {
     assert(operators.VectorIndex.centroids(spark, path).count() == 16)
     deleteIndex(path)
   }
+
+  test("gopherRules: each rule fires on exactly its planted violation") {
+    val dir = "/fake/quality_gopher"
+    val good = (Seq.fill(28)("alpha") ++ Seq("the", "a")).mkString(" ")
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (0L, good),                                                   // passes every rule
+      (1L, "the a b c d e f g h i"),                                // 10 words: r_words
+      (2L, (Seq.fill(25)("gammas") ++ Seq.fill(5)("#") ++ Seq("the", "a")).mkString(" ")), // r_symbol
+      (3L, good + "\n- bullet one\n- bullet two\nxxx...\nyyy..."),  // r_bullet + r_ellipsis
+      (4L, Seq.fill(30)("123").mkString(" ")),                      // r_alpha (no letters)
+      (5L, Seq.fill(30)("delta").mkString(" ")),                    // r_stop (no function words)
+      (6L, (Seq.fill(28)("abcdefghijkl") ++ Seq("the", "a")).mkString(" ")) // r_meanlen (mean 11.3 > 10)
+    ).toDF("doc_id", "text"))
+    val r = operators.TextAnalysis.gopherRules(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def flag(id: Long, name: String): Boolean = r(id).getAs[Boolean](name)
+
+    assert(flag(0L, "pass_gopher"), "the clean doc passes the whole gate")
+    assert(r(0L).getAs[Long]("n_words") == 30 && r(0L).getAs[Long]("n_chars") == 144)
+    assert(!flag(1L, "r_words") && !flag(1L, "pass_gopher"))
+    assert(!flag(2L, "r_symbol") && flag(2L, "r_alpha") && flag(2L, "r_stop") &&
+      flag(2L, "r_meanlen") && !flag(2L, "pass_gopher"))
+    assert(r(2L).getAs[Long]("n_sym") == 5)
+    assert(r(3L).getAs[Long]("n_lines") == 5 && r(3L).getAs[Long]("n_bullet") == 2 &&
+      r(3L).getAs[Long]("n_ellipsis") == 2)
+    assert(!flag(3L, "r_bullet") && !flag(3L, "r_ellipsis"))
+    assert(!flag(4L, "r_alpha") && r(4L).getAs[Long]("n_alpha") == 0)
+    assert(!flag(5L, "r_stop") && flag(5L, "r_words") && flag(5L, "r_meanlen"))
+    assert(!flag(6L, "r_meanlen") && flag(6L, "r_stop") && !flag(6L, "pass_gopher"))
+  }
+
+  test("gopherRules laws on the real corpus") {
+    val rows = operators.TextAnalysis.gopherRules(spark, TestSpark.dir).collect()
+    assert(rows.nonEmpty)
+    // the synthetic corpus is single-line, symbol-free, all-alphabetic
+    assert(rows.forall(x => x.getAs[Long]("n_lines") == 1 && x.getAs[Long]("n_sym") == 0))
+    assert(rows.forall(x => x.getAs[Long]("n_alpha") == x.getAs[Long]("n_words")))
+    // the tuned word-count and stopword rules are non-vacuous here
+    assert(rows.exists(_.getAs[Boolean]("pass_gopher")) &&
+      rows.exists(x => !x.getAs[Boolean]("pass_gopher")))
+    assert(rows.exists(x => !x.getAs[Boolean]("r_words")))
+    assert(rows.exists(x => !x.getAs[Boolean]("r_stop")))
+  }
 }
