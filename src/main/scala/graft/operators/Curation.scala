@@ -22,6 +22,40 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Distinct 3-gram set per (doc_id, text) row — the shared kernel
+    * of q54, q54b and the streaming gate (one definition, no
+    * paste-drift: the PQ LUT triplication lesson). The split is
+    * materialized by its own projection (interpreted-HOF re-eval
+    * trap, SURVEY §4); sequence(1, n) with n < 1 would DESCEND in
+    * Spark ([1,0]), so short docs get an explicit empty gram set.
+    */
+  private[graft] def grams3(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val grams = when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), grams.as("g3"))
+  }
+
+  private[graft] def docGrams3(spark: SparkSession, dir: String): DataFrame =
+    grams3(Tables.documents(spark, dir).select("doc_id", "text"))
+
+  /** Bloom sketch of a one-column gram frame: numBits from the
+    * standard -n·ln(p)/ln²2 sizing at the requested fpp. Returns the
+    * serialized filter for use as a broadcast literal with
+    * `bloom_might_contain`.
+    */
+  private[graft] def bloomBytesFor(bench: DataFrame, fpp: Double): Array[Byte] = {
+    graft.functions.GraftFunctions.register(bench.sparkSession)
+    val nBench = math.max(1L, bench.count())
+    val nBits = math.max(64L,
+      math.ceil(-nBench * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    bench.select(expr(s"bloom_filter_agg(xxhash64(g), ${nBench}L, ${nBits}L)").as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
   /** q54: train/eval decontamination — the n-gram overlap check run
     * before training to drop documents that leak benchmark content
     * (the standard 13-gram check, here 3-grams against the synthetic
@@ -60,25 +94,10 @@ object Curation {
                          benchMod: Int = 97, threshold: Double = 0.3,
                          fpp: Double = 0.01): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val toks = col("toks")
-    val grams = when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-    val withG = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), grams.as("g3"))
+    val withG = docGrams3(spark, dir)
     val bench = withG.filter(col("doc_id") % benchMod === 0)
       .select(explode(col("g3")).as("g")).distinct()
-    // the Bloom sketch of the benchmark grams: numBits from the
-    // standard -n·ln(p)/ln²2 sizing at the requested fpp
-    val nBench = math.max(1L, bench.count())
-    val nBits = math.max(64L,
-      math.ceil(-nBench * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val bloomBytes = bench
-      .select(expr(s"bloom_filter_agg(xxhash64(g), ${nBench}L, ${nBits}L)").as("bf"))
-      .head.getAs[Array[Byte]](0)
-    val bf = lit(bloomBytes)
+    val bf = lit(bloomBytesFor(bench, fpp))
     // phase 1 (screen): bloom-test every gram IN THE SCAN STAGE —
     // clean grams die before any join; no false negatives, so the
     // filter is safe to apply pre-verification. Three §4 disciplines
@@ -111,17 +130,7 @@ object Curation {
 
   def decontaminate(spark: SparkSession, dir: String,
                     benchMod: Int = 97, threshold: Double = 0.3): DataFrame = {
-    val toks = col("toks")
-    // materialize the split once (interpreted-HOF re-eval trap,
-    // SURVEY §4); guard: sequence(1, n) with n < 1 would DESCEND in
-    // Spark ([1,0]), so short docs get an explicit empty gram set
-    val grams = when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-    val withG = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), grams.as("g3"))
+    val withG = docGrams3(spark, dir)
     val bench = withG.filter(col("doc_id") % benchMod === 0)
       .select(explode(col("g3")).as("g")).distinct()
     val overlap = withG.filter(col("doc_id") % benchMod =!= 0)
