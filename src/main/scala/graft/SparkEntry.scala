@@ -88,6 +88,7 @@ object SparkEntry {
     "q59_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "q65_temperature_mix"   -> ((s, d) => Curation.temperatureMix(s, d)),
     "q68_mix_drift"         -> ((s, d) => Curation.mixDrift(s, d)),
+    "q72_source_overlap"    -> ((s, d) => Curation.sourceOverlap(s, d)),
     "q69_length_outliers"   -> ((s, d) => Curation.lengthOutliers(s, d)),
     "q60_repetition"        -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q63_quality_bins"      -> ((s, d) => TextAnalysis.qualityBins(s, d)),
@@ -462,6 +463,25 @@ object SparkEntry {
         |ORDER BY u.doc_id""".stripMargin,
     // q68: global length-decile binning via the (wc -> count)
     // histogram's running sum (value-level bins, no tie-splitting);
+    // q72: identical overlap statistics on STRING bigrams (hash ≡
+    // string grouping pinned by KGramHashParitySpec); output carries
+    // only gram-equality counts + one exact IEEE division.
+    "q72_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gs
+        |  FROM documents),
+        |e AS (SELECT DISTINCT source, unnest(gs) AS g FROM t),
+        |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY source),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |       FROM e a JOIN e b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+        |SELECT p1.source AS source_a, p2.source AS source_b, p1.n AS n_a, p2.n AS n_b,
+        |  COALESCE(sh.n_shared, 0) AS n_shared,
+        |  CASE WHEN p1.n + p2.n - COALESCE(sh.n_shared, 0) = 0 THEN NULL
+        |       ELSE CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / (p1.n + p2.n - COALESCE(sh.n_shared, 0)) END AS jaccard
+        |FROM ps p1 JOIN ps p2 ON p1.source < p2.source
+        |LEFT JOIN sh ON sh.source_a = p1.source AND sh.source_b = p2.source
+        |ORDER BY source_a, source_b""".stripMargin,
     // chi computed from UNROUNDED expected, rounded at the surface.
     "q68_mix_drift" ->
       s"""WITH d AS (SELECT doc_id, source, $wcSql AS wc FROM documents),

@@ -498,6 +498,49 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q72: cross-source OVERLAP matrix — the contamination diagnostic
+    * a curation pipeline runs when sources are acquired separately
+    * (two crawls, a crawl + a curated set): for every source pair,
+    * the count of shared distinct bigrams and the vocabulary Jaccard.
+    * High overlap means one source largely re-crawls another and
+    * deduplication must run ACROSS them, not per-source; near-zero
+    * overlap licenses per-source sharding of the expensive dedups.
+    *
+    * String-free (q66's discipline): distinct occurrence
+    * `kgram_hashes` per (source, gram) ride the shuffles; the output
+    * carries only gram-equality counts, so the DuckDB oracle runs the
+    * identical statistics on string bigrams (hash ≡ string grouping
+    * pinned by KGramHashParitySpec). Shape: one distinct over
+    * (source, gram-hash), a self-equijoin on gram restricted to
+    * source_a < source_b (per-gram fanout bounded by C(|sources|, 2)
+    * — sources are a CATALOG dimension, not a data dimension), and a
+    * broadcast of the tiny per-source totals onto the full ordered
+    * pair domain so zero-overlap pairs surface explicitly. Jaccard is
+    * ONE long/long double division (exact IEEE both engines);
+    * try_divide guards the empty-vocabulary degenerate pair.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ex = Tables.documents(spark, dir)
+      .select(col("source"), explode(expr("array_distinct(kgram_hashes(text, 2))")).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perSource = ex.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    broadcast(perSource.select(col("source").as("source_a"), col("n").as("n_a")))
+      .crossJoin(broadcast(perSource.select(col("source").as("source_b"), col("n").as("n_b"))))
+      .filter(col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("jaccard", try_divide(col("n_shared").cast("double"),
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double")))
+      .select("source_a", "source_b", "n_a", "n_b", "n_shared", "jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "lang", "source")
     val strata = docs.groupBy("source").agg(count(lit(1)).as("cnt"))

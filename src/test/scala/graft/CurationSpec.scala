@@ -80,6 +80,35 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
   }
 
+  test("sourceOverlap computes a hand-checked pair matrix, zero pairs included") {
+    val dir = "/fake/curation_overlap"
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (0L, "srcA", "x y z"), // bigrams {x y, y z}
+      (1L, "srcB", "x y q"), // bigrams {x y, y q}: shares {x y} with A
+      (2L, "srcC", "m n")    // bigrams {m n}: disjoint from both
+    ).toDF("doc_id", "source", "text"))
+    val r = operators.Curation.sourceOverlap(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")),
+      "every ordered pair appears, including zero-overlap ones")
+    val ab = r(("srcA", "srcB"))
+    assert(ab.getLong(2) == 2 && ab.getLong(3) == 2 && ab.getLong(4) == 1)
+    assert(ab.getDouble(5) == 1.0 / 3.0)
+    assert(r(("srcA", "srcC")).getLong(4) == 0 && r(("srcA", "srcC")).getDouble(5) == 0.0)
+    assert(r(("srcB", "srcC")).getLong(4) == 0)
+  }
+
+  test("sourceOverlap laws on the real corpus") {
+    val rows = operators.Curation.sourceOverlap(spark, TestSpark.dir).collect()
+    assert(rows.length == 190, s"C(20,2) ordered source pairs: ${rows.length}")
+    assert(rows.forall(x => x.getLong(4) <= math.min(x.getLong(2), x.getLong(3))),
+      "shared vocabulary cannot exceed either side")
+    assert(rows.forall(x => x.getDouble(5) >= 0.0 && x.getDouble(5) <= 1.0))
+    // the synthetic sources draw from one shared vocabulary: overlap
+    // must be non-vacuous
+    assert(rows.exists(_.getLong(4) > 0))
+  }
+
   test("piiScrub counts and redacts exactly the planted PII") {
     val dir = "/fake/curation_pii"
     Tables.registerOverride(spark, dir, "documents", Seq(
