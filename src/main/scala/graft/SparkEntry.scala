@@ -89,6 +89,9 @@ object SparkEntry {
     "q65_temperature_mix"   -> ((s, d) => Curation.temperatureMix(s, d)),
     "q68_mix_drift"         -> ((s, d) => Curation.mixDrift(s, d)),
     "q72_source_overlap"    -> ((s, d) => Curation.sourceOverlap(s, d)),
+    "q73_boilerplate_spans" -> ((s, d) => Curation.boilerplateSpans(s, d)),
+    "q74_token_budget"      -> ((s, d) => Curation.tokenBudget(s, d)),
+    "q75_cluster_reps"      -> ((s, d) => DupGraph.clusterReps(s, d)),
     "q69_length_outliers"   -> ((s, d) => Curation.lengthOutliers(s, d)),
     "q60_repetition"        -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q63_quality_bins"      -> ((s, d) => TextAnalysis.qualityBins(s, d)),
@@ -311,6 +314,45 @@ object SparkEntry {
          |SELECT c.id AS doc_id, c.rep AS cluster_rep, sz.n AS cluster_size, (c.id = c.rep) AS is_keep
          |FROM comp c JOIN sz ON c.rep = sz.rep
          |ORDER BY cluster_rep, doc_id""".stripMargin,
+    // q75: q53's CC fixpoint + q71's integer rule count; canonical =
+    // first under the total order (n_pass DESC, wc DESC, doc_id ASC).
+    "q75_cluster_reps" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM t),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))), 6) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach AS (
+         |  SELECT a AS id, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.b),
+         |comp AS (SELECT id, MIN(lbl) AS rep FROM reach GROUP BY id),
+         |sz AS (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep),
+         |d AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+         |      string_split(text, chr(10)) AS ls FROM documents),
+         |q AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS wc,
+         |    (CAST(len(ws) BETWEEN 30 AND 100000 AS INT)
+         |     + CAST(list_sum(list_transform(ws, x -> len(x))) * 10 >= len(ws) * 42
+         |            AND list_sum(list_transform(ws, x -> len(x))) * 10 <= len(ws) * 100 AS INT)
+         |     + CAST((len(text) - len(replace(text, '#', ''))
+         |            + (len(text) - len(replace(text, '...', ''))) // 3) * 10 <= len(ws) AS INT)
+         |     + CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) * 5 >= len(ws) * 4 AS INT)
+         |     + CAST(len(list_filter(['the', 'a'], w -> list_contains(ws, w))) >= 2 AS INT)
+         |     + CAST(len(list_filter(ls, l -> substring(l, 1, 2) = '- '
+         |            OR substring(l, 1, 2) = '* ')) * 10 <= len(ls) AS INT)
+         |     + CAST(len(list_filter(ls, l -> right(l, 3) = '...')) * 10 <= len(ls) * 3 AS INT)) AS n_pass
+         |  FROM d),
+         |m AS (SELECT c.id AS doc_id, c.rep, sz.n, q.n_pass, q.wc
+         |      FROM comp c JOIN sz ON c.rep = sz.rep JOIN q ON q.doc_id = c.id),
+         |w AS (SELECT m.*, FIRST_VALUE(doc_id) OVER (
+         |        PARTITION BY rep ORDER BY n_pass DESC, wc DESC, doc_id ASC) AS canon FROM m)
+         |SELECT doc_id, rep AS cluster_rep, n AS cluster_size, n_pass, wc,
+         |  (doc_id = canon) AS is_canonical
+         |FROM w ORDER BY cluster_rep, doc_id""".stripMargin,
     "q54_decontam" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
@@ -482,6 +524,74 @@ object SparkEntry {
         |FROM ps p1 JOIN ps p2 ON p1.source < p2.source
         |LEFT JOIN sh ON sh.source_a = p1.source AND sh.source_b = p2.source
         |ORDER BY source_a, source_b""".stripMargin,
+    // q73: same span-coverage law on STRING 3-grams, 1-based list
+    // positions throughout (Spark side is 0-based posexplode — the
+    // output carries no positions, so the bases never meet); cleaned
+    // text rebuilt by ordered string_agg over uncovered positions,
+    // COALESCE '' matching Spark's concat_ws on an empty array.
+    "q73_boilerplate_spans" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT t.doc_id, u.i AS p,
+        |        array_to_string(list_slice(t.toks, u.i, u.i + 2), ' ') AS g
+        |      FROM t, unnest(generate_series(1, len(t.toks) - 2)) AS u(i)
+        |      WHERE len(t.toks) >= 3),
+        |b AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 5),
+        |c AS (SELECT DISTINCT g.doc_id, g.p + r.range AS cp
+        |      FROM g JOIN b ON g.g = b.g CROSS JOIN range(3) r),
+        |kept AS (SELECT t.doc_id, u.i AS p, t.toks[u.i] AS tok
+        |         FROM t, unnest(generate_series(1, len(t.toks))) AS u(i)
+        |         WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.doc_id = t.doc_id AND c.cp = u.i)),
+        |cln AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text FROM kept GROUP BY doc_id),
+        |cv AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_covered FROM c GROUP BY doc_id)
+        |SELECT t.doc_id, t.source, CAST(len(t.toks) AS INT) AS n_tokens,
+        |  COALESCE(cv.n_covered, 0) AS n_covered,
+        |  COALESCE(cln.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN cv ON t.doc_id = cv.doc_id
+        |LEFT JOIN cln ON t.doc_id = cln.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // q74: q71's integer rule arithmetic verbatim, the fill plan on
+    // the (source, n_pass) histogram (both window SUMs cast back to
+    // BIGINT out of DuckDB's HUGEINT), the q59 hkey keep rule with
+    // the product lifted to HUGEINT exactly as Spark lifts it to
+    // decimal(38,0). budgetPct = 50 mirrors the driver default.
+    "q74_token_budget" ->
+      """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws,
+        |         string_split(text, chr(10)) AS ls FROM documents),
+        |s AS (SELECT doc_id, source,
+        |    CAST(len(ws) AS BIGINT) AS wc,
+        |    CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS n_chars,
+        |    CAST(len(text) - len(replace(text, '#', ''))
+        |         + (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(['the', 'a'], w -> list_contains(ws, w))) AS BIGINT) AS n_stop,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l -> substring(l, 1, 2) = '- '
+        |         OR substring(l, 1, 2) = '* ')) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(ls, l -> right(l, 3) = '...')) AS BIGINT) AS n_ellipsis
+        |  FROM t),
+        |p AS (SELECT doc_id, source, wc,
+        |    (CAST(wc BETWEEN 30 AND 100000 AS INT)
+        |     + CAST(n_chars * 10 >= wc * 42 AND n_chars * 10 <= wc * 100 AS INT)
+        |     + CAST(n_sym * 10 <= wc AS INT)
+        |     + CAST(n_alpha * 5 >= wc * 4 AS INT)
+        |     + CAST(n_stop >= 2 AS INT)
+        |     + CAST(n_bullet * 10 <= n_lines AS INT)
+        |     + CAST(n_ellipsis * 10 <= n_lines * 3 AS INT)) AS n_pass,
+        |    ((doc_id % 1048576) * 2654435761) % 1048576 AS hkey
+        |  FROM s),
+        |b AS (SELECT source, n_pass, CAST(SUM(wc) AS BIGINT) AS bin_wc FROM p GROUP BY 1, 2),
+        |c AS (SELECT source, n_pass, bin_wc,
+        |    CAST(COALESCE(SUM(bin_wc) OVER (PARTITION BY source ORDER BY n_pass DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_hi,
+        |    CAST(SUM(bin_wc) OVER (PARTITION BY source) AS BIGINT) AS tot
+        |  FROM b),
+        |g AS (SELECT source, n_pass, bin_wc, cum_hi, (tot * 50) // 100 AS budget FROM c)
+        |SELECT p.doc_id, p.source, p.wc, p.n_pass,
+        |  (g.cum_hi + g.bin_wc <= g.budget
+        |   OR CAST(p.hkey AS HUGEINT) * g.bin_wc
+        |      < CAST(GREATEST(g.budget - g.cum_hi, 0) AS HUGEINT) * 1048576) AS kept
+        |FROM p JOIN g ON p.source = g.source AND p.n_pass = g.n_pass
+        |ORDER BY p.doc_id""".stripMargin,
     // chi computed from UNROUNDED expected, rounded at the surface.
     "q68_mix_drift" ->
       s"""WITH d AS (SELECT doc_id, source, $wcSql AS wc FROM documents),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators beyond dedup: benchmark
@@ -539,6 +540,136 @@ object Curation {
         (col("n_a") + col("n_b") - col("n_shared")).cast("double")))
       .select("source_a", "source_b", "n_a", "n_b", "n_shared", "jaccard")
       .orderBy("source_a", "source_b")
+  }
+
+  /** q73: corpus-boilerplate SPAN REMOVAL — the C4/CCNet span-dedup
+    * rewrite stage (C4, arXiv:1910.10683 §2.2, cuts any three-
+    * sentence span that repeats across the crawl; CCNet drops shared
+    * paragraphs). This corpus has no sentence/line structure
+    * (TESTDATA: single-line token streams), so the unit is the token
+    * k-gram: a k-gram appearing in ≥ minDocs DISTINCT documents is
+    * boilerplate, and every token position it covers is cut from
+    * every document. q64 DETECTS pairwise shared spans (≥ 2 docs,
+    * report-only); q73 is the complementary REWRITE: a corpus-
+    * frequency threshold plus the cleaned text itself — the pii-scrub
+    * shape (q55) driven by corpus statistics instead of regexes.
+    *
+    * Scale shape (q64's slim-gram discipline):
+    *   1. one scan hashes each doc's grams natively (`kgram_hashes`,
+    *      codegen) into a slim (doc_id, pos, g) frame — 8-byte FNV
+    *      hashes ride every shuffle, never gram strings — persisted
+    *      spill-safe because BOTH consumers (the df-aggregation and
+    *      the semi-join probe) need it and their exchanges don't
+    *      canonicalize equal (partial agg sits below one), so
+    *      unpersisted it would re-scan + re-hash the corpus;
+    *   2. boilerplate = grams whose DISTINCT-doc count ≥ minDocs —
+    *      partial agg collapses per-doc repeats map-side, keys are
+    *      content-derived and near-uniform;
+    *   3. a left-semi join keeps covered START positions; one
+    *      groupBy(doc_id) collects them (bounded by doc length) and
+    *      a single array expression expands starts → covered
+    *      position SET per doc — no per-position explode, no window;
+    *   4. the rewrite is a per-row indexed filter of the token array
+    *      against that set (O(len · covered), bounded by doc
+    *      length²) — zero shuffles beyond the one groupBy(doc_id).
+    *
+    * Output carries integers and rewritten strings only (no floats,
+    * no hash bits): ORACLE-EXACT vs a string-gram DuckDB CTE (hash ≡
+    * string blocking pinned corpus-wide by KGramHashParitySpec; q66
+    * precedent for the collision-free gate corpora, verified at both
+    * gate scales).
+    */
+  def boilerplateSpans(spark: SparkSession, dir: String, k: Int = 3,
+      minDocs: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val grams = docs
+      .select(col("doc_id"), posexplode(expr(s"kgram_hashes(text, $k)")).as(Seq("pos", "g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("g")
+    val starts = grams.join(boiler, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("starts"))
+    val covered = array_sort(array_distinct(flatten(
+      transform(col("starts"), s => sequence(s, s + lit(k - 1))))))
+    docs.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"), col("source"), col("toks"), covered.as("cov"))
+      .select(
+        col("doc_id"), col("source"),
+        size(col("toks")).cast("int").as("n_tokens"),
+        size(col("cov")).cast("int").as("n_covered"),
+        concat_ws(" ",
+          filter(col("toks"), (t, i) => !array_contains(col("cov"), i))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q74: TOKEN-BUDGET quality fill — the "data recipe" selection
+    * stage that follows quality gating in a pretraining pipeline:
+    * given a per-source token budget (budgetPct of each source's
+    * tokens), fill it from the BEST quality bins down and resolve
+    * the partially-affordable boundary bin by deterministic hash
+    * sampling at the exact rate that meets the budget in
+    * expectation. Quality = the Gopher rule-pass count (0..7, q71's
+    * integer rules via the shared gopherFlags projection — one
+    * definition, both operators), so ranking needs no floats and no
+    * per-doc ordering.
+    *
+    * Scale shape — a budgeted selection with NO global (or even
+    * per-source) sort over documents:
+    *   1. one zero-shuffle scan computes wc, the 7 rule flags, and
+    *      the q59/q65 bounded multiplicative hash key;
+    *   2. the only aggregation shuffles (source, n_pass) — a frame
+    *      bounded by |sources| × 8, NOT by corpus size; the two
+    *      windows (cumulative better-bin tokens, per-source total)
+    *      run over that tiny frame (the q68/q69 histogram
+    *      discipline);
+    *   3. the 160-row fill plan broadcasts back onto the doc scan:
+    *      bins that fit entirely are kept outright, the boundary
+    *      bin keeps doc iff hkey·bin_wc < remaining·2^20 — the
+    *      q59 keep-rule shape, in decimal(38,0) so the product can
+    *      never overflow long at 100 TB bin sizes (a 1.5e13-token
+    *      bin × 2^20 hkey exceeds 2^63; the r08 hkey lesson).
+    * Every doc appears in the output with its keep decision —
+    * integers and booleans only, ORACLE-EXACT.
+    */
+  def tokenBudget(spark: SparkSession, dir: String, budgetPct: Int = 50,
+      minWords: Long = 30L, maxWords: Long = 100000L,
+      meanLenMin10: Long = 42L, meanLenMax10: Long = 100L,
+      stopwords: Seq[String] = Seq("the", "a"),
+      minStopwords: Long = 2L): DataFrame = {
+    require(budgetPct >= 0 && budgetPct <= 100, s"budgetPct in [0,100]: $budgetPct")
+    val flags = Seq("r_words", "r_meanlen", "r_symbol", "r_alpha",
+      "r_stop", "r_bullet", "r_ellipsis")
+    val scored = TextAnalysis.gopherFlags(
+        Tables.documents(spark, dir).select("doc_id", "source", "text"),
+        Seq("doc_id", "source"),
+        minWords, maxWords, meanLenMin10, meanLenMax10, stopwords, minStopwords)
+      .select(col("doc_id"), col("source"), col("n_words").as("wc"),
+        flags.map(c => col(c).cast("int")).reduce(_ + _).as("n_pass"),
+        expr("((doc_id % 1048576) * 2654435761) % 1048576").as("hkey"))
+    val wSrc = Window.partitionBy("source")
+    val wCum = wSrc.orderBy(col("n_pass").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fill = scored.groupBy("source", "n_pass")
+      .agg(sum("wc").as("bin_wc"))
+      .withColumn("cum_hi", coalesce(sum("bin_wc").over(wCum), lit(0L)))
+      .withColumn("tot", sum("bin_wc").over(wSrc))
+      .withColumn("budget", expr(s"(tot * $budgetPct) div 100"))
+      .withColumn("keep_all", col("cum_hi") + col("bin_wc") <= col("budget"))
+      .withColumn("remaining", greatest(col("budget") - col("cum_hi"), lit(0L)))
+      .select("source", "n_pass", "bin_wc", "keep_all", "remaining")
+    scored.join(broadcast(fill), Seq("source", "n_pass"))
+      .withColumn("kept", col("keep_all") ||
+        col("hkey").cast("decimal(38,0)") * col("bin_wc").cast("decimal(38,0)") <
+          col("remaining").cast("decimal(38,0)") * lit(1048576L).cast("decimal(38,0)"))
+      .select("doc_id", "source", "wc", "n_pass", "kept")
+      .orderBy("doc_id")
   }
 
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {

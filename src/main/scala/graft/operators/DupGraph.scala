@@ -156,4 +156,47 @@ object DupGraph {
         col("cluster_size"), (col("id") === col("rep")).as("is_keep"))
       .orderBy("cluster_rep", "doc_id")
   }
+
+  /** q75: QUALITY-AWARE canonical selection — the decision q53's
+    * min-label `is_keep` only approximates: a production dedup keeps
+    * the BEST member of each duplicate cluster, not the lowest id
+    * (near-dup copies differ — truncation, boilerplate, OCR noise —
+    * and dropping the clean copy for the mangled one loses data
+    * quality for free). Canonical = the member maximizing
+    * (gopher rule-pass count, word count, lowest doc_id) — an
+    * all-integer, total, deterministic order, so the choice is
+    * unique and ORACLE-EXACT.
+    *
+    * Scale shape: the same pair→CC spine as q53 (slim (id, rep)
+    * state, pointer jumping); quality flags come from the shared
+    * one-scan `gopherFlags` projection — only (doc_id, wc, n_pass)
+    * ever shuffles, text never moves. The canonical pick is a
+    * groupBy(rep) max over a lexicographic struct (no per-cluster
+    * window sort — partial aggregation collapses members map-side,
+    * so a pathological mega-cluster costs one combiner row per
+    * partition, not a single-task sort).
+    */
+  def clusterReps(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupNgram(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = connectedComponents(pairs)
+    val flags = Seq("r_words", "r_meanlen", "r_symbol", "r_alpha",
+      "r_stop", "r_bullet", "r_ellipsis")
+    val scored = TextAnalysis.gopherFlags(
+        graft.Tables.documents(spark, dir).select("doc_id", "text"), Seq("doc_id"),
+        30L, 100000L, 42L, 100L, Seq("the", "a"), 2L)
+      .select(col("doc_id"), col("n_words").as("wc"),
+        flags.map(c => col(c).cast("int")).reduce(_ + _).as("n_pass"))
+    val members = comp.join(scored, comp("id") === scored("doc_id"))
+      .select(col("id").as("doc_id"), col("rep"), col("n_pass"), col("wc"))
+    val best = members.groupBy("rep").agg(
+      count(lit(1)).as("cluster_size"),
+      max(struct(col("n_pass").as("p"), col("wc").as("w"),
+        (-col("doc_id")).as("nid"))).as("b"))
+    members.join(best, "rep")
+      .select(col("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"),
+        col("n_pass"), col("wc"),
+        (col("doc_id") === -col("b.nid")).as("is_canonical"))
+      .orderBy("cluster_rep", "doc_id")
+  }
 }

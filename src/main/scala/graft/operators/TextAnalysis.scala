@@ -406,14 +406,30 @@ object TextAnalysis {
                   minWords: Long = 30L, maxWords: Long = 100000L,
                   meanLenMin10: Long = 42L, meanLenMax10: Long = 100L,
                   stopwords: Seq[String] = Seq("the", "a"),
-                  minStopwords: Long = 2L): DataFrame = {
+                  minStopwords: Long = 2L): DataFrame =
+    gopherFlags(Tables.documents(spark, dir).select("doc_id", "text"), Seq("doc_id"),
+      minWords, maxWords, meanLenMin10, meanLenMax10, stopwords, minStopwords)
+      .orderBy("doc_id")
+
+  /** The q71 counter + flag projection over any frame carrying a
+    * `text` column, preserving `keep` pass-through columns — shared
+    * by q71 (keep = doc_id) and q74's budget fill (keep = doc_id,
+    * source) so the rule arithmetic exists exactly once and both
+    * stay a single zero-shuffle scan.
+    */
+  private[graft] def gopherFlags(in: DataFrame, keep: Seq[String],
+                  minWords: Long, maxWords: Long,
+                  meanLenMin10: Long, meanLenMax10: Long,
+                  stopwords: Seq[String],
+                  minStopwords: Long): DataFrame = {
     val stopArr = s"array(${stopwords.map(w => s"'$w'").mkString(", ")})"
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
+    val k = keep.map(col)
+    in
+      .select(k ++ Seq(
         split(col("text"), " ").as("ws"),
         split(col("text"), "\n").as("ls"),
-        col("text"))
-      .select(col("doc_id"),
+        col("text")): _*)
+      .select(k ++ Seq(
         size(col("ws")).cast("long").as("n_words"),
         expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))").as("n_chars"),
         ((length(col("text")) - length(expr("replace(text, '#', '')"))) +
@@ -424,7 +440,7 @@ object TextAnalysis {
         size(col("ls")).cast("long").as("n_lines"),
         expr("size(filter(ls, l -> substring(l, 1, 2) = '- ' OR substring(l, 1, 2) = '* '))")
           .cast("long").as("n_bullet"),
-        expr("size(filter(ls, l -> right(l, 3) = '...'))").cast("long").as("n_ellipsis"))
+        expr("size(filter(ls, l -> right(l, 3) = '...'))").cast("long").as("n_ellipsis")): _*)
       .withColumn("r_words", col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("r_meanlen",
         col("n_chars") * 10L >= col("n_words") * meanLenMin10 &&
@@ -437,6 +453,5 @@ object TextAnalysis {
       .withColumn("pass_gopher",
         col("r_words") && col("r_meanlen") && col("r_symbol") && col("r_alpha") &&
           col("r_stop") && col("r_bullet") && col("r_ellipsis"))
-      .orderBy("doc_id")
   }
 }

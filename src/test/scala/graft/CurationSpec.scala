@@ -109,6 +109,88 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(4) > 0))
   }
 
+  test("boilerplateSpans cuts hand-checked spans, merges overlaps, passes clean docs through") {
+    val dir = "/fake/curation_boiler"
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (0L, "srcA", "a b c d e"),       // "a b c" at pos 0 -> covers {0,1,2}, keeps "d e"
+      (1L, "srcA", "x a b c y"),       // "a b c" at pos 1 -> covers {1,2,3}, keeps "x y"
+      (2L, "srcB", "m n"),             // < k tokens: no grams, untouched
+      (3L, "srcB", "a b c a b c z"),   // starts {0,3} -> covered {0..5} merged, keeps "z"
+      (4L, "srcB", "q r s t")          // grams all unique: untouched
+    ).toDF("doc_id", "source", "text"))
+    val r = operators.Curation.boilerplateSpans(spark, dir, k = 3, minDocs = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 5, "one row per document, including gram-less ones")
+    assert(r(0L).getInt(2) == 5 && r(0L).getInt(3) == 3 && r(0L).getString(4) == "d e")
+    assert(r(1L).getInt(3) == 3 && r(1L).getString(4) == "x y")
+    assert(r(2L).getInt(3) == 0 && r(2L).getString(4) == "m n")
+    assert(r(3L).getInt(2) == 7 && r(3L).getInt(3) == 6 && r(3L).getString(4) == "z",
+      "overlapping spans merge: covered positions are a SET, not a sum")
+    assert(r(4L).getInt(3) == 0 && r(4L).getString(4) == "q r s t")
+  }
+
+  test("boilerplateSpans laws on the real corpus") {
+    val rows = operators.Curation.boilerplateSpans(spark, TestSpark.dir).collect()
+    assert(rows.length == 500, "one row per document")
+    assert(rows.forall(x => x.getInt(3) >= 0 && x.getInt(3) <= x.getInt(2)),
+      "coverage is bounded by document length")
+    // the rewrite is positional: kept tokens == n_tokens - n_covered
+    assert(rows.forall { x =>
+      val kept = if (x.getString(4).isEmpty) 0 else x.getString(4).split(" ").length
+      kept == x.getInt(2) - x.getInt(3)
+    })
+    // non-vacuous at gate scale: boilerplate exists AND clean docs exist
+    assert(rows.exists(_.getInt(3) > 0) && rows.exists(_.getInt(3) == 0))
+  }
+
+  test("tokenBudget fills best bins first, samples the boundary, stops at budget") {
+    val dir = "/fake/curation_budget"
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (0L, "s", "aaaaa bbbbb ccccc ddddd"),  // wc 4, all rules pass -> bin 7
+      (1L, "s", "aaaaa bbbbb ccccc"),        // wc 3, bin 7
+      (2L, "s", "aaaaa bbbbb"),              // wc 2 < minWords -> bin 6
+      (3L, "s", "aaaaa"),                    // wc 1 -> bin 6
+      (4L, "u", "aaaaa bbbbb ccccc ddddd"),  // u: one 8-token bin-7
+      (5L, "u", "eeeee fffff ggggg hhhhh"),
+      (6L, "v", "aaaaa bbbbb ccccc"),        // v: bin 7 fits budget exactly
+      (7L, "v", "aaaaaaaaaaaa bbbbbbbbbbbb cccccccccccc") // mean len 12 > 10 -> bin 6
+    ).toDF("doc_id", "source", "text"))
+    val r = operators.Curation.tokenBudget(spark, dir, budgetPct = 50,
+        minWords = 3L, minStopwords = 0L)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 8, "every doc appears with its decision")
+    assert(r(0L).getInt(3) == 7 && r(2L).getInt(3) == 6 && r(7L).getInt(3) == 6, "rule-pass bins")
+    // source s (tot 10, budget 5): bin 7 (7 tokens) is the boundary ->
+    // hash sampling at rate 5/7 keeps both docs (hkeys 0, 489905);
+    // bin 6 starts past the budget -> dropped outright
+    assert(r(0L).getBoolean(4) && r(1L).getBoolean(4))
+    assert(!r(2L).getBoolean(4) && !r(3L).getBoolean(4))
+    // source u (tot 8, budget 4): single boundary bin at rate 1/2 ->
+    // exactly the doc whose hkey clears the rule (911044 no, 352373 yes)
+    assert(!r(4L).getBoolean(4) && r(5L).getBoolean(4))
+    // source v (tot 6, budget 3): best bin fits exactly (keep_all),
+    // the next bin's remaining budget is 0
+    assert(r(6L).getBoolean(4) && !r(7L).getBoolean(4))
+  }
+
+  test("tokenBudget laws on the real corpus") {
+    val rows = operators.Curation.tokenBudget(spark, TestSpark.dir).collect()
+    assert(rows.length == 500, "one decision per document")
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "a 50% budget must split the corpus")
+    // the fill is top-down: every bin strictly better than a bin with
+    // a kept doc is keep_all, so above the minimum kept n_pass of a
+    // source there are no drops
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val keptPass = rs.filter(_.getBoolean(4)).map(_.getInt(3))
+      if (keptPass.nonEmpty) {
+        val m = keptPass.min
+        assert(rs.filter(_.getInt(3) > m).forall(_.getBoolean(4)),
+          s"source $src drops a doc above its boundary bin")
+      }
+    }
+  }
+
   test("piiScrub counts and redacts exactly the planted PII") {
     val dir = "/fake/curation_pii"
     Tables.registerOverride(spark, dir, "documents", Seq(

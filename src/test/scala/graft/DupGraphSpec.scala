@@ -64,4 +64,34 @@ class DupGraphSpec extends AnyFunSuite {
       assert(rows.forall(_.getLong(2) == ids.length), "cluster_size must match member count")
     }
   }
+
+  test("clusterReps picks the quality-best member, planted and on the corpus") {
+    // two verbatim long copies + one one-word-shorter near-dup: all
+    // tie on n_pass (mean word length fails for every member), so the
+    // canonical must be the LONGER copy with the LOWER doc_id — never
+    // the truncated one and never the min-id member by default
+    val base = (Seq.fill(16)("the") ++ Seq.fill(16)("a")).mkString(" ")
+    val dir = "/fake/dupgraph_reps"
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (5L, base + " zz"),                 // 33 words
+      (9L, base + " zz"),                 // verbatim twin, higher id
+      (2L, base)                          // 32-word near-dup (J = 0.8), min id
+    ).toDF("doc_id", "text"))
+    val r = operators.DupGraph.clusterReps(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(2L, 5L, 9L), s"one cluster of three: ${r.keySet}")
+    assert(r.values.forall(_.getLong(1) == 2L), "cluster identity stays the min label")
+    assert(r(5L).getBoolean(5), "canonical = longest doc, lowest id among ties")
+    assert(!r(9L).getBoolean(5) && !r(2L).getBoolean(5))
+    val rows = operators.DupGraph.clusterReps(spark, TestSpark.dir).collect()
+    assert(rows.nonEmpty)
+    val ord = Ordering[(Int, Long, Long)]
+    rows.groupBy(_.getLong(1)).foreach { case (rep, rs) =>
+      assert(rs.count(_.getBoolean(5)) == 1, s"exactly one canonical in cluster $rep")
+      val canon = rs.find(_.getBoolean(5)).get
+      val key = (r: org.apache.spark.sql.Row) => (r.getInt(3), r.getLong(4), -r.getLong(0))
+      assert(rs.forall(x => ord.lteq(key(x), key(canon))),
+        s"canonical must maximize (n_pass, wc, -doc_id) in cluster $rep")
+    }
+  }
 }
