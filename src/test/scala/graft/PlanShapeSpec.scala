@@ -103,4 +103,34 @@ class PlanShapeSpec extends AnyFunSuite {
     // survives into either exchange
     assert(!p.contains("kgrams("), "string grams must not appear in the default q64 plan")
   }
+
+  test("q73's gram shuffles carry hashes, and the rewrite has no window") {
+    val p = plan(operators.Curation.boilerplateSpans(spark, dir))
+    assert(p.contains("kgram_hashes"), s"the hashed expression must feed the plan:\n$p")
+    assert(!p.contains("kgrams("), "string grams must not appear in the q73 plan")
+    // span expansion + token filter are per-row array expressions:
+    // the whole rewrite runs on aggs and joins, never a window sort
+    assert(!p.contains("Window"), s"q73 must not window over positions:\n$p")
+  }
+
+  test("q74's fill plan broadcasts back; the only windows sit on the histogram") {
+    val p = plan(operators.Curation.tokenBudget(spark, dir))
+    // the (source, n_pass) fill frame must come back as a broadcast,
+    // never a shuffled join of the doc-level scan
+    assert(count(p, "BroadcastExchange") >= 1, s"fill frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no doc-sized join shuffle in q74:\n$p")
+    // doc-level data crosses exactly the histogram agg boundary: the
+    // groupBy(source, n_pass) partial agg plus the window re-exchange
+    // on source (both over the ≤ |sources|×8-row frame) + output sort
+    val n = count(p, "Exchange hashpartitioning") + count(p, "Exchange rangepartitioning")
+    assert(n == 3, s"histogram agg, window repartition, orderBy — got $n in:\n$p")
+  }
+
+  test("q75's canonical pick is a struct max, not a per-cluster window sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = operators.DupGraph.clusterReps(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.isEmpty,
+      "the canonical member must come from groupBy(rep).max(struct), not first_value over a window")
+  }
 }
