@@ -90,6 +90,7 @@ object SparkEntry {
     "q68_mix_drift"         -> ((s, d) => Curation.mixDrift(s, d)),
     "q72_source_overlap"    -> ((s, d) => Curation.sourceOverlap(s, d)),
     "q73_boilerplate_spans" -> ((s, d) => Curation.boilerplateSpans(s, d)),
+    "q76_decontam_fuzzy"    -> ((s, d) => Curation.decontamFuzzy(s, d)),
     "q74_token_budget"      -> ((s, d) => Curation.tokenBudget(s, d)),
     "q75_cluster_reps"      -> ((s, d) => DupGraph.clusterReps(s, d)),
     "q69_length_outliers"   -> ((s, d) => Curation.lengthOutliers(s, d)),
@@ -353,6 +354,37 @@ object SparkEntry {
          |SELECT doc_id, rep AS cluster_rep, n AS cluster_size, n_pass, wc,
          |  (doc_id = canon) AS is_canonical
          |FROM w ORDER BY cluster_rep, doc_id""".stripMargin,
+    // q76: brute-force corpus × bench shingle-Jaccard join over the
+    // same planted derivation (every 2nd bench doc re-emitted into
+    // the corpus side at +1000000; 1000000 % 97 = 27 ≠ 0 so plants
+    // stay corpus-side). Banding recovery is total on the gate
+    // corpora (q27b argument: plants share identical signatures;
+    // natural cross-split pairs sit ≥ 0.95), so brute force is a
+    // valid exact oracle. Ties for best_bench_id resolve by MIN
+    // bench_id at the per-doc max jac — same rule as the Spark
+    // struct max.
+    "q76_decontam_fuzzy" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 194 = 0),
+         |t AS (SELECT doc_id, $shinglesSql AS sh FROM raw
+         |      WHERE len(string_split(text, ' ')) >= 2),
+         |bench AS (SELECT * FROM t WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT * FROM t WHERE doc_id % 97 <> 0),
+         |p0 AS (SELECT c.doc_id, b.doc_id AS bench_id,
+         |    round(CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(list_concat(c.sh, b.sh))), 6) AS jac
+         |  FROM corpus c CROSS JOIN bench b),
+         |p AS (SELECT * FROM p0 WHERE jac >= 0.5),
+         |a AS (SELECT doc_id, COUNT(*) AS n_bench_matches, MAX(jac) AS max_jac
+         |      FROM p GROUP BY doc_id),
+         |best AS (SELECT p.doc_id, MIN(p.bench_id) AS best_bench_id
+         |         FROM p JOIN a ON p.doc_id = a.doc_id AND p.jac = a.max_jac
+         |         GROUP BY p.doc_id)
+         |SELECT a.doc_id, a.n_bench_matches, a.max_jac, best.best_bench_id
+         |FROM a JOIN best ON a.doc_id = best.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
     "q54_decontam" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),

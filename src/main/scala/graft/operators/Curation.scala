@@ -148,6 +148,85 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q76: FUZZY decontamination — near-duplicate eval-set
+    * contamination, the check exact n-gram overlap (q54) misses:
+    * a benchmark item lightly paraphrased / reformatted in the crawl
+    * shares few exact 3-grams but high shingle Jaccard (the screen
+    * run alongside the exact one in practice; the MinHash machinery
+    * follows Lee et al., arXiv:2107.06499). Benchmark slice derived as in
+    * q54 (doc_id ≡ 0 mod benchMod); every 2nd benchmark doc is also
+    * planted verbatim into the CORPUS side (one-scan explode, the
+    * q44/q27b derivation — idOffset ≢ 0 mod benchMod keeps plants out
+    * of the bench slice), so the gate has certain positives at every
+    * sf and the brute-force oracle stays non-vacuous.
+    *
+    * Scale shape — the ASYMMETRY is the design: eval suites are tiny
+    * and broadcastable by construction, the corpus is 100 TB, so
+    * NOTHING corpus-sized may shuffle:
+    *   1. both sides shingle + MinHash (32 perms, 8 bands × 4 rows —
+    *      q27's tuning) in the scan stage;
+    *   2. the bench side's band rows BROADCAST; corpus band rows
+    *      probe them in a map-side hash join — no corpus self-pairs
+    *      (contrast q27's groupByKey: contamination is bipartite, so
+    *      banding needs no shuffle at all);
+    *   3. candidate (doc, bench) id pairs distinct (slim shuffle of
+    *      candidate ids only), broadcast BACK onto the corpus shingle
+    *      scan — shingle arrays never shuffle; the bench arrays join
+    *      in as a second broadcast;
+    *   4. exact-Jaccard verify kills LSH false positives; per-doc
+    *      rollup moves only (doc_id, bench_id, jac) survivors.
+    * best_bench_id ties resolve by min bench_id via a struct max —
+    * deterministic, no window. Recovery argument for the oracle =
+    * q27b's: planted copies have identical signatures (certain), and
+    * the corpus's natural cross-split pairs sit at Jaccard ≥ 0.95
+    * (measured: no pair in [0.5, 0.95) at any gate sf) where the
+    * a-priori banding miss is ≤ 1.3e-6 per pair — and the driver
+    * verifies the realized outcome bit-exactly at every sf anyway.
+    * Integers + one round-6 long/long division ⇒ ORACLE-EXACT vs the
+    * brute-force corpus × bench Jaccard join.
+    */
+  def decontamFuzzy(spark: SparkSession, dir: String, benchMod: Int = 97,
+                    threshold: Double = 0.5, every: Int = 2,
+                    idOffset: Long = 1000000L, k: Int = 32,
+                    bands: Int = 8): DataFrame = {
+    require(bands > 0 && k % bands == 0, s"k ($k) must be a positive multiple of bands ($bands)")
+    require(idOffset % benchMod != 0,
+      s"idOffset ($idOffset) must not be ≡ 0 mod benchMod ($benchMod): plants must land in the corpus side")
+    graft.functions.GraftFunctions.register(spark)
+    val rows = k / bands
+    val planted = Tables.documents(spark, dir)
+      .select(explode(when(col("doc_id") % (benchMod.toLong * every) === 0,
+          array(col("doc_id"), col("doc_id") + idOffset))
+        .otherwise(array(col("doc_id")))).as("doc_id"),
+        col("text"))
+    val sh = Dedup.docShinglesOn(spark, planted)
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+    val corpus = sh.filter(col("doc_id") % benchMod =!= 0)
+    def banded(df: DataFrame): DataFrame = df
+      .withColumn("sig", expr(s"minhash(sh, $k)"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+    val cands = banded(corpus)
+      .join(broadcast(banded(bench).withColumnRenamed("doc_id", "bench_id")),
+        Seq("band", "bucket"))
+      .select("doc_id", "bench_id").distinct()
+    corpus.join(broadcast(cands), Seq("doc_id"))
+      .join(broadcast(bench.select(col("doc_id").as("bench_id"), col("sh").as("sh_b"))),
+        Seq("bench_id"))
+      .withColumn("c", expr("intersect_count_sorted(sh, sh_b)"))
+      .withColumn("jac", round(col("c").cast("double") /
+        (size(col("sh")) + size(col("sh_b")) - col("c")), 6))
+      .filter(col("jac") >= threshold)
+      .select("doc_id", "bench_id", "jac")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(struct(col("jac"), (-col("bench_id")).as("nb"))).as("m"))
+      .select(col("doc_id"), col("n_bench_matches"),
+        col("m.jac").as("max_jac"), (-col("m.nb")).as("best_bench_id"))
+      .orderBy("doc_id")
+  }
+
   private val emailPat = "[a-z0-9._]+@[a-z0-9.]+"
   private val phonePat = "\\+[0-9]{5,}"
   private val urlPat   = "https://[a-z0-9./]+"

@@ -49,6 +49,44 @@ class CurationSpec extends AnyFunSuite {
     assert(sloppy == exact, "false positives must die in the verify join at any fpp")
   }
 
+  test("decontamFuzzy recovers verbatim hits and breaks best-bench ties by min id") {
+    val dir = "/fake/curation_fuzzy"
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (0L, "alpha beta gamma delta epsilon"),  // bench; 0 % 194 == 0 -> planted at 1000000
+      (97L, "alpha beta gamma delta epsilon"), // bench, same text -> tie for best_bench_id
+      (1L, "alpha beta gamma delta epsilon"),  // corpus verbatim hit on BOTH bench docs
+      (2L, "one two three four five"),         // clean
+      (3L, "hi")                               // < 2 tokens: no shingles, absent
+    ).toDF("doc_id", "text"))
+    val r = operators.Curation.decontamFuzzy(spark, dir)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 1000000L), "bench docs, clean docs and shingle-less docs are absent")
+    // identical signatures guarantee banding recovery; both bench
+    // docs match at jac 1.0 and the tie resolves to MIN bench_id
+    for (id <- Seq(1L, 1000000L)) {
+      assert(r(id).getLong(1) == 2, "both bench copies must match")
+      assert(r(id).getDouble(2) == 1.0)
+      assert(r(id).getLong(3) == 0L, "jac tie must resolve to the smaller bench_id")
+    }
+  }
+
+  test("decontamFuzzy laws on the real corpus") {
+    val rows = operators.Curation.decontamFuzzy(spark, TestSpark.dir).collect()
+    assert(rows.forall(_.getLong(0) % 97 != 0), "no bench doc may appear in the output")
+    assert(rows.forall(x => x.getLong(1) >= 1 && x.getDouble(2) >= 0.5))
+    // every planted bench copy (certain recovery: identical
+    // signatures) surfaces with a perfect score
+    val plantable = Tables.documents(spark, TestSpark.dir)
+      .filter(col("doc_id") % 194 === 0 && size(split(col("text"), " ")) >= 2)
+      .select("doc_id").collect().map(_.getLong(0) + 1000000L).toSet
+    assert(plantable.nonEmpty)
+    val byId = rows.map(x => x.getLong(0) -> x).toMap
+    for (id <- plantable) {
+      assert(byId.contains(id), s"planted copy $id must be recovered")
+      assert(byId(id).getDouble(2) == 1.0)
+    }
+  }
+
   test("importanceSelect scores a hand-computed corpus exactly") {
     val dir = "/fake/curation_dsir"
     // targetMod=7 -> doc 0 is the target set; docs 1-3 are raw
