@@ -54,6 +54,95 @@ object DecontamStream {
     BenchIndex(bench, Curation.bloomBytesFor(bench, fpp))
   }
 
+  /** Frozen benchmark side for the FUZZY gate (the q76 screen at
+    * ingest time): band buckets → bench ids, plus each bench doc's
+    * sorted shingle set for the exact verify. Driver-collected —
+    * eval suites are tiny by construction (the same asymmetry the
+    * batch q76 leans on), and a broadcast Scala map is the cheapest
+    * spelling of "probe a frozen tiny side from a stream".
+    */
+  case class FuzzyBenchIndex(buckets: Map[(Int, String), Array[Long]],
+                             shingles: Map[Long, Array[String]],
+                             k: Int, bands: Int)
+
+  case class FuzzyOut(doc_id: Long, n_bench_matches: Long,
+                      max_jac: Option[Double], best_bench_id: Option[Long],
+                      contaminated: Boolean)
+
+  private def bandCols(k: Int, bands: Int) = {
+    val rows = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))
+  }
+
+  def loadBenchFuzzy(spark: SparkSession, dir: String, benchMod: Int = 97,
+                     k: Int = 32, bands: Int = 8): FuzzyBenchIndex = {
+    require(bands > 0 && k % bands == 0, s"k ($k) must be a positive multiple of bands ($bands)")
+    GraftFunctions.register(spark)
+    val bench = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % benchMod === 0 && size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), expr("shingles(text)").as("sh"))
+      .withColumn("sig", expr(s"minhash(sh, $k)"))
+      .select(col("doc_id"), col("sh"), bandCols(k, bands).as("buckets"))
+      .collect()
+    val buckets = bench.flatMap { r =>
+      r.getSeq[String](2).zipWithIndex.map { case (b, i) => (i, b) -> r.getLong(0) }
+    }.groupBy(_._1).map { case (kk, vs) => kk -> vs.map(_._2).sorted }
+    val shs = bench.map(r => r.getLong(0) -> r.getSeq[String](1).toArray).toMap
+    FuzzyBenchIndex(buckets, shs, k, bands)
+  }
+
+  /** q76 at ingest time — batch or stream, one code path, and unlike
+    * the exact gate it needs NO state at all: shingling, MinHash and
+    * banding run in the stateless (codegen) projection, and the
+    * candidate probe + exact-Jaccard verify are a pure per-row
+    * function of the broadcast index — a contaminated doc is flagged
+    * in the micro-batch it arrives in, clean docs pass through with
+    * zero matches. Verify math is bit-identical to the batch q76
+    * (sorted-merge intersect, one long/long IEEE division, HALF_UP
+    * round at 6dp; ties → min bench_id), so stream ≡ batch is an
+    * equality, not an approximation (spec-pinned).
+    */
+  def gateFuzzy(idx: FuzzyBenchIndex, docs: DataFrame,
+                threshold: Double = 0.5): Dataset[FuzzyOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val empty = array().cast("array<string>")
+    val projected = docs
+      .select(col("doc_id"),
+        when(size(split(col("text"), " ")) >= 2, expr("shingles(text)"))
+          .otherwise(empty).as("sh"))
+      .withColumn("sig", when(size(col("sh")) > 0, expr(s"minhash(sh, ${idx.k})")))
+      .select(col("doc_id"), col("sh"),
+        when(col("sig").isNotNull, bandCols(idx.k, idx.bands)).otherwise(empty).as("buckets"))
+      .as[(Long, Array[String], Array[String])]
+    val bIdx = spark.sparkContext.broadcast(idx)
+    projected.map { case (docId, sh, buckets) =>
+      val ix = bIdx.value
+      val cands = buckets.iterator.zipWithIndex
+        .flatMap { case (b, i) => ix.buckets.getOrElse((i, b), Array.empty[Long]) }
+        .toArray.distinct.sorted
+      val hits = cands.flatMap { bid =>
+        val bsh = ix.shingles(bid)
+        var i = 0; var j = 0; var c = 0
+        while (i < sh.length && j < bsh.length) {
+          val cmp = sh(i).compareTo(bsh(j))
+          if (cmp == 0) { c += 1; i += 1; j += 1 } else if (cmp < 0) i += 1 else j += 1
+        }
+        val jac = BigDecimal(c.toDouble / (sh.length + bsh.length - c))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (jac >= threshold) Some((bid, jac)) else None
+      }
+      if (hits.isEmpty) FuzzyOut(docId, 0L, None, None, contaminated = false)
+      else {
+        val maxJ = hits.map(_._2).max
+        FuzzyOut(docId, hits.length.toLong, Some(maxJ),
+          Some(hits.filter(_._2 == maxJ).map(_._1).min), contaminated = true)
+      }
+    }
+  }
+
   /** Gate a (doc_id, text) frame — batch or stream, one code path. */
   def gate(idx: BenchIndex, docs: DataFrame,
            threshold: Double = 0.3): Dataset[DecontamOut] = {

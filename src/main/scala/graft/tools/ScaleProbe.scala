@@ -81,6 +81,18 @@ object ScaleProbe {
       // unpartitioned-window work
       time("q68 mix drift  ", d)(Curation.mixDrift(spark, _))
       time("q69 len outlier", d)(Curation.lengthOutliers(spark, _))
+      // r09 families: q73's df agg moves one slim hashed-gram row
+      // per occurrence with map-side combine; q74 is a map pass plus
+      // a histogram-sized fill plan; q75 = q53's CC spine + a
+      // map-side struct max; q76's corpus side never shuffles (the
+      // bench side broadcasts end-to-end); q70/q72 ride one
+      // gram-keyed shuffle each
+      time("q70 dsir select", d)(Curation.importanceSelect(spark, _))
+      time("q72 src overlap", d)(Curation.sourceOverlap(spark, _))
+      time("q73 boilerplate", d)(Curation.boilerplateSpans(spark, _))
+      time("q74 token budgt", d)(Curation.tokenBudget(spark, _))
+      time("q75 cluster rep", d)(graft.operators.DupGraph.clusterReps(spark, _))
+      time("q76 fuzzy decon", d)(Curation.decontamFuzzy(spark, _))
     }
     // Sign-LSH bucket width must TRACK corpus density: with fixed
     // 8-bit bands, random-data collisions per bucket grow linearly
