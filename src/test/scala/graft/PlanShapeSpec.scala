@@ -126,6 +126,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 3, s"histogram agg, window repartition, orderBy — got $n in:\n$p")
   }
 
+  test("q76 keeps the bench side broadcast end-to-end: no sort-merge join anywhere") {
+    val p = plan(operators.Curation.decontamFuzzy(spark, dir))
+    // bench band rows, candidate ids, and bench shingle arrays each
+    // come in as a broadcast — the corpus scan joins map-side three
+    // times and its shingle arrays never shuffle
+    assert(count(p, "BroadcastExchange") >= 3, s"three broadcast joins expected:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-sized join shuffle in q76:\n$p")
+  }
+
   test("q75's canonical pick is a struct max, not a per-cluster window sort") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = operators.DupGraph.clusterReps(spark, dir)
