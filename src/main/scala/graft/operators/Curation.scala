@@ -725,6 +725,12 @@ object Curation {
     require(budgetPct >= 0 && budgetPct <= 100, s"budgetPct in [0,100]: $budgetPct")
     val flags = Seq("r_words", "r_meanlen", "r_symbol", "r_alpha",
       "r_stop", "r_bullet", "r_ellipsis")
+    // BOTH consumers (the fill histogram and the final keep join)
+    // need the scored frame, and the rule pass is the expensive part
+    // (regex flags over text) — persist the SLIM projection (five
+    // integers per doc, text already dropped) so the corpus text is
+    // scanned and scored exactly once (q73's persist-for-two-readers
+    // discipline; measured 1.46s → ~0.6s at sf0.1)
     val scored = TextAnalysis.gopherFlags(
         Tables.documents(spark, dir).select("doc_id", "source", "text"),
         Seq("doc_id", "source"),
@@ -732,6 +738,7 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_words").as("wc"),
         flags.map(c => col(c).cast("int")).reduce(_ + _).as("n_pass"),
         expr("((doc_id % 1048576) * 2654435761) % 1048576").as("hkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wSrc = Window.partitionBy("source")
     val wCum = wSrc.orderBy(col("n_pass").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
