@@ -91,6 +91,7 @@ object SparkEntry {
     "q72_source_overlap"    -> ((s, d) => Curation.sourceOverlap(s, d)),
     "q73_boilerplate_spans" -> ((s, d) => Curation.boilerplateSpans(s, d)),
     "q76_decontam_fuzzy"    -> ((s, d) => Curation.decontamFuzzy(s, d)),
+    "q77_curation_funnel"   -> ((s, d) => Curation.curationFunnel(s, d)),
     "q74_token_budget"      -> ((s, d) => Curation.tokenBudget(s, d)),
     "q75_cluster_reps"      -> ((s, d) => DupGraph.clusterReps(s, d)),
     "q69_length_outliers"   -> ((s, d) => Curation.lengthOutliers(s, d)),
@@ -354,6 +355,98 @@ object SparkEntry {
          |SELECT doc_id, rep AS cluster_rep, n AS cluster_size, n_pass, wc,
          |  (doc_id = canon) AS is_canonical
          |FROM w ORDER BY cluster_rep, doc_id""".stripMargin,
+    // q77: the funnel composes q74's scoring+budget CTEs, q25's
+    // min-id-per-content-hash rule, q75's recursive-CTE clusters +
+    // quality-aware canonical (reusing the SAME fp CTE for n_pass —
+    // one rule definition in the oracle too), and q54's exact
+    // contamination, joined per doc. Verdict = first failed gate in
+    // the fixed order; all parts individually oracle-exact.
+    "q77_curation_funnel" ->
+      s"""WITH RECURSIVE ft AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws,
+         |         string_split(text, chr(10)) AS ls FROM documents),
+         |fs AS (SELECT doc_id, source,
+         |    CAST(len(ws) AS BIGINT) AS wc,
+         |    CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS n_chars,
+         |    CAST(len(text) - len(replace(text, '#', ''))
+         |         + (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(['the', 'a'], w -> list_contains(ws, w))) AS BIGINT) AS n_stop,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls, l -> substring(l, 1, 2) = '- '
+         |         OR substring(l, 1, 2) = '* ')) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(ls, l -> right(l, 3) = '...')) AS BIGINT) AS n_ellipsis
+         |  FROM ft),
+         |fp AS (SELECT doc_id, source, wc,
+         |    (CAST(wc BETWEEN 30 AND 100000 AS INT)
+         |     + CAST(n_chars * 10 >= wc * 42 AND n_chars * 10 <= wc * 100 AS INT)
+         |     + CAST(n_sym * 10 <= wc AS INT)
+         |     + CAST(n_alpha * 5 >= wc * 4 AS INT)
+         |     + CAST(n_stop >= 2 AS INT)
+         |     + CAST(n_bullet * 10 <= n_lines AS INT)
+         |     + CAST(n_ellipsis * 10 <= n_lines * 3 AS INT)) AS n_pass,
+         |    ((doc_id % 1048576) * 2654435761) % 1048576 AS hkey
+         |  FROM fs),
+         |fb AS (SELECT source, n_pass, CAST(SUM(wc) AS BIGINT) AS bin_wc FROM fp GROUP BY 1, 2),
+         |fc AS (SELECT source, n_pass, bin_wc,
+         |    CAST(COALESCE(SUM(bin_wc) OVER (PARTITION BY source ORDER BY n_pass DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_hi,
+         |    CAST(SUM(bin_wc) OVER (PARTITION BY source) AS BIGINT) AS tot
+         |  FROM fb),
+         |fg AS (SELECT source, n_pass, bin_wc, cum_hi, (tot * 50) // 100 AS budget FROM fc),
+         |fkept AS (SELECT fp.doc_id, fp.source, fp.n_pass,
+         |    (fg.cum_hi + fg.bin_wc <= fg.budget
+         |     OR CAST(fp.hkey AS HUGEINT) * fg.bin_wc
+         |        < CAST(GREATEST(fg.budget - fg.cum_hi, 0) AS HUGEINT) * 1048576) AS kept
+         |  FROM fp JOIN fg ON fp.source = fg.source AND fp.n_pass = fg.n_pass),
+         |fex AS (SELECT doc_id, doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
+         |        FROM documents),
+         |dt AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |db AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM dt),
+         |dpairs AS (
+         |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM db a JOIN db c ON a.blk = c.blk AND a.doc_id < c.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))), 6) >= 0.5),
+         |dedges AS (SELECT doc_a AS a, doc_b AS b FROM dpairs UNION ALL SELECT doc_b AS a, doc_a AS b FROM dpairs),
+         |dreach AS (
+         |  SELECT a AS id, a AS lbl FROM dedges
+         |  UNION
+         |  SELECT e.a AS id, r.lbl FROM dedges e JOIN dreach r ON r.id = e.b),
+         |dcomp AS (SELECT id, MIN(lbl) AS rep FROM dreach GROUP BY id),
+         |dm AS (SELECT dcomp.id AS doc_id, dcomp.rep, fp.n_pass, fp.wc
+         |       FROM dcomp JOIN fp ON fp.doc_id = dcomp.id),
+         |dw AS (SELECT dm.*, FIRST_VALUE(doc_id) OVER (
+         |         PARTITION BY rep ORDER BY n_pass DESC, wc DESC, doc_id ASC) AS canon FROM dm),
+         |cg AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+         |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS g3
+         |  FROM documents),
+         |cbench AS (SELECT DISTINCT unnest(g3) AS gr FROM cg WHERE doc_id % 97 = 0),
+         |ctrain AS (SELECT doc_id, g3, len(g3) AS n_grams FROM cg WHERE doc_id % 97 <> 0),
+         |cex AS (SELECT doc_id, unnest(g3) AS gr FROM ctrain),
+         |cov AS (SELECT e.doc_id, COUNT(b.gr) AS n_overlap
+         |        FROM cex e LEFT JOIN cbench b ON e.gr = b.gr GROUP BY e.doc_id),
+         |contam AS (SELECT tr.doc_id,
+         |    COALESCE(CASE WHEN tr.n_grams = 0 THEN NULL
+         |         ELSE CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / tr.n_grams END >= 0.3, FALSE) AS contaminated
+         |  FROM ctrain tr LEFT JOIN cov o ON tr.doc_id = o.doc_id)
+         |SELECT k.doc_id, k.source, k.n_pass,
+         |  (k.doc_id % 97 = 0) AS is_bench,
+         |  fex.is_exact_dup,
+         |  COALESCE(NOT (dw.doc_id = dw.canon), FALSE) AS is_near_dup,
+         |  COALESCE(contam.contaminated, FALSE) AS contaminated,
+         |  NOT k.kept AS over_budget,
+         |  CASE WHEN k.doc_id % 97 = 0 THEN 'benchmark'
+         |       WHEN k.n_pass < 6 THEN 'quality'
+         |       WHEN fex.is_exact_dup THEN 'exact_dup'
+         |       WHEN COALESCE(NOT (dw.doc_id = dw.canon), FALSE) THEN 'near_dup'
+         |       WHEN COALESCE(contam.contaminated, FALSE) THEN 'contaminated'
+         |       WHEN NOT k.kept THEN 'over_budget'
+         |       ELSE 'kept' END AS stage
+         |FROM fkept k
+         |JOIN fex ON fex.doc_id = k.doc_id
+         |LEFT JOIN dw ON dw.doc_id = k.doc_id
+         |LEFT JOIN contam ON contam.doc_id = k.doc_id
+         |ORDER BY k.doc_id""".stripMargin,
     // q76: brute-force corpus × bench shingle-Jaccard join over the
     // same planted derivation (every 2nd bench doc re-emitted into
     // the corpus side at +1000000; 1000000 % 97 = 27 ≠ 0 so plants

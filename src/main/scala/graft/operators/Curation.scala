@@ -227,6 +227,59 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q77: the CURATION FUNNEL — every gate this library ships,
+    * composed into the per-doc verdict a pretraining pipeline
+    * actually wants: for each document, all gate outcomes plus the
+    * FIRST stage that drops it in the canonical order
+    * benchmark → quality → exact_dup → near_dup → contaminated →
+    * over_budget → kept. Each gate IS its standalone operator (one
+    * definition each: q74's shared gopher scoring + budget rule,
+    * q25's min-id content-hash rule, q75's quality-aware canonical,
+    * q54's exact contamination) — the funnel only joins their slim
+    * per-doc outputs on doc_id, so correctness composes from
+    * already-oracle-exact parts and the cascade ("apply gate k to
+    * survivors of k−1") is a downstream filter on `stage`, not a
+    * different computation. Gates are evaluated INDEPENDENTLY on the
+    * full corpus by design: that keeps each reusable, the report
+    * auditable (a doc failing three gates shows all three), and the
+    * whole plan one pass per component with doc_id-keyed slim joins.
+    * Integers, booleans and a verdict string only ⇒ ORACLE-EXACT.
+    */
+  def curationFunnel(spark: SparkSession, dir: String, minPass: Int = 6,
+                     benchMod: Int = 97): DataFrame = {
+    // q25's exact-dup rule: text leaves the scan as a 32-char hash
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = hashed
+      .join(hashed.groupBy("h").agg(min("doc_id").as("keep_id")), "h")
+      .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("is_exact_dup"))
+    val budget = tokenBudget(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_pass"), col("kept"))
+    val canon = DupGraph.clusterReps(spark, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    val contam = decontaminate(spark, dir)
+      .select(col("doc_id"), col("contaminated"))
+    budget
+      .join(exact, "doc_id")
+      .join(canon, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_pass"),
+        (col("doc_id") % benchMod === 0).as("is_bench"),
+        col("is_exact_dup"),
+        coalesce(!col("is_canonical"), lit(false)).as("is_near_dup"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        (!col("kept")).as("over_budget"))
+      .withColumn("stage",
+        when(col("is_bench"), "benchmark")
+          .when(col("n_pass") < minPass, "quality")
+          .when(col("is_exact_dup"), "exact_dup")
+          .when(col("is_near_dup"), "near_dup")
+          .when(col("contaminated"), "contaminated")
+          .when(col("over_budget"), "over_budget")
+          .otherwise("kept"))
+      .orderBy("doc_id")
+  }
+
   private val emailPat = "[a-z0-9._]+@[a-z0-9.]+"
   private val phonePat = "\\+[0-9]{5,}"
   private val urlPat   = "https://[a-z0-9./]+"

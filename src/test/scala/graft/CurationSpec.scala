@@ -87,6 +87,59 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("curationFunnel assigns each doc its first failing gate in the canonical order") {
+    val dir = "/fake/curation_funnel"
+    // two "good" texts (≥30 words, stopwords, sane lengths → all 7
+    // gopher rules pass): A for the bench side, B for the corpus
+    val textA = "the ancient library held a remarkable collection containing thousands of " +
+      "leather volumes arranged carefully along wooden shelves where scholars gathered the " +
+      "quiet evenings studying forgotten manuscripts about distant kingdoms while candles " +
+      "flickered gently casting shadows across marble floors"
+    val textB = "the quick brown foxes jumped gracefully over a sleeping canine beside the " +
+      "quiet riverbank while autumn leaves drifted slowly downward covering narrow pathways " +
+      "with golden colors during early morning hours yesterday"
+    // doc 5: first 16 words of A (≥30% of its own 3-grams leak from
+    // the bench doc) + fresh tail → contaminated but NOT a near-dup
+    // (bigram Jaccard vs A ≈ 0.27 < 0.5)
+    val textHalfA = textA.split(" ").take(16).mkString(" ") + " travelers sought refuge " +
+      "inside sturdy buildings during heavy storms which arrived suddenly from northern " +
+      "mountains every winter"
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (0L, "s", textA),                                             // benchmark
+      (1L, "s", textB),                                             // kept (hkey 489905 < boundary)
+      (2L, "s", textB),                                             // exact dup of 1
+      (3L, "s", "tiny text"),                                       // quality (n_pass 3)
+      (4L, "s", textB.replace("yesterday", "tonight")),             // near-dup of 1, not exact
+      (5L, "s", textHalfA)                                          // contaminated
+    ).toDF("doc_id", "source", "text"))
+    val r = operators.Curation.curationFunnel(spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getString(8)).toMap
+    assert(r == Map(0L -> "benchmark", 1L -> "kept", 2L -> "exact_dup",
+      3L -> "quality", 4L -> "near_dup", 5L -> "contaminated"))
+  }
+
+  test("curationFunnel laws on the real corpus") {
+    val rows = operators.Curation.curationFunnel(spark, TestSpark.dir).collect()
+    assert(rows.length == Tables.documents(spark, TestSpark.dir).count(),
+      "every document gets a verdict")
+    // the verdict is exactly the first failing gate in order — a
+    // pure function of the flag columns
+    rows.foreach { x =>
+      val expect =
+        if (x.getBoolean(3)) "benchmark"
+        else if (x.getInt(2) < 6) "quality"
+        else if (x.getBoolean(4)) "exact_dup"
+        else if (x.getBoolean(5)) "near_dup"
+        else if (x.getBoolean(6)) "contaminated"
+        else if (x.getBoolean(7)) "over_budget"
+        else "kept"
+      assert(x.getString(8) == expect, s"stage mismatch for doc ${x.getLong(0)}")
+    }
+    val stages = rows.map(_.getString(8)).toSet
+    assert(stages.contains("kept") && stages.size >= 3,
+      "the funnel must keep some docs and drop others for several reasons")
+  }
+
   test("importanceSelect scores a hand-computed corpus exactly") {
     val dir = "/fake/curation_dsir"
     // targetMod=7 -> doc 0 is the target set; docs 1-3 are raw
