@@ -92,6 +92,7 @@ object SparkEntry {
     "q73_boilerplate_spans" -> ((s, d) => Curation.boilerplateSpans(s, d)),
     "q76_decontam_fuzzy"    -> ((s, d) => Curation.decontamFuzzy(s, d)),
     "q77_curation_funnel"   -> ((s, d) => Curation.curationFunnel(s, d)),
+    "q78_ann_recall"        -> ((s, d) => Vectors.annRecall(s, d)),
     "q74_token_budget"      -> ((s, d) => Curation.tokenBudget(s, d)),
     "q75_cluster_reps"      -> ((s, d) => DupGraph.clusterReps(s, d)),
     "q69_length_outliers"   -> ((s, d) => Curation.lengthOutliers(s, d)),
@@ -1260,6 +1261,50 @@ object SparkEntry {
         |FROM events WHERE value >= 50.0
         |GROUP BY dayofweek(ts), hour(ts)
         |ORDER BY dow, hour_of_day""".stripMargin,
+    // q78: recall@k of the seeded IVF vs the brute-force truth —
+    // both sides' CTEs are the proven q16/q19b oracles verbatim;
+    // the recall is one int/int IEEE division.
+    "q78_ann_recall" ->
+      """WITH brute AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rk
+        |    FROM embeddings q, embeddings e
+        |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) t
+        |  WHERE rk <= 10),
+        |seeds AS (
+        |  SELECT label, embedding FROM (
+        |    SELECT label, embedding, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        |    FROM embeddings) s WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT q.vec_id AS query_id, s.label,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])), 6) DESC, s.label) AS crk
+        |    FROM embeddings q, seeds s WHERE q.vec_id < 5) p
+        |  WHERE crk <= 3),
+        |cand AS (
+        |  SELECT p.query_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qq.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM probes p
+        |  JOIN embeddings e ON e.label = p.label
+        |  JOIN embeddings qq ON qq.vec_id = p.query_id
+        |  WHERE e.vec_id <> p.query_id),
+        |ivf AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+        |    FROM cand) t
+        |  WHERE rk <= 10),
+        |hits AS (
+        |  SELECT b.query_id, COUNT(*) AS n_hit
+        |  FROM brute b JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+        |  GROUP BY b.query_id),
+        |qs AS (SELECT DISTINCT query_id FROM brute)
+        |SELECT qs.query_id, 10 AS k, COALESCE(h.n_hit, 0) AS n_hit,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10 AS recall
+        |FROM qs LEFT JOIN hits h ON h.query_id = qs.query_id
+        |ORDER BY qs.query_id""".stripMargin,
     "q19b_ann_ivf_seeded" ->
       """WITH seeds AS (
         |  SELECT label, embedding FROM (

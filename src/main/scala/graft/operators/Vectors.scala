@@ -142,6 +142,33 @@ object Vectors {
       .orderBy("query_id", "rk")
   }
 
+  /** q78: ANN RECALL@k — the index-quality metric every deployed ANN
+    * system monitors (and the acceptance test for any nProbe/nLists
+    * tuning change): for each benchmark query, how many of the exact
+    * brute-force top-k did the IVF probe recover. Composes two
+    * already-oracle-exact operators — q16's brute top-k (the ground
+    * truth) and q19b's seeded-cell IVF (the engine-exact index
+    * spelling) — so unlike the float-internal probe tools
+    * (RecallProbe, NegMineProbe) this recall number is itself
+    * ORACLE-EXACT: hit counts are integers from two deterministic
+    * top-k sets, recall is one int/int IEEE division. Scale: both
+    * sides are k-bounded per query; the semi join and rollup move
+    * nQueries·k rows.
+    */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 10,
+                nProbe: Int = 3, nQueries: Int = 5): DataFrame = {
+    val brute = vectorTopK(spark, dir, k, nQueries).select("query_id", "vec_id")
+    val ivf = annIvfSeeded(spark, dir, k, nProbe, nQueries).select("query_id", "vec_id")
+    val hits = brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(k).as("k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** q41: k-means (Lloyd) refinement of the IVF coarse cells — the
     * follow-up pass q19b's Scaladoc promises: seeded cells bootstrap
     * the index, a few Lloyd rounds tighten them. Centroid means use

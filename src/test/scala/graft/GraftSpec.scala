@@ -98,6 +98,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf.join(bf, Seq("query_id", "vec_id", "sim"), "left_anti").count() == 0)
   }
 
+  test("q78: recall laws — bounded, consistent, and total when every cell is probed") {
+    val r = operators.Vectors.annRecall(spark, dir).collect()
+    assert(r.length == 5, "one row per benchmark query")
+    r.foreach { x =>
+      val (k, nHit, recall) = (x.getInt(1), x.getLong(2), x.getDouble(3))
+      assert(nHit >= 0 && nHit <= k)
+      assert(recall == nHit.toDouble / k, "recall is exactly n_hit/k")
+    }
+    // probing at least as many cells as exist makes IVF exhaustive —
+    // recall must be exactly 1.0 for every query
+    val nLists = Tables.embeddings(spark, dir).select("label").distinct().count().toInt
+    val total = operators.Vectors.annRecall(spark, dir, nProbe = nLists).collect()
+    assert(total.forall(_.getDouble(3) == 1.0),
+      "probe-everything IVF must equal brute force")
+  }
+
   test("q13: segment ids are non-decreasing within source") {
     val df = operators.Vectors.semanticSegments(spark, dir)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("doc_id")
