@@ -93,6 +93,7 @@ object SparkEntry {
     "q76_decontam_fuzzy"    -> ((s, d) => Curation.decontamFuzzy(s, d)),
     "q77_curation_funnel"   -> ((s, d) => Curation.curationFunnel(s, d)),
     "q78_ann_recall"        -> ((s, d) => Vectors.annRecall(s, d)),
+    "q79_funnel_delta"      -> ((s, d) => Curation.funnelDelta(s, d)),
     "q74_token_budget"      -> ((s, d) => Curation.tokenBudget(s, d)),
     "q75_cluster_reps"      -> ((s, d) => DupGraph.clusterReps(s, d)),
     "q69_length_outliers"   -> ((s, d) => Curation.lengthOutliers(s, d)),
@@ -356,6 +357,79 @@ object SparkEntry {
          |SELECT doc_id, rep AS cluster_rep, n AS cluster_size, n_pass, wc,
          |  (doc_id = canon) AS is_canonical
          |FROM w ORDER BY cluster_rep, doc_id""".stripMargin,
+    // q79: the delta funnel — q74's rule CTE restricted to the delta,
+    // md5 twin probe with the first-writer partner rule, q26's
+    // min-shingle blocking (list_aggregate min = Spark's sorted
+    // element_at(sh,1)), q54's contamination CTE restricted to the
+    // delta. History (any id) beats an arrival; earlier delta ids
+    // beat later ones.
+    "q79_funnel_delta" ->
+      s"""WITH et AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws,
+         |         string_split(text, chr(10)) AS ls FROM documents WHERE doc_id % 16 = 0),
+         |es AS (SELECT doc_id, source,
+         |    CAST(len(ws) AS BIGINT) AS wc,
+         |    CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS n_chars,
+         |    CAST(len(text) - len(replace(text, '#', ''))
+         |         + (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(['the', 'a'], w -> list_contains(ws, w))) AS BIGINT) AS n_stop,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls, l -> substring(l, 1, 2) = '- '
+         |         OR substring(l, 1, 2) = '* ')) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(ls, l -> right(l, 3) = '...')) AS BIGINT) AS n_ellipsis
+         |  FROM et),
+         |ep AS (SELECT doc_id, source,
+         |    (CAST(wc BETWEEN 30 AND 100000 AS INT)
+         |     + CAST(n_chars * 10 >= wc * 42 AND n_chars * 10 <= wc * 100 AS INT)
+         |     + CAST(n_sym * 10 <= wc AS INT)
+         |     + CAST(n_alpha * 5 >= wc * 4 AS INT)
+         |     + CAST(n_stop >= 2 AS INT)
+         |     + CAST(n_bullet * 10 <= n_lines AS INT)
+         |     + CAST(n_ellipsis * 10 <= n_lines * 3 AS INT)) AS n_pass
+         |  FROM es),
+         |eex AS (SELECT n.doc_id FROM documents n JOIN documents o
+         |          ON md5(n.text) = md5(o.text) AND o.doc_id <> n.doc_id
+         |        WHERE n.doc_id % 16 = 0 AND (o.doc_id % 16 <> 0 OR o.doc_id < n.doc_id)
+         |        GROUP BY n.doc_id),
+         |sht AS (SELECT doc_id, $shinglesSql AS sh FROM documents
+         |        WHERE len(string_split(text, ' ')) >= 2),
+         |shb AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM sht),
+         |enear AS (SELECT d.doc_id
+         |  FROM shb d JOIN shb o ON d.blk = o.blk AND o.doc_id <> d.doc_id
+         |  WHERE d.doc_id % 16 = 0 AND (o.doc_id % 16 <> 0 OR o.doc_id < d.doc_id)
+         |    AND round(CAST(len(list_intersect(d.sh, o.sh)) AS DOUBLE)
+         |              / len(list_distinct(list_concat(d.sh, o.sh))), 6) >= 0.5
+         |  GROUP BY d.doc_id),
+         |eg AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+         |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS g3
+         |  FROM documents),
+         |ebench AS (SELECT DISTINCT unnest(g3) AS gr FROM eg WHERE doc_id % 97 = 0),
+         |etrain AS (SELECT doc_id, g3, len(g3) AS n_grams FROM eg
+         |           WHERE doc_id % 97 <> 0 AND doc_id % 16 = 0),
+         |eexg AS (SELECT doc_id, unnest(g3) AS gr FROM etrain),
+         |eov AS (SELECT e.doc_id, COUNT(b.gr) AS n_overlap
+         |        FROM eexg e LEFT JOIN ebench b ON e.gr = b.gr GROUP BY e.doc_id),
+         |econtam AS (SELECT tr.doc_id,
+         |    COALESCE(CASE WHEN tr.n_grams = 0 THEN NULL
+         |         ELSE CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / tr.n_grams END >= 0.3, FALSE) AS contaminated
+         |  FROM etrain tr LEFT JOIN eov o ON tr.doc_id = o.doc_id)
+         |SELECT ep.doc_id, ep.source, ep.n_pass,
+         |  (ep.doc_id % 97 = 0) AS is_bench,
+         |  (eex.doc_id IS NOT NULL) AS is_exact_dup,
+         |  (enear.doc_id IS NOT NULL) AS is_near_dup,
+         |  COALESCE(econtam.contaminated, FALSE) AS contaminated,
+         |  CASE WHEN ep.doc_id % 97 = 0 THEN 'benchmark'
+         |       WHEN ep.n_pass < 6 THEN 'quality'
+         |       WHEN eex.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN enear.doc_id IS NOT NULL THEN 'near_dup'
+         |       WHEN COALESCE(econtam.contaminated, FALSE) THEN 'contaminated'
+         |       ELSE 'admitted' END AS stage
+         |FROM ep
+         |LEFT JOIN eex ON eex.doc_id = ep.doc_id
+         |LEFT JOIN enear ON enear.doc_id = ep.doc_id
+         |LEFT JOIN econtam ON econtam.doc_id = ep.doc_id
+         |ORDER BY ep.doc_id""".stripMargin,
     // q77: the funnel composes q74's scoring+budget CTEs, q25's
     // min-id-per-content-hash rule, q75's recursive-CTE clusters +
     // quality-aware canonical (reusing the SAME fp CTE for n_pass —

@@ -280,6 +280,93 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q79: the NIGHTLY-DELTA funnel — q77's steady-state spelling (the
+    * q64b/GramIndex build/read split applied to the whole curation
+    * pipeline): a delta batch (doc_id ≡ 0 mod deltaMod, the repo's
+    * derived-delta convention) is gated against the EXISTING corpus
+    * with first-writer-wins ingest semantics — history always beats a
+    * new arrival, earlier delta ids beat later ones — so admission
+    * needs no corpus rewrite. Stages, in order: benchmark (eval data
+    * never trains) → quality (q71's rules, per-doc, zero history) →
+    * exact_dup (md5 twin in the corpus, or an earlier delta twin) →
+    * near_dup (q26's min-shingle-blocked Jaccard ≥ t vs ANY old doc
+    * or an earlier delta doc — engine-independent blocking, so no
+    * banding-recovery caveat) → contaminated (q54's exact 3-gram
+    * gate) → admitted. The budget stage and the quality-aware
+    * canonical refresh are corpus-level decisions that stay in the
+    * nightly batch (q74/q75/q77) — documented division of labor.
+    *
+    * Scale shape: the delta side is small by construction, and every
+    * gate touches history ONLY through a keyed probe — md5 equijoin,
+    * min-shingle block join (delta blocks inner-join the corpus
+    * frame: at 100 TB the corpus side is the persisted (blk)-bucketed
+    * layout, so the probe is a pruned read — the GramIndex
+    * precedent), broadcast bench gram set. Nothing corpus-sized
+    * shuffles for a nightly batch. Integers/booleans/one verdict
+    * string ⇒ ORACLE-EXACT.
+    */
+  def funnelDelta(spark: SparkSession, dir: String, deltaMod: Int = 16,
+                  benchMod: Int = 97, minPass: Int = 6,
+                  threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val flags = Seq("r_words", "r_meanlen", "r_symbol", "r_alpha",
+      "r_stop", "r_bullet", "r_ellipsis")
+    val isDeltaId = (c: org.apache.spark.sql.Column) => c % deltaMod === 0
+    // quality: the delta docs' spine — every delta doc gets a verdict
+    val scored = TextAnalysis.gopherFlags(
+        Tables.documents(spark, dir).filter(isDeltaId(col("doc_id")))
+          .select("doc_id", "source", "text"),
+        Seq("doc_id", "source"), 30L, 100000L, 42L, 100L, Seq("the", "a"), 2L)
+      .select(col("doc_id"), col("source"),
+        flags.map(c => col(c).cast("int")).reduce(_ + _).as("n_pass"))
+    // exact dup: content-hash probe of the full corpus; an old twin
+    // (any id) or an earlier delta twin drops the arrival
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val exactDup = hashed.filter(isDeltaId(col("doc_id"))).as("n")
+      .join(hashed.as("o"), col("n.h") === col("o.h") &&
+        col("o.doc_id") =!= col("n.doc_id"))
+      .filter(!isDeltaId(col("o.doc_id")) || col("o.doc_id") < col("n.doc_id"))
+      .select(col("n.doc_id").as("doc_id")).distinct()
+      .withColumn("is_exact_dup", lit(true))
+    // near dup: delta min-shingle blocks probe the corpus shingle
+    // frame; verify is the exact q26 Jaccard, partner rule as above
+    val sh = Dedup.docShinglesOn(spark, Tables.documents(spark, dir))
+      .withColumn("blk", element_at(col("sh"), 1))
+    val deltaSh = sh.filter(isDeltaId(col("doc_id")))
+      .select(col("blk"), col("doc_id").as("d"), col("sh").as("dsh"))
+    val nearDup = sh.join(deltaSh, "blk")
+      .filter(col("doc_id") =!= col("d"))
+      .filter(!isDeltaId(col("doc_id")) || col("doc_id") < col("d"))
+      .withColumn("c", expr("intersect_count_sorted(sh, dsh)"))
+      .withColumn("jac", round(col("c").cast("double") /
+        (size(col("sh")) + size(col("dsh")) - col("c")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("d").as("doc_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+    // contamination: q54's exact gate (frozen bench side; delta docs
+    // that ARE bench stage out first, so the missing rows are fine)
+    val contam = decontaminate(spark, dir, benchMod)
+      .select(col("doc_id"), col("contaminated"))
+    scored
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_pass"),
+        (col("doc_id") % benchMod === 0).as("is_bench"),
+        coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+        coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .withColumn("stage",
+        when(col("is_bench"), "benchmark")
+          .when(col("n_pass") < minPass, "quality")
+          .when(col("is_exact_dup"), "exact_dup")
+          .when(col("is_near_dup"), "near_dup")
+          .when(col("contaminated"), "contaminated")
+          .otherwise("admitted"))
+      .orderBy("doc_id")
+  }
+
   private val emailPat = "[a-z0-9._]+@[a-z0-9.]+"
   private val phonePat = "\\+[0-9]{5,}"
   private val urlPat   = "https://[a-z0-9./]+"
