@@ -69,7 +69,15 @@ object SparkEntry {
     "q67b_ivfpq_topk"       -> ((s, d) => PQ.ivfPqTopK(s, d)),
     "q67c_pq_indexed"       -> ((s, d) => PQ.pqTopKIndexed(s, d)),
     "q67d_ivfpq_indexed"    -> ((s, d) => PQ.ivfPqTopKIndexed(s, d)),
-    "q67e_pq_encode_incr"   -> ((s, d) => PQ.pqEncodeIncremental(s, d)),
+    // codes is ARRAY<INT>; the driver's pandas compare canonicalizes by
+    // sorting every column and crashes on array cells (SURVEY §6: arrays
+    // reach the compare only as sorted arrays or sizes) — spell it as a
+    // deterministic CSV string at the entry surface only.
+    "q67e_pq_encode_incr"   -> ((s, d) => PQ.pqEncodeIncremental(s, d)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.concat_ws(",",
+                org.apache.spark.sql.functions.col("codes").cast("array<string>"))
+                .as("codes_csv"))),
     "q67f_ivfpq_incr"       -> ((s, d) => PQ.ivfPqIncrTopK(s, d)),
     "q53_dup_clusters"      -> ((s, d) => DupGraph.dupClusters(s, d)),
     "q64_substring_dup"     -> ((s, d) => Dedup.substringDup(s, d)),
