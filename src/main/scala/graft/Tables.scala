@@ -89,14 +89,39 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as a raw ns-since-epoch long instead
-    * (operators derive epoch-ms / timestamp views from it — exact,
-    * and cheaper than timestamps in the hot path anyway).
+  /** `events.ts` contract: every operator sees ts as a RAW
+    * ns-since-epoch LONG (operators derive epoch-ms / timestamp views
+    * from it — exact, and cheaper than timestamps in the hot path).
+    * The physical parquet type has drifted across testdata
+    * generations — TIMESTAMP(NANOS) originally (which Spark's
+    * vectorized reader only accepts as a long via the nanosAsLong
+    * legacy conf), timestamp[us] since 2026-08-13 — so normalize at
+    * the loader, the ONE place the physical type is visible:
+    *   - LongType (NANOS via legacy conf): already the contract.
+    *   - TimestampType / TimestampNTZType (µs precision):
+    *     unix_micros * 1000. Session TZ is UTC (SURVEY §3), so the
+    *     NTZ→TZ cast is exact; µs→ns widening is exact by definition.
+    * Any other dtype fails LOUDLY here instead of as 22 per-query
+    * DATATYPE_MISMATCH analysis errors (the r10 failure mode).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // No-op for non-NANOS files; kept so genuinely TIMESTAMP(NANOS)
+    // generations still load (without it the scan itself throws).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
+    val df = read(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, lit, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case None | Some(LongType) => df // ts-less spec frames / already ns
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unsupported type $other; expected LONG (ns) or TIMESTAMP[_NTZ] — " +
+            "testdata schema drifted again; extend Tables.events' normalization")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

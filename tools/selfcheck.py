@@ -36,6 +36,24 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     failed = []
+    # Key-set completeness (r10 postmortem): Verify writes queries.json
+    # with EVERY SparkEntry.queries key -> "ok" | "err: ...". A query
+    # that errors must appear here as a FAIL row — it may never vanish
+    # from the report and read as "no failures".
+    try:
+        manifest = json.load(open(f"{outdir}/queries.json"))
+    except FileNotFoundError:
+        manifest = None
+        print("WARN: no queries.json manifest — key-set completeness unchecked")
+    if manifest is not None:
+        for name, st in sorted(manifest.items()):
+            if st != "ok":
+                print(f"FAIL {name}: verify-time {st}")
+                failed.append(name)
+        missing = set(oracles) - set(manifest)
+        if missing:
+            print(f"FAIL manifest: oracle keys missing from SparkEntry.queries: {sorted(missing)}")
+            failed.append("manifest")
     # per-query DuckDB wall seconds (execute + fetch) — the measured
     # baseline side of the 2x bench gate, recorded as an in-repo
     # artifact (ORACLE_TIMING.json) instead of a judge estimate
