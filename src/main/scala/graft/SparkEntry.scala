@@ -102,6 +102,7 @@ object SparkEntry {
     "q77_curation_funnel"   -> ((s, d) => Curation.curationFunnel(s, d)),
     "q78_ann_recall"        -> ((s, d) => Vectors.annRecall(s, d)),
     "q79_funnel_delta"      -> ((s, d) => Curation.funnelDelta(s, d)),
+    "q79b_funnel_indexed"   -> ((s, d) => Curation.funnelDeltaIndexed(s, d)),
     "q74_token_budget"      -> ((s, d) => Curation.tokenBudget(s, d)),
     "q75_cluster_reps"      -> ((s, d) => DupGraph.clusterReps(s, d)),
     "q69_length_outliers"   -> ((s, d) => Curation.lengthOutliers(s, d)),
@@ -167,7 +168,14 @@ object SparkEntry {
        |SELECT lang, CAST(bin AS INT) AS bin, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q
        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** q79b is funnelDelta probing the persisted FunnelIndex — value-
+    * identical by contract (FunnelIndexSpec pins row equality), so it
+    * shares q79's oracle verbatim.
+    */
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("q79b_funnel_indexed" -> oracleSqlBase("q79_funnel_delta"))
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "q01_temporal_sessions" ->
       s"""SELECT event_id, user_id, session_id
          |FROM (${sessionsCte(1800000)}) s

@@ -367,6 +367,170 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Persisted CORPUS BLOCKING FRAME for the delta funnel — q79's
+    * steady-state split (GramIndex's build/read contract applied to
+    * every history probe the funnel makes). The index holds the three
+    * corpus-side frames funnelDelta derives from old-corpus TEXT, so
+    * a nightly delta run reads ZERO bytes of old corpus text:
+    *   <path>/hashes/           — distinct md5 of old docs (exact gate)
+    *   <path>/shingles/pblk=N/  — (doc_id, sh, blk) bucketed by
+    *                              pmod(xxhash64(blk), nBuckets): the
+    *                              probe filters on the partition
+    *                              column, so partition pruning skips
+    *                              every non-probed bucket's files —
+    *                              the VectorIndex cells layout applied
+    *                              to min-shingle blocks
+    *   <path>/benchgrams/       — distinct 3-grams of old BENCH docs
+    *                              (contamination gate; the batch's own
+    *                              bench grams union in at probe time)
+    * Watermark contract = GramIndex's: documents sourceToken + params.
+    * deltaMod/benchMod are part of the index identity — they decide
+    * which docs are "old" and which of those are bench, so they change
+    * the index CONTENT, not just the probe.
+    */
+  object FunnelIndex {
+    def path(spark: SparkSession, dir: String): String =
+      VectorIndex.defaultPath(spark, dir) + "_funnel"
+
+    def params(deltaMod: Int, benchMod: Int, nBuckets: Int): String =
+      s"funnel:deltaMod=$deltaMod,benchMod=$benchMod,nBuckets=$nBuckets"
+
+    private def watermark(spark: SparkSession, dir: String,
+                          deltaMod: Int, benchMod: Int, nBuckets: Int): String =
+      Tables.sourceToken(spark, dir, "documents") + "\nparams|" +
+        params(deltaMod, benchMod, nBuckets)
+
+    def fresh(spark: SparkSession, dir: String, path: String,
+              deltaMod: Int, benchMod: Int, nBuckets: Int): Boolean = {
+      val fs = VectorIndex.fsFor(spark, path)
+      Seq("hashes", "shingles", "benchgrams").forall(p =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/$p/_SUCCESS"))) &&
+        VectorIndex.readWatermark(spark, path)
+          .contains(watermark(spark, dir, deltaMod, benchMod, nBuckets))
+    }
+
+    def build(spark: SparkSession, dir: String, path: String,
+              deltaMod: Int, benchMod: Int, nBuckets: Int): Unit = {
+      graft.functions.GraftFunctions.register(spark)
+      // snapshot BEFORE reading (VectorIndex.build's ordering: a
+      // source rewrite DURING the build leaves the index stale-marked)
+      val token = watermark(spark, dir, deltaMod, benchMod, nBuckets)
+      val old = Tables.documents(spark, dir)
+        .filter(col("doc_id") % deltaMod =!= 0)
+      old.select(md5(col("text")).as("h")).distinct()
+        .write.mode("overwrite").parquet(s"$path/hashes")
+      Dedup.docShinglesOn(spark, old)
+        .withColumn("blk", element_at(col("sh"), 1))
+        .withColumn("pblk", pmod(xxhash64(col("blk")), lit(nBuckets)).cast("int"))
+        .write.mode("overwrite").partitionBy("pblk").parquet(s"$path/shingles")
+      grams3(old.filter(col("doc_id") % benchMod === 0).select("doc_id", "text"))
+        .select(explode(col("g3")).as("g")).distinct()
+        .write.mode("overwrite").parquet(s"$path/benchgrams")
+      VectorIndex.writeWatermark(spark, path, token)
+    }
+  }
+
+  /** q79b: the INDEXED delta funnel — funnelDelta probing the
+    * persisted FunnelIndex instead of re-deriving the corpus frames
+    * from text. Value-identical to funnelDelta (spec-pinned row for
+    * row, and it shares q79's DuckDB oracle), but the nightly cost is
+    * now a function of the DELTA, not the corpus:
+    *   - exact gate: arrival md5s left-semi probe the hash set; the
+    *     earlier-delta-twin rule is batch-local (delta × delta on h).
+    *   - near gate: delta min-shingle blocks prune-read the bucketed
+    *     shingle frame — the only corpus-sized bytes touched, and only
+    *     the probed buckets' files. The bucket-id collect is bounded
+    *     by nBuckets (≤64 ints), never by N (the q67d boundedness
+    *     discipline).
+    *   - contamination: persisted old-bench grams ∪ the batch's own
+    *     bench grams (a NEW bench doc contaminates from day one —
+    *     exactly decontaminate's semantics), broadcast onto the
+    *     delta's grams.
+    */
+  def funnelDeltaIndexed(spark: SparkSession, dir: String, deltaMod: Int = 16,
+                         benchMod: Int = 97, minPass: Int = 6,
+                         threshold: Double = 0.5, nBuckets: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val path = FunnelIndex.path(spark, dir)
+    if (!FunnelIndex.fresh(spark, dir, path, deltaMod, benchMod, nBuckets))
+      FunnelIndex.build(spark, dir, path, deltaMod, benchMod, nBuckets)
+    val flags = Seq("r_words", "r_meanlen", "r_symbol", "r_alpha",
+      "r_stop", "r_bullet", "r_ellipsis")
+    val delta = Tables.documents(spark, dir)
+      .filter(col("doc_id") % deltaMod === 0)
+    val scored = TextAnalysis.gopherFlags(
+        delta.select("doc_id", "source", "text"),
+        Seq("doc_id", "source"), 30L, 100000L, 42L, 100L, Seq("the", "a"), 2L)
+      .select(col("doc_id"), col("source"),
+        flags.map(c => col(c).cast("int")).reduce(_ + _).as("n_pass"))
+    val deltaHashed = delta.select(col("doc_id"), md5(col("text")).as("h"))
+    val oldTwin = deltaHashed
+      .join(spark.read.parquet(s"$path/hashes"), Seq("h"), "left_semi")
+      .select("doc_id")
+    val earlierTwin = deltaHashed.as("n")
+      .join(deltaHashed.as("o"),
+        col("n.h") === col("o.h") && col("o.doc_id") < col("n.doc_id"))
+      .select(col("n.doc_id").as("doc_id"))
+    val exactDup = oldTwin.union(earlierTwin).distinct()
+      .withColumn("is_exact_dup", lit(true))
+    val deltaSh = Dedup.docShinglesOn(spark, delta)
+      .withColumn("blk", element_at(col("sh"), 1))
+    // bounded driver collect: ≤ nBuckets bucket ids decide which
+    // index partitions the probe reads — partition pruning, not a scan
+    val pblks = deltaSh
+      .select(pmod(xxhash64(col("blk")), lit(nBuckets)).cast("int").as("pblk"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val corpusSh = spark.read.parquet(s"$path/shingles")
+      .filter(col("pblk").isin(pblks: _*)).select("doc_id", "sh", "blk")
+    val dprobe = deltaSh
+      .select(col("blk"), col("doc_id").as("d"), col("sh").as("dsh"))
+    val oldNear = corpusSh.join(dprobe, "blk")
+    val deltaNear = deltaSh.join(dprobe, "blk")
+      .filter(col("doc_id") < col("d"))
+    val nearDup = oldNear.select(col("d"), col("sh"), col("dsh"))
+      .unionByName(deltaNear.select(col("d"), col("sh"), col("dsh")))
+      .withColumn("c", expr("intersect_count_sorted(sh, dsh)"))
+      .withColumn("jac", round(col("c").cast("double") /
+        (size(col("sh")) + size(col("dsh")) - col("c")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("d").as("doc_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+    val benchNew = grams3(
+        delta.filter(col("doc_id") % benchMod === 0).select("doc_id", "text"))
+      .select(explode(col("g3")).as("g"))
+    val benchSet = spark.read.parquet(s"$path/benchgrams")
+      .union(benchNew).distinct()
+    // 0.3 = decontaminate's default threshold (the gate funnelDelta
+    // composes); funnelDelta's `threshold` param is the NEAR-DUP knob
+    val contam = grams3(
+        delta.filter(col("doc_id") % benchMod =!= 0).select("doc_id", "text"))
+      .select(col("doc_id"), size(col("g3")).as("n_grams"),
+        explode_outer(col("g3")).as("g"))
+      .join(broadcast(benchSet.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(col("hit")).as("n_overlap"))
+      .withColumn("rate", try_divide(col("n_overlap").cast("double"), col("n_grams")))
+      .select(col("doc_id"),
+        coalesce(col("rate") >= lit(0.3), lit(false)).as("contaminated"))
+    scored
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_pass"),
+        (col("doc_id") % benchMod === 0).as("is_bench"),
+        coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+        coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .withColumn("stage",
+        when(col("is_bench"), "benchmark")
+          .when(col("n_pass") < minPass, "quality")
+          .when(col("is_exact_dup"), "exact_dup")
+          .when(col("is_near_dup"), "near_dup")
+          .when(col("contaminated"), "contaminated")
+          .otherwise("admitted"))
+      .orderBy("doc_id")
+  }
+
   private val emailPat = "[a-z0-9._]+@[a-z0-9.]+"
   private val phonePat = "\\+[0-9]{5,}"
   private val urlPat   = "https://[a-z0-9./]+"

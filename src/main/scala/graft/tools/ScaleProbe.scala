@@ -93,6 +93,11 @@ object ScaleProbe {
       time("q74 token budgt", d)(Curation.tokenBudget(spark, _))
       time("q75 cluster rep", d)(graft.operators.DupGraph.clusterReps(spark, _))
       time("q76 fuzzy decon", d)(Curation.decontamFuzzy(spark, _))
+      // q79/q79b: the warm pass builds the FunnelIndex, so the timed
+      // pass is the STEADY-STATE probe — its slope must track the
+      // delta (N/16 docs probing pruned buckets), never corpus text
+      time("q79 funnel dlt ", d)(Curation.funnelDelta(spark, _))
+      time("q79b funnel idx", d)(Curation.funnelDeltaIndexed(spark, _))
     }
     // Sign-LSH bucket width must TRACK corpus density: with fixed
     // 8-bit bands, random-data collisions per bucket grow linearly
