@@ -67,6 +67,7 @@ object SparkEntry {
     "q44_dedup_emb_lsh"     -> ((s, d) => Dedup.dedupEmbeddingLshPlanted(s, d)),
     "q67_pq_topk"           -> ((s, d) => PQ.pqTopK(s, d)),
     "q67b_ivfpq_topk"       -> ((s, d) => PQ.ivfPqTopK(s, d)),
+    "q67g_ivfpq_planted"    -> ((s, d) => PQ.ivfPqPlanted(s, d)),
     "q67c_pq_indexed"       -> ((s, d) => PQ.pqTopKIndexed(s, d)),
     "q67d_ivfpq_indexed"    -> ((s, d) => PQ.ivfPqTopKIndexed(s, d)),
     // codes is ARRAY<INT>; the driver's pandas compare canonicalizes by
@@ -1443,6 +1444,13 @@ object SparkEntry {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // q67g: the planted-pair ADC-floor contract — a verbatim copy of
+    // each query vector must be its top-1 (the self-pair drops; the
+    // copy sits at the ADC floor in the query's own probed cell), so
+    // the oracle is the pair set itself, no PQ replay.
+    "q67g_ivfpq_planted" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS vec_id, 1 AS rk
+        |FROM embeddings WHERE vec_id < 5 ORDER BY 1""".stripMargin,
     "q48_ivf_persisted" ->
       """WITH seeds AS (
         |  SELECT label, embedding FROM (

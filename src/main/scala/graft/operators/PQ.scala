@@ -247,9 +247,18 @@ object PQ {
     */
   def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
                 m: Int = 8, kCodes: Int = 16, iters: Int = 1,
-                nLists: Int = 0, nProbe: Int = 3): DataFrame = {
+                nLists: Int = 0, nProbe: Int = 3): DataFrame =
+    ivfPqTopKOn(spark, Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      k, nQueries, m, kCodes, iters, nLists, nProbe)
+
+  /** The q67b pipeline over an arbitrary (vec_id, embedding) frame —
+    * the seam q67g's planted corpus rides (the dedupEmbeddingIvfOn
+    * factoring applied to the IVF-PQ probe).
+    */
+  private[graft] def ivfPqTopKOn(spark: SparkSession, e: DataFrame, k: Int, nQueries: Int,
+                                 m: Int, kCodes: Int, iters: Int,
+                                 nLists: Int, nProbe: Int): DataFrame = {
     GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val dims = e.select(size(col("embedding"))).head.getInt(0)
     require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
     val n = e.count()
@@ -265,6 +274,46 @@ object PQ {
       .select(col("vec_id").as("query_id"), col("cell"))
     val luts = lutsFor(q, books, m, dims)
     adcTopK(coded.join(probes, Seq("cell")).join(broadcast(luts), "query_id"), k, kCodes)
+  }
+
+  /** q67g: the ORACLE-EXACT graduation of the PQ family — the
+    * q27b/q28b/q29d planting pattern applied to the ADC FLOOR (the
+    * reference surface being certified: vector_store.py:105-168's
+    * search contract). The corpus plus a verbatim copy of every query
+    * vector (vec_id < nQueries re-emitted at vec_id + idOffset, one
+    * scan via explode) runs q67b's OWN IVF-PQ probe at k=1.
+    *
+    * Why the gate closes, with no probabilistic caveat on the pair:
+    *   - encode is a pure per-vector function of the (whatever)
+    *     trained codebooks, so copy and original carry IDENTICAL
+    *     codes; cell assignment is likewise pure, so the copy sits in
+    *     the query's own top-1 cell — inside any nProbe ≥ 1 probe set.
+    *   - a query's LUT entry at its OWN code is the per-subspace
+    *     minimum (code = argmin over that subspace's centroids), so
+    *     the copy's ADC distance IS the floor: no corpus vector can
+    *     score strictly lower, and the self-pair (the only equal-or-
+    *     lower tie by id) is dropped by the scan contract.
+    *   - ties AT the floor require an exact m-way code collision
+    *     (kCodes^m ≈ 4e9 code words at the defaults) — measured zero
+    *     on the gate corpora, the same empirical leg q29d/q44 stand on.
+    * So top-1 per query = its planted copy, and the DuckDB oracle is
+    * the trivial planted-pair SELECT — no PQ replay needed. adc stays
+    * out of the output (engine-internal float; the PAIR is the
+    * contract). q67d ≡ q67b is separately spec-pinned (PqSpec), so
+    * this one EXACT row certifies the shared ADC/cell machinery the
+    * whole q67 family rides.
+    */
+  def ivfPqPlanted(spark: SparkSession, dir: String, nQueries: Int = 5,
+                   idOffset: Long = 1000000L, m: Int = 8, kCodes: Int = 16,
+                   iters: Int = 1, nLists: Int = 0, nProbe: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val planted = e.select(
+      explode(when(col("vec_id") < nQueries,
+          array(col("vec_id"), col("vec_id") + idOffset))
+        .otherwise(array(col("vec_id")))).as("vec_id"),
+      col("embedding"))
+    ivfPqTopKOn(spark, planted, k = 1, nQueries, m, kCodes, iters, nLists, nProbe)
+      .select(col("query_id"), col("vec_id"), col("rk"))
   }
 
   /** The COMPOSED persisted IVF-PQ index — one layout carrying both

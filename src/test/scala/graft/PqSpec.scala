@@ -260,4 +260,17 @@ class PqSpec extends AnyFunSuite {
       "a different iters must read as stale")
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
   }
+
+  test("q67g: every planted query's top-1 is its verbatim copy (ADC floor law)") {
+    val expect = (0L until 5L).map(q => (q, q + 1000000L, 1))
+    val got = operators.PQ.ivfPqPlanted(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expect,
+      "a verbatim copy carries the query's exact codes in its top-1 cell — the ADC floor")
+    // the law is probe-width-independent: even the minimal probe set
+    // (nProbe=1) contains the query's own cell, where the copy sits
+    val got1 = operators.PQ.ivfPqPlanted(spark, dir, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got1 == expect, "the copy is recovered through the query's own top-1 cell alone")
+  }
 }
