@@ -450,14 +450,36 @@ object Curation {
   def funnelDeltaIndexed(spark: SparkSession, dir: String, deltaMod: Int = 16,
                          benchMod: Int = 97, minPass: Int = 6,
                          threshold: Double = 0.5, nBuckets: Int = 64): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     val path = FunnelIndex.path(spark, dir)
     if (!FunnelIndex.fresh(spark, dir, path, deltaMod, benchMod, nBuckets))
       FunnelIndex.build(spark, dir, path, deltaMod, benchMod, nBuckets)
-    val flags = Seq("r_words", "r_meanlen", "r_symbol", "r_alpha",
-      "r_stop", "r_bullet", "r_ellipsis")
     val delta = Tables.documents(spark, dir)
       .filter(col("doc_id") % deltaMod === 0)
+      .select("doc_id", "source", "text")
+    funnelGate(spark, delta,
+      spark.read.parquet(s"$path/hashes"),
+      spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/benchgrams"),
+      benchMod, minPass, threshold, nBuckets)
+  }
+
+  /** The delta-funnel gate over EXPLICIT corpus frames — the shared
+    * kernel of funnelDeltaIndexed (frames = the persisted FunnelIndex)
+    * and streaming.FunnelStream (frames = index ∪ the arrivals seen in
+    * earlier micro-batches). `delta` carries (doc_id, source, text);
+    * `corpusHashes` (h); `corpusShingles` (doc_id, sh, blk, pblk);
+    * `benchGrams` (g). Within-batch first-writer-wins (earlier doc_id
+    * beats later) is batch-local here; history-beats-arrival is
+    * whatever the caller put in the corpus frames.
+    */
+  private[graft] def funnelGate(spark: SparkSession, delta: DataFrame,
+                                corpusHashes: DataFrame, corpusShingles: DataFrame,
+                                benchGrams: DataFrame, benchMod: Int,
+                                minPass: Int, threshold: Double,
+                                nBuckets: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val flags = Seq("r_words", "r_meanlen", "r_symbol", "r_alpha",
+      "r_stop", "r_bullet", "r_ellipsis")
     val scored = TextAnalysis.gopherFlags(
         delta.select("doc_id", "source", "text"),
         Seq("doc_id", "source"), 30L, 100000L, 42L, 100L, Seq("the", "a"), 2L)
@@ -465,7 +487,7 @@ object Curation {
         flags.map(c => col(c).cast("int")).reduce(_ + _).as("n_pass"))
     val deltaHashed = delta.select(col("doc_id"), md5(col("text")).as("h"))
     val oldTwin = deltaHashed
-      .join(spark.read.parquet(s"$path/hashes"), Seq("h"), "left_semi")
+      .join(corpusHashes, Seq("h"), "left_semi")
       .select("doc_id")
     val earlierTwin = deltaHashed.as("n")
       .join(deltaHashed.as("o"),
@@ -480,7 +502,7 @@ object Curation {
     val pblks = deltaSh
       .select(pmod(xxhash64(col("blk")), lit(nBuckets)).cast("int").as("pblk"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val corpusSh = spark.read.parquet(s"$path/shingles")
+    val corpusSh = corpusShingles
       .filter(col("pblk").isin(pblks: _*)).select("doc_id", "sh", "blk")
     val dprobe = deltaSh
       .select(col("blk"), col("doc_id").as("d"), col("sh").as("dsh"))
@@ -498,8 +520,7 @@ object Curation {
     val benchNew = grams3(
         delta.filter(col("doc_id") % benchMod === 0).select("doc_id", "text"))
       .select(explode(col("g3")).as("g"))
-    val benchSet = spark.read.parquet(s"$path/benchgrams")
-      .union(benchNew).distinct()
+    val benchSet = benchGrams.union(benchNew).distinct()
     // 0.3 = decontaminate's default threshold (the gate funnelDelta
     // composes); funnelDelta's `threshold` param is the NEAR-DUP knob
     val contam = grams3(

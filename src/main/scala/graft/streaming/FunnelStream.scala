@@ -1,0 +1,159 @@
+package graft.streaming
+
+import graft.operators.{Curation, Dedup, PQ}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The ONLINE curation funnel — q79 at ingest time, composing the
+  * three streaming families into one verdict stream: the exact +
+  * fuzzy decontamination gates (DecontamStream), first-writer-wins
+  * duplicate state (DedupStream.corpusGate's rule, here as a
+  * persisted seen-store), and optionally PqStream's indexed ANN probe
+  * for arrivals that carry embeddings.
+  *
+  * Architecture: a micro-batch IS a nightly delta, so the stream is
+  * `Curation.funnelGate` ITERATED — each batch gates against
+  * (persisted FunnelIndex ∪ the arrivals absorbed so far), then joins
+  * the seen-store itself. One gate definition serves q79, q79b and
+  * the stream (the no-paste-drift rule); `foreachBatch` is what makes
+  * that literal, because inside it the batch is a static frame and
+  * every batch operator composes freely — no multi-stateful-operator
+  * restrictions, no stream-stream joins.
+  *
+  * Semantics (FunnelStreamSpec pins all three):
+  *   - history beats arrival: FunnelIndex docs + earlier batches win
+  *     over the current batch; within a batch the smaller doc_id wins
+  *     (funnelGate's batch-local rule).
+  *   - the bench side is FROZEN AT SETUP over the whole dir (bench
+  *     suites are known up front — DecontamStream's contract, and
+  *     exactly funnelDelta's bench set), so a doc is contaminated by
+  *     a bench doc even when that bench doc arrives in a LATER batch.
+  *   - arrivals fed in ascending doc_id order reproduce batch
+  *     funnelDelta on the union EXACTLY, row for row; out-of-order
+  *     arrivals resolve by arrival time — ingest-time first-writer-
+  *     wins, which is what an online gate should do.
+  *
+  * Scale shape: per batch, every history touch is the same keyed
+  * probe funnelGate makes for q79b — md5 left-semi, bucket-pruned
+  * shingle read (index partitions skip; the seen-store stays slim:
+  * one hash row + one shingle row per absorbed doc), broadcast bench
+  * grams. Nothing corpus-sized shuffles per micro-batch.
+  *
+  * Delivery: foreachBatch is at-least-once on retry; a production
+  * deployment keys sink + store appends by batchId for idempotence
+  * (the standard spelling) — kept out of this surface to keep the
+  * store layout inspectable by the spec.
+  */
+object FunnelStream {
+
+  /** An arriving document — the gate's input record. */
+  final case class DocIn(doc_id: Long, source: String, text: String)
+
+  /** Frozen stream context: corpus index location, seen-store root,
+    * the setup-time bench gram frame (persisted — read by every
+    * batch's broadcast), the fuzzy bench index, and (optional) the
+    * IVF-PQ gate index for embedding-carrying arrivals.
+    */
+  final case class Ctx(dir: String, statePath: String,
+                       benchMod: Int, minPass: Int, threshold: Double,
+                       nBuckets: Int, benchGrams: DataFrame,
+                       fuzzy: DecontamStream.FuzzyBenchIndex,
+                       ann: Option[PqStream.GateIndex],
+                       annMaxDist: Double)
+
+  /** Build (or reuse) the FunnelIndex, freeze the bench sides, and
+    * (when withAnn) load the composed IVF-PQ index for the ANN leg.
+    */
+  def load(spark: SparkSession, dir: String, statePath: String,
+           deltaMod: Int = 16, benchMod: Int = 97, minPass: Int = 6,
+           threshold: Double = 0.5, nBuckets: Int = 64,
+           withAnn: Boolean = false, annMaxDist: Double = 0.5): Ctx = {
+    val path = Curation.FunnelIndex.path(spark, dir)
+    if (!Curation.FunnelIndex.fresh(spark, dir, path, deltaMod, benchMod, nBuckets))
+      Curation.FunnelIndex.build(spark, dir, path, deltaMod, benchMod, nBuckets)
+    val bench = Curation.docGrams3(spark, dir)
+      .filter(col("doc_id") % benchMod === 0)
+      .select(explode(col("g3")).as("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Ctx(dir, statePath, benchMod, minPass, threshold, nBuckets, bench,
+      DecontamStream.loadBenchFuzzy(spark, dir, benchMod),
+      if (withAnn) Some(PqStream.loadIndex(spark, dir)) else None,
+      annMaxDist)
+  }
+
+  private def readIfExists(spark: SparkSession, p: String, schema: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p))) spark.read.parquet(p)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
+
+  /** Gate ONE batch (a static frame inside foreachBatch, or any
+    * batch frame — same code path) against index ∪ seen-store.
+    * Returns the verdict frame; does NOT absorb the batch.
+    */
+  def gateBatch(ctx: Ctx, batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val ipath = Curation.FunnelIndex.path(spark, ctx.dir)
+    val hashes = spark.read.parquet(s"$ipath/hashes")
+      .unionByName(readIfExists(spark, s"${ctx.statePath}/hashes", "h STRING"))
+    val shingles = spark.read.parquet(s"$ipath/shingles")
+      .unionByName(readIfExists(spark, s"${ctx.statePath}/shingles",
+        "doc_id BIGINT, sh ARRAY<STRING> NOT NULL, blk STRING, pblk INT"))
+    val verdicts = Curation.funnelGate(spark, batch.select("doc_id", "source", "text"),
+      hashes, shingles, ctx.benchGrams,
+      ctx.benchMod, ctx.minPass, ctx.threshold, ctx.nBuckets)
+    val fuzzy = DecontamStream.gateFuzzy(ctx.fuzzy, batch.select("doc_id", "text")).toDF()
+      .select(col("doc_id"), col("contaminated").as("fuzzy_contaminated"))
+    val ann = ctx.ann match {
+      case Some(idx) if batch.columns.contains("embedding") =>
+        PqStream.nearDupGate(idx,
+            batch.select(col("doc_id").as("vec_id"), col("embedding")),
+            ctx.annMaxDist)
+          .filter(col("vec_id") =!= col("in_id")) // self-hits are not dups
+          .select(col("in_id").as("doc_id")).distinct()
+          .withColumn("ann_dup", lit(true))
+      case _ => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, ann_dup BOOLEAN"))
+    }
+    verdicts
+      .join(fuzzy, Seq("doc_id"), "left")
+      .join(ann, Seq("doc_id"), "left")
+      .withColumn("fuzzy_contaminated", coalesce(col("fuzzy_contaminated"), lit(false)))
+      .withColumn("ann_dup", coalesce(col("ann_dup"), lit(false)))
+      .orderBy("doc_id")
+  }
+
+  /** Absorb a batch into the seen-store: one md5 row and one shingle
+    * row per doc — the slim first-writer-wins state the next batches
+    * probe. Call AFTER the batch's verdicts are materialized.
+    */
+  def absorb(ctx: Ctx, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    batch.select(md5(col("text")).as("h")).distinct()
+      .write.mode("append").parquet(s"${ctx.statePath}/hashes")
+    Dedup.docShinglesOn(spark, batch.select("doc_id", "text"))
+      .withColumn("blk", element_at(col("sh"), 1))
+      .withColumn("pblk", pmod(xxhash64(col("blk")), lit(ctx.nBuckets)).cast("int"))
+      .select("doc_id", "sh", "blk", "pblk")
+      .write.mode("append").parquet(s"${ctx.statePath}/shingles")
+  }
+
+  /** The verdict stream: gate each micro-batch, append verdicts to
+    * `outPath`, then absorb the batch. The sink write is an action,
+    * so verdicts materialize against the PRE-absorb store (the batch
+    * must never see itself as history).
+    */
+  def verdicts(ctx: Ctx, docs: Dataset[DocIn], outPath: String,
+               checkpoint: String): StreamingQuery =
+    docs.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        gateBatch(ctx, batch).write.mode("append").parquet(outPath)
+        absorb(ctx, batch)
+      }
+      .start()
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins streaming.FunnelStream — the online q79:
+  *   1. stream-across-batches ≡ batch funnelDelta on the union when
+  *      arrivals come in ascending doc_id order (the batch partner
+  *      rule and arrival order agree), row for row on the q79 columns;
+  *   2. the composed fuzzy column ≡ DecontamStream.gateFuzzy on the
+  *      union (the q76 ingest gate riding along);
+  *   3. ingest-time first-writer-wins: an EARLIER ARRIVAL beats a
+  *      later arrival even when the later one has a smaller doc_id —
+  *      the stream's semantics where arrival order and id order
+  *      disagree (batch q79 resolves by id; the stream resolves by
+  *      when the doc actually showed up, which is what an online
+  *      admission gate must do).
+  */
+class FunnelStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import streaming.FunnelStream._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rowKey(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3),
+      r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getString(7))
+
+  test("stream verdicts across batches == batch funnelDelta on the union; fuzzy rides along") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val state = tmp("funnel_state"); val out = tmp("funnel_out"); val ckpt = tmp("funnel_ckpt")
+    val ctx = load(spark, TestSpark.dir, state)
+    val deltaDocs = Tables.documents(spark, TestSpark.dir)
+      .filter(col("doc_id") % 16 === 0)
+      .select("doc_id", "source", "text")
+      .as[DocIn].collect().sortBy(_.doc_id)
+    assert(deltaDocs.length > 10, "the sf0.001 delta must be non-trivial")
+    val (b1, rest) = deltaDocs.splitAt(deltaDocs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    val q = verdicts(ctx, stream.toDS(), out, ckpt)
+    Seq(b1, b2, b3).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.read.parquet(out)
+    val gotRows = got
+      .select("doc_id", "source", "n_pass", "is_bench",
+        "is_exact_dup", "is_near_dup", "contaminated", "stage")
+      .collect().map(rowKey).sortBy(_._1).toSeq
+    val want = operators.Curation.funnelDelta(spark, TestSpark.dir)
+      .collect().map(rowKey).sortBy(_._1).toSeq
+    assert(gotRows == want,
+      "ascending-order ingest must reproduce the batch delta funnel exactly")
+    // the composed q76 leg: fuzzy_contaminated ≡ gateFuzzy on the union
+    val wantFuzzy = streaming.DecontamStream
+      .gateFuzzy(ctx.fuzzy, Tables.documents(spark, TestSpark.dir)
+        .filter(col("doc_id") % 16 === 0).select("doc_id", "text"))
+      .collect().filter(_.contaminated).map(_.doc_id).toSet
+    val gotFuzzy = got.filter(col("fuzzy_contaminated"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotFuzzy == wantFuzzy, "the fuzzy column must equal the q76 ingest gate on the union")
+  }
+
+  test("ingest-time first-writer-wins: earlier ARRIVAL beats smaller doc_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textGood = "the quiet harbor sheltered a small fleet of wooden boats during rough " +
+      "weather while fishermen mended their heavy nets beside tall stacks of salted crates " +
+      "and seagulls circled above the narrow pier waiting for scraps every morning"
+    val textOld = "the quick brown foxes jumped gracefully over a sleeping canine beside the " +
+      "quiet riverbank while autumn leaves drifted slowly downward covering narrow pathways " +
+      "with golden colors during early morning hours yesterday"
+    val dir = "/fake/funnel_stream_fww"
+    Tables.registerOverride(spark, dir, "documents", Seq(
+      (1L, "s", textOld) // pre-existing corpus; no bench docs in this fixture
+    ).toDF("doc_id", "source", "text"))
+    val state = tmp("fww_state"); val out = tmp("fww_out"); val ckpt = tmp("fww_ckpt")
+    val ctx = load(spark, dir, state)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    val q = verdicts(ctx, stream.toDS(), out, ckpt)
+    stream.addData(DocIn(160L, "s", textGood)); q.processAllAvailable() // first writer
+    stream.addData(
+      DocIn(16L, "s", textGood),  // smaller id, LATER arrival -> dup
+      DocIn(32L, "s", textOld))   // twin of pre-existing corpus doc -> dup
+    q.processAllAvailable()
+    q.stop()
+    val stages = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(stages(160L) == "admitted", "the first arrival owns the content")
+    assert(stages(16L) == "exact_dup",
+      "a later arrival is a dup of absorbed history even with a smaller doc_id")
+    assert(stages(32L) == "exact_dup", "pre-existing corpus always beats an arrival")
+  }
+}
