@@ -1,0 +1,171 @@
+package graft.mcp
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.operators.{TextEncoder, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MCP-shaped serving adapter — the reference's four MCP tools
+  * (/root/reference/terrorblade/mcp/server.py:119-379: vector_search /
+  * cluster_search / get_cluster / random_large_cluster) re-expressed
+  * as a PURE FUNCTION surface over the library's own operators. No
+  * transport: the sandbox runs no service processes, and an MCP host
+  * would wrap these four calls 1:1 — every tool body below is exactly
+  * the query its reference twin runs, so the serving layer adds no
+  * query logic of its own (the same division the reference makes:
+  * server.py delegates to VectorStore/TelegramDatabase).
+  *
+  * Model mapping (testdata schema ↔ reference schema):
+  *   embeddings.vec_id ↔ message embedding id; documents.doc_id ↔
+  *   message id (q18's join contract); documents.source ↔ chat_id;
+  *   Vectors.semanticGroups' (source, group_id) ↔ the reference's
+  *   (chat_id, group_id) cluster key (cluster_search aggregates by
+  *   exactly that pair, server.py:241-246).
+  *
+  * The query string is embedded with TextEncoder (q49's deterministic
+  * batched encoder contract — the seam a real model plugs into;
+  * server.py's _encode_query is the same seam around
+  * SentenceTransformer). Scale shape: the single query vector rides a
+  * broadcast literal onto one corpus scan (q16's plan); cluster
+  * joins broadcast the k-bounded hit set (q18's plan); nothing here
+  * shuffles the corpus.
+  */
+object McpTools {
+
+  private def embeddingDim(spark: SparkSession, dir: String): Int =
+    Tables.embeddings(spark, dir).select(size(col("embedding"))).head.getInt(0)
+
+  /** vector_search (server.py:119-189): semantic top-k with text +
+    * optional source (chat) filter, similarity threshold, and the
+    * hit's cluster id. `includeClusterContext` adds the cluster's
+    * leading preview — the compact cluster snippet of the reference.
+    */
+  def vectorSearch(spark: SparkSession, dir: String, query: String,
+                   topK: Int = 10, source: Option[String] = None,
+                   similarityThreshold: Double = 0.0,
+                   includeClusterContext: Boolean = true): DataFrame = {
+    require(topK > 0 && topK <= 1000, "top_k must be in the range 1..1000")
+    require(similarityThreshold >= 0.0 && similarityThreshold <= 1.0,
+      "similarity_threshold must be between 0.0 and 1.0")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        substring(col("text"), 1, 40).as("preview"))
+    val groups = Vectors.semanticGroups(spark, dir)
+      .select(col("doc_id"), col("source").as("g_source"), col("group_id"))
+    val scoredDocs = queryScoredImpl(spark, dir, query)
+      .join(docs, col("vec_id") === col("doc_id"))
+    val filtered = source.fold(scoredDocs)(s => scoredDocs.filter(col("source") === s))
+      .filter(col("sim") >= similarityThreshold)
+    // top-k as orderBy+limit = TakeOrderedAndProject (distributed
+    // per-partition top-k, merged on the driver) — NEVER a global
+    // row_number window, which would single-task the corpus. The rank
+    // window below runs over the already-k-bounded frame (≤1000 rows).
+    val w = Window.orderBy(col("sim").desc, col("vec_id"))
+    val hits = filtered
+      .orderBy(col("sim").desc, col("vec_id")).limit(topK)
+      .withColumn("rk", row_number().over(w))
+      .join(groups.drop("g_source"), Seq("doc_id"), "left")
+      .select("vec_id", "sim", "rk", "source", "lang", "preview", "group_id")
+    if (!includeClusterContext) hits.orderBy("rk")
+    else {
+      // cluster snippet = the group's leading member's preview (min
+      // doc_id — deterministic), the compact analog of the
+      // reference's include_cluster_messages text
+      val lead = Vectors.semanticGroups(spark, dir)
+        .groupBy(col("source").as("c_source"), col("group_id").as("c_group"))
+        .agg(min("doc_id").as("lead_id"))
+        .join(Tables.documents(spark, dir).select(col("doc_id").as("lead_id"),
+          substring(col("text"), 1, 40).as("cluster_preview")), "lead_id")
+        .select("c_source", "c_group", "cluster_preview")
+      hits.join(broadcast(lead),
+          col("source") === col("c_source") && col("group_id") === col("c_group"), "left")
+        .select(col("vec_id"), col("sim"), col("rk"), col("source"), col("lang"),
+          col("preview"), col("group_id"), col("cluster_preview"))
+        .orderBy("rk")
+    }
+  }
+
+  /** One corpus scan scored against the encoded query — the shared
+    * kernel of vector_search and cluster_search (they differ only in
+    * aggregation, exactly as in the reference): the query vector is a
+    * broadcast literal on q16's plan shape.
+    */
+  private def queryScoredImpl(spark: SparkSession, dir: String, query: String): DataFrame = {
+    require(query.trim.nonEmpty, "query must be a non-empty string")
+    GraftFunctions.register(spark)
+    val qvec = TextEncoder.encodeBatch(Seq(query), embeddingDim(spark, dir)).head
+    val qlit = array(qvec.map(lit(_)): _*).cast("array<float>")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("qvec", qlit)
+      .withColumn("sim", round(expr("cosine_sim(embedding, qvec)"), 6))
+      .drop("qvec")
+  }
+
+  /** cluster_search (server.py:191-276): aggregate the top-k hits by
+    * (cluster, chat): best similarity, hit count, the best hit's
+    * preview as the snippet; rank by (best_similarity, hits) desc —
+    * the reference's exact ordering, with (group_id, source) as the
+    * deterministic tie-break the reference leaves to dict order.
+    */
+  def clusterSearch(spark: SparkSession, dir: String, query: String,
+                    topK: Int = 50, maxClusters: Int = 10,
+                    similarityThreshold: Double = 0.0): DataFrame = {
+    require(maxClusters > 0 && maxClusters <= 1000, "max_clusters must be in the range 1..1000")
+    val hits = vectorSearch(spark, dir, query, topK, None, similarityThreshold,
+        includeClusterContext = false)
+      .filter(col("group_id").isNotNull) // the reference skips cluster_id < 0
+    hits
+      .groupBy(col("group_id"), col("source"))
+      .agg(
+        max(col("sim")).as("best_similarity"),
+        count(lit(1)).as("hits"),
+        // snippet of the MOST similar member; vec_id tie-break
+        max(struct(col("sim"), -col("vec_id"), col("preview"))).getField("preview").as("snippet"))
+      .orderBy(col("best_similarity").desc, col("hits").desc, col("group_id"), col("source"))
+      .limit(maxClusters)
+  }
+
+  /** get_cluster (server.py:280-328): every member of one (source,
+    * group) cluster with its text, in id order — the reference's
+    * ORDER BY m.date with this schema's monotone id standing in.
+    */
+  def getCluster(spark: SparkSession, dir: String, source: String,
+                 groupId: Long): DataFrame = {
+    require(groupId >= 0, "group_id must be >= 0")
+    Vectors.semanticGroups(spark, dir)
+      .filter(col("source") === source && col("group_id") === groupId)
+      .select("doc_id", "source", "group_id")
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** random_large_cluster (server.py:331-370): a "random" cluster of
+    * size ≥ minSize. Randomness is SEEDED here (the q59 multiplicative
+    * hash over the cluster key) — an engine that promises
+    * deterministic replays has no business calling rand() at serve
+    * time; vary `seed` for a different pick.
+    */
+  def randomLargeCluster(spark: SparkSession, dir: String,
+                         minSize: Int = 10, seed: Long = 42L): DataFrame = {
+    require(minSize > 0, "min_size must be > 0")
+    val big = Vectors.semanticGroups(spark, dir)
+      .groupBy("source", "group_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSize)
+    val pick = big
+      .withColumn("hkey", abs(hash(col("source"), col("group_id"), lit(seed))))
+      .orderBy(col("hkey"), col("source"), col("group_id"))
+      .limit(1)
+      .select(col("source").as("p_source"), col("group_id").as("p_group"))
+    Vectors.semanticGroups(spark, dir)
+      .join(broadcast(pick),
+        col("source") === col("p_source") && col("group_id") === col("p_group"))
+      .select("doc_id", "source", "group_id")
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id")
+      .orderBy("doc_id")
+  }
+}

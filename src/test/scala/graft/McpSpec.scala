@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins mcp.McpTools — the serving adapter over q16/q14/q18's
+  * operators: each tool's result must be a pure deterministic
+  * function of (dir, arguments) and structurally consistent with the
+  * operators it delegates to (the adapter adds NO query logic).
+  */
+class McpSpec extends AnyFunSuite {
+  import TestSpark._
+  import mcp.McpTools._
+
+  private val q = "what did the harbor fleet do during rough weather"
+
+  test("vector_search: ranked top-k with text, threshold honored, deterministic") {
+    val r = vectorSearch(spark, TestSpark.dir, q, topK = 7).collect()
+    assert(r.length == 7)
+    val sims = r.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "ranked by sim desc")
+    assert(r.map(_.getInt(2)).toSeq == (1 to 7), "dense ranks")
+    assert(r.forall(x => Option(x.getString(5)).exists(_.nonEmpty)), "every hit carries its preview")
+    val r2 = vectorSearch(spark, TestSpark.dir, q, topK = 7).collect()
+    assert(r.toSeq == r2.toSeq, "serving must be deterministic in (dir, args)")
+    val thr = sims(3)
+    val rt = vectorSearch(spark, TestSpark.dir, q, topK = 7, similarityThreshold = thr).collect()
+    assert(rt.forall(_.getDouble(1) >= thr), "threshold is a hard floor")
+  }
+
+  test("vector_search: source filter restricts hits; cluster context joins the group lead") {
+    val all = vectorSearch(spark, TestSpark.dir, q, topK = 5).collect()
+    val src = all.head.getString(3)
+    val filtered = vectorSearch(spark, TestSpark.dir, q, topK = 5, source = Some(src)).collect()
+    assert(filtered.nonEmpty && filtered.forall(_.getString(3) == src))
+    assert(all.head.schema.fieldNames.contains("cluster_preview"))
+    val bare = vectorSearch(spark, TestSpark.dir, q, topK = 5,
+      includeClusterContext = false).collect()
+    assert(!bare.head.schema.fieldNames.contains("cluster_preview"))
+  }
+
+  test("cluster_search aggregates vector_search's own hits (reference aggregation replayed)") {
+    val hits = vectorSearch(spark, TestSpark.dir, q, topK = 50,
+        includeClusterContext = false)
+      .collect().filter(!_.isNullAt(6))
+      .map(x => (x.getLong(6), x.getString(3), x.getDouble(1), x.getLong(0)))
+    val expect = hits.groupBy(h => (h._1, h._2)).map { case ((g, s), hs) =>
+      (g, s, hs.map(_._3).max, hs.length.toLong)
+    }.toSeq.sortBy(x => (-x._3, -x._4, x._1, x._2)).take(10)
+    val got = clusterSearch(spark, TestSpark.dir, q)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2), x.getLong(3)))
+    assert(got.toSeq == expect, "cluster aggregation must replay the reference rule exactly")
+  }
+
+  test("get_cluster returns exactly the group's members in id order") {
+    val g = operators.Vectors.semanticGroups(spark, TestSpark.dir)
+      .groupBy("source", "group_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3).orderBy("source", "group_id").head
+    val members = getCluster(spark, TestSpark.dir, g.getString(0), g.getLong(1)).collect()
+    assert(members.length == g.getLong(2))
+    val ids = members.map(_.getLong(0))
+    assert(ids.sorted.toSeq == ids.toSeq, "ordered by id (the date stand-in)")
+    assert(members.forall(m => !m.isNullAt(3)), "every member carries its text")
+  }
+
+  test("random_large_cluster: seeded pick among eligible groups, full membership, deterministic") {
+    val r = randomLargeCluster(spark, TestSpark.dir, minSize = 3).collect()
+    assert(r.nonEmpty && r.length >= 3, "the picked cluster meets min_size")
+    val (src, grp) = (r.head.getString(1), r.head.getLong(2))
+    assert(r.forall(x => x.getString(1) == src && x.getLong(2) == grp), "ONE cluster, fully")
+    assert(r.toSeq == randomLargeCluster(spark, TestSpark.dir, minSize = 3).collect().toSeq,
+      "same seed, same pick")
+    val viaGet = getCluster(spark, TestSpark.dir, src, grp).collect()
+    assert(r.map(_.getLong(0)).toSeq == viaGet.map(_.getLong(0)).toSeq,
+      "membership agrees with get_cluster")
+  }
+}
