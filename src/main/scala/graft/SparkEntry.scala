@@ -71,13 +71,16 @@ object SparkEntry {
     "q67c_pq_indexed"       -> ((s, d) => PQ.pqTopKIndexed(s, d)),
     "q67d_ivfpq_indexed"    -> ((s, d) => PQ.ivfPqTopKIndexed(s, d)),
     // codes is ARRAY<INT>; the driver's pandas compare canonicalizes by
-    // sorting every column and crashes on array cells (SURVEY §6: arrays
-    // reach the compare only as sorted arrays or sizes) — spell it as a
-    // deterministic CSV string at the entry surface only.
+    // sorting every column and crashes on array cells (SURVEY §6:
+    // order-significant arrays reach the compare as a positional string)
+    // — spell it via to_json, where a NULL element prints as `null` and
+    // an empty/missing array stays distinguishable ("[]"/NULL), so a
+    // malformed encode can never be masked at the compared surface
+    // (ADVICE r10: concat_ws silently skipped null elements).
     "q67e_pq_encode_incr"   -> ((s, d) => PQ.pqEncodeIncremental(s, d)
       .select(org.apache.spark.sql.functions.col("vec_id"),
-              org.apache.spark.sql.functions.concat_ws(",",
-                org.apache.spark.sql.functions.col("codes").cast("array<string>"))
+              org.apache.spark.sql.functions.to_json(
+                org.apache.spark.sql.functions.col("codes"))
                 .as("codes_csv"))),
     "q67f_ivfpq_incr"       -> ((s, d) => PQ.ivfPqIncrTopK(s, d)),
     "q53_dup_clusters"      -> ((s, d) => DupGraph.dupClusters(s, d)),
