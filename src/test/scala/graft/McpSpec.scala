@@ -28,6 +28,14 @@ class McpSpec extends AnyFunSuite {
     assert(rt.forall(_.getDouble(1) >= thr), "threshold is a hard floor")
   }
 
+  test("vector_search top-k is TakeOrdered, never a corpus-wide single-task window") {
+    val plan = vectorSearch(spark, TestSpark.dir, q, topK = 7,
+        includeClusterContext = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"serving top-k must be a distributed orderBy+limit:\n$plan")
+  }
+
   test("vector_search: source filter restricts hits; cluster context joins the group lead") {
     val all = vectorSearch(spark, TestSpark.dir, q, topK = 5).collect()
     val src = all.head.getString(3)
