@@ -62,6 +62,25 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(gotFuzzy == wantFuzzy, "the fuzzy column must equal the q76 ingest gate on the union")
   }
 
+  test("ann leg: an arrival carrying an indexed twin's embedding flags ann_dup") {
+    import spark.implicits._
+    val state = tmp("ann_state")
+    val ctx = load(spark, TestSpark.dir, state, withAnn = true, annMaxDist = 1e12)
+    val twin = Tables.embeddings(spark, TestSpark.dir)
+      .filter(col("vec_id") === 7L).select("embedding")
+      .head.getSeq[Float](0).toArray
+    val batch = Seq((5000007L, "s", "an arrival that rides the vector leg too", twin))
+      .toDF("doc_id", "source", "text", "embedding")
+    val out = gateBatch(ctx, batch).collect()
+    assert(out.length == 1, "one arrival, one verdict row")
+    assert(out.head.getBoolean(out.head.fieldIndex("ann_dup")),
+      "an exact twin of an indexed vector must hit through the PQ probe (ADC floor)")
+    // without an embedding column the leg is inert, never an error
+    val plain = gateBatch(ctx,
+      Seq((5000008L, "s", "a text-only arrival")).toDF("doc_id", "source", "text")).collect()
+    assert(!plain.head.getBoolean(plain.head.fieldIndex("ann_dup")))
+  }
+
   test("ingest-time first-writer-wins: earlier ARRIVAL beats smaller doc_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
