@@ -44,6 +44,7 @@ object SparkEntry {
     "q19_ann_ivf"           -> ((s, d) => Vectors.annIvf(s, d)),
     "q19b_ann_ivf_seeded"   -> ((s, d) => Vectors.annIvfSeeded(s, d)),
     "q41_kmeans_ivf"        -> ((s, d) => Vectors.kmeansIvf(s, d)),
+    "q41b_kmeans_planted"   -> ((s, d) => Vectors.kmeansPlanted(s, d)),
     "q47_sliding_segments"  -> ((s, d) => Vectors.slidingSegments(s, d)),
     "q48_ivf_persisted"     -> ((s, d) => VectorIndex.buildAndProbe(s, d)),
     "q48b_index_stats"      -> ((s, d) => VectorIndex.statsEntry(s, d)),
@@ -1447,6 +1448,13 @@ object SparkEntry {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // q41b: assignment purity — a verbatim copy (same label, same
+    // embedding) can never diverge from its original through the
+    // Lloyd loop, so every planted pair co-assigns with certainty and
+    // the oracle is the pair set itself.
+    "q41b_kmeans_planted" ->
+      """SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, TRUE AS co_assigned
+        |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY 1""".stripMargin,
     // q67g: the planted-pair ADC-floor contract — a verbatim copy of
     // each query vector must be its top-1 (the self-pair drops; the
     // copy sits at the ADC floor in the query's own probed cell), so

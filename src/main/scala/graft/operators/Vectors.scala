@@ -181,9 +181,18 @@ object Vectors {
     * asserts identical assignments.
     */
   private[graft] def kmeansAssign(spark: SparkSession, dir: String, iters: Int,
-                                  nCoarse: Int = 1): DataFrame = {
+                                  nCoarse: Int = 1): DataFrame =
+    kmeansAssignOn(spark,
+      Tables.embeddings(spark, dir).select("vec_id", "label", "embedding"),
+      iters, nCoarse)
+
+  /** The q41 Lloyd loop over an arbitrary (vec_id, label, embedding)
+    * frame — the seam q41b's planted corpus rides (the ivfPqTopKOn /
+    * dedupEmbeddingIvfOn factoring applied to k-means).
+    */
+  private[graft] def kmeansAssignOn(spark: SparkSession, e: DataFrame, iters: Int,
+                                    nCoarse: Int = 1): DataFrame = {
     GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
     var assign = e.select(col("vec_id"), col("embedding"), col("label").as("cell"),
       lit(null).cast("double").as("csim"))
     for (_ <- 1 to iters) {
@@ -250,6 +259,38 @@ object Vectors {
     kmeansAssign(spark, dir, iters)
       .select("vec_id", "cell", "csim")
       .orderBy("vec_id")
+
+  /** q41b: the ORACLE-EXACT graduation of the k-means family — the
+    * planting pattern (q27b/q28b/q29d/q67g) applied to ASSIGNMENT
+    * PURITY: the corpus plus a verbatim copy of every `every`-th
+    * vector (same label, vec_id + idOffset) runs q41's own Lloyd
+    * loop, and each planted pair must land in the SAME cell after
+    * every iteration. Why certain: the initial cell is the shared
+    * label, and each reassignment is a pure per-vector function of
+    * (embedding, centroid frame) — rounded-cosine ranking with cell
+    * tie-breaks — so identical embeddings can never diverge, whatever
+    * the centroids (which the copies themselves shift) compute to. A
+    * nondeterministic tie-break, an unstable ranking, or dropped/
+    * duplicated rows in the loop's joins would each break it. Cell
+    * ids/means stay out of the output (engine-internal floats); the
+    * oracle is the trivial planted-pair SELECT.
+    */
+  def kmeansPlanted(spark: SparkSession, dir: String, every: Int = 20,
+                    idOffset: Long = 1000000L, iters: Int = 2): DataFrame = {
+    val planted = Tables.embeddings(spark, dir)
+      .select(explode(when(col("vec_id") % every === 0,
+          array(col("vec_id"), col("vec_id") + idOffset))
+        .otherwise(array(col("vec_id")))).as("vec_id"),
+        col("label"), col("embedding"))
+    val assign = kmeansAssignOn(spark, planted, iters)
+      .select("vec_id", "cell")
+    assign.filter(col("vec_id") % every === 0 && col("vec_id") < idOffset).as("a")
+      .join(assign.filter(col("vec_id") >= idOffset).as("b"),
+        col("b.vec_id") === col("a.vec_id") + idOffset)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (col("a.cell") === col("b.cell")).as("co_assigned"))
+      .orderBy("vec_a")
+  }
 
   /** Coarse-group count for a given fine-cell count: 1 (flat — the
     * optimal plan while the whole centroid set comfortably broadcasts

@@ -69,4 +69,14 @@ class KmeansSpec extends AnyFunSuite {
     assert(inc == full.filter { case (_, b) => b >= cut },
       s"incremental must emit exactly the pairs whose newer side is >= $cut")
   }
+
+  test("q41b: every planted twin co-assigns through the Lloyd loop (assignment purity)") {
+    val got = operators.Vectors.kmeansPlanted(spark, TestSpark.dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val expect = operators.Vectors.kmeansIvf(spark, TestSpark.dir)
+      .select("vec_id").collect().map(_.getLong(0)).filter(_ % 20 == 0)
+      .map(v => (v, v + 1000000L, true))
+    assert(got.toSeq == expect.toSeq,
+      "identical embeddings may never diverge, whatever the centroids compute to")
+  }
 }
