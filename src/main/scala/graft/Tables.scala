@@ -105,10 +105,24 @@ object Tables {
     * DATATYPE_MISMATCH analysis errors (the r10 failure mode).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // No-op for non-NANOS files; kept so genuinely TIMESTAMP(NANOS)
-    // generations still load (without it the scan itself throws).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = read(spark, dir, "events")
+    // TIMESTAMP(NANOS) generations need the legacy nanosAsLong conf —
+    // and not just for schema inference: the scan's hadoopConf is
+    // rebuilt from session conf at execution, so once such a file is
+    // seen the conf must STAY set for this session. For every other
+    // generation (timestamp[us], the current one) we must not touch
+    // session conf at all — unconditionally setting it here leaked a
+    // session-wide behavior change into unrelated parquet reads
+    // (ADVICE r11). So: try the plain read first; only on the
+    // distinctive "Illegal Parquet type … NANOS" failure set the conf
+    // and retry (computeIfAbsent caches nothing on a throw, so the
+    // retry re-runs the footer read under the conf).
+    val df =
+      try read(spark, dir, "events")
+      catch {
+        case e: Throwable if Option(e.getMessage).exists(_.contains("NANOS")) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          read(spark, dir, "events")
+      }
     import org.apache.spark.sql.functions.{col, lit, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {

@@ -27,7 +27,10 @@ object Verify {
         status(name) = "ok"
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        status(name) = s"err: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()}"
+        // nextOption: an exception with an empty-string (non-null) message
+        // must degrade to the class name, not kill the whole verify run
+        // from inside the handler that exists to keep it alive.
+        status(name) = s"err: ${Option(e.getMessage).getOrElse("").linesIterator.nextOption().filter(_.nonEmpty).getOrElse(e.getClass.getName)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

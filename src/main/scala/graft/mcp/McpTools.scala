@@ -34,8 +34,20 @@ import org.apache.spark.sql.functions._
   */
 object McpTools {
 
-  private def embeddingDim(spark: SparkSession, dir: String): Int =
-    Tables.embeddings(spark, dir).select(size(col("embedding"))).head.getInt(0)
+  /** Embedding dimensionality, memoized per (session, dir): deriving
+    * it is a head-of-scan Spark job, and a serving adapter must not
+    * pay that on EVERY vectorSearch/clusterSearch call (ADVICE r11).
+    * The dim is a property of the corpus layout, not of any request;
+    * stopped sessions are evicted on touch (Tables' leak-bound rule).
+    */
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Integer]()
+
+  private def embeddingDim(spark: SparkSession, dir: String): Int = {
+    dimCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    dimCache.computeIfAbsent((spark, dir),
+      _ => Tables.embeddings(spark, dir).select(size(col("embedding"))).head.getInt(0)).intValue
+  }
 
   /** vector_search (server.py:119-189): semantic top-k with text +
     * optional source (chat) filter, similarity threshold, and the

@@ -40,10 +40,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * one hash row + one shingle row per absorbed doc), broadcast bench
   * grams. Nothing corpus-sized shuffles per micro-batch.
   *
-  * Delivery: foreachBatch is at-least-once on retry; a production
-  * deployment keys sink + store appends by batchId for idempotence
-  * (the standard spelling) — kept out of this surface to keep the
-  * store layout inspectable by the spec.
+  * Delivery: foreachBatch is at-least-once on retry, so BOTH writes a
+  * batch makes are keyed by batchId (the standard idempotence
+  * spelling): verdicts land in `outPath/batch=<id>` and seen-store
+  * rows in `statePath/{hashes,shingles}/batch=<id>`, each with
+  * overwrite — a replayed batch overwrites its own directory instead
+  * of duplicating rows. Gating prunes the store to `batch < id`, so a
+  * retry that crashed mid-absorb re-gates against exactly the history
+  * the first attempt saw (a batch must never see its own
+  * partially-absorbed rows as history). FunnelStreamSpec pins the
+  * replay: re-running a batch changes nothing.
   */
 object FunnelStream {
 
@@ -90,18 +96,34 @@ object FunnelStream {
       org.apache.spark.sql.types.StructType.fromDDL(schema))
   }
 
+  /** Seen-store leg read: batchId-partitioned dirs surface a `batch`
+    * partition column — prune to `batch < beforeBatch` (a retried
+    * batch must not see its own partially-absorbed rows; partition
+    * pruning makes the exclusion a directory skip) then drop it so
+    * the union with the index side stays schema-identical.
+    */
+  private def storeRead(spark: SparkSession, p: String, schema: String,
+                        beforeBatch: Option[Long]): DataFrame = {
+    val raw = readIfExists(spark, p, schema)
+    if (!raw.columns.contains("batch")) raw
+    else beforeBatch.fold(raw)(b => raw.filter(col("batch") < b)).drop("batch")
+  }
+
   /** Gate ONE batch (a static frame inside foreachBatch, or any
     * batch frame — same code path) against index ∪ seen-store.
     * Returns the verdict frame; does NOT absorb the batch.
+    * `beforeBatch` (set by the stream) limits the store to batches
+    * strictly earlier — the replay-idempotence rule.
     */
-  def gateBatch(ctx: Ctx, batch: DataFrame): DataFrame = {
+  def gateBatch(ctx: Ctx, batch: DataFrame,
+                beforeBatch: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val ipath = Curation.FunnelIndex.path(spark, ctx.dir)
     val hashes = spark.read.parquet(s"$ipath/hashes")
-      .unionByName(readIfExists(spark, s"${ctx.statePath}/hashes", "h STRING"))
+      .unionByName(storeRead(spark, s"${ctx.statePath}/hashes", "h STRING", beforeBatch))
     val shingles = spark.read.parquet(s"$ipath/shingles")
-      .unionByName(readIfExists(spark, s"${ctx.statePath}/shingles",
-        "doc_id BIGINT, sh ARRAY<STRING> NOT NULL, blk STRING, pblk INT"))
+      .unionByName(storeRead(spark, s"${ctx.statePath}/shingles",
+        "doc_id BIGINT, sh ARRAY<STRING> NOT NULL, blk STRING, pblk INT", beforeBatch))
     val verdicts = Curation.funnelGate(spark, batch.select("doc_id", "source", "text"),
       hashes, shingles, ctx.benchGrams,
       ctx.benchMod, ctx.minPass, ctx.threshold, ctx.nBuckets)
@@ -129,31 +151,36 @@ object FunnelStream {
 
   /** Absorb a batch into the seen-store: one md5 row and one shingle
     * row per doc — the slim first-writer-wins state the next batches
-    * probe. Call AFTER the batch's verdicts are materialized.
+    * probe. Writes land in `batch=<id>` dirs with overwrite, so a
+    * replayed batch replaces its own rows instead of doubling them.
+    * Call AFTER the batch's verdicts are materialized.
     */
-  def absorb(ctx: Ctx, batch: DataFrame): Unit = {
+  def absorb(ctx: Ctx, batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     batch.select(md5(col("text")).as("h")).distinct()
-      .write.mode("append").parquet(s"${ctx.statePath}/hashes")
+      .write.mode("overwrite").parquet(s"${ctx.statePath}/hashes/batch=$batchId")
     Dedup.docShinglesOn(spark, batch.select("doc_id", "text"))
       .withColumn("blk", element_at(col("sh"), 1))
       .withColumn("pblk", pmod(xxhash64(col("blk")), lit(ctx.nBuckets)).cast("int"))
       .select("doc_id", "sh", "blk", "pblk")
-      .write.mode("append").parquet(s"${ctx.statePath}/shingles")
+      .write.mode("overwrite").parquet(s"${ctx.statePath}/shingles/batch=$batchId")
   }
 
-  /** The verdict stream: gate each micro-batch, append verdicts to
-    * `outPath`, then absorb the batch. The sink write is an action,
-    * so verdicts materialize against the PRE-absorb store (the batch
-    * must never see itself as history).
+  /** The verdict stream: gate each micro-batch against batches < id,
+    * overwrite `outPath/batch=<id>` with its verdicts, then absorb.
+    * The sink write is an action, so verdicts materialize against the
+    * PRE-absorb store (the batch must never see itself as history) —
+    * and because every write is batchId-keyed overwrite, an
+    * at-least-once replay of any batch is a no-op, not a double-count.
     */
   def verdicts(ctx: Ctx, docs: Dataset[DocIn], outPath: String,
                checkpoint: String): StreamingQuery =
     docs.toDF().writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        gateBatch(ctx, batch).write.mode("append").parquet(outPath)
-        absorb(ctx, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateBatch(ctx, batch, Some(batchId))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        absorb(ctx, batch, batchId)
       }
       .start()
 }
