@@ -1115,13 +1115,27 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q12_recipients" ->
       """WITH p AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day,
-        |             CAST(json_extract_string(props, 'k') AS INT) AS k FROM events)
-        |SELECT a.user_id AS user_id,
-        |  array_to_string(list_sort(list(DISTINCT b.user_id)), ',') AS co_users,
-        |  COUNT(DISTINCT b.user_id) AS n_co
-        |FROM p a JOIN p b
-        |  ON a.day = b.day AND a.k = b.k AND a.user_id <> b.user_id
-        |GROUP BY a.user_id ORDER BY user_id""".stripMargin,
+        |             CAST(json_extract_string(props, 'k') AS INT) AS k FROM events
+        |           WHERE json_extract_string(props, 'k') IS NOT NULL
+        |             AND user_id IS NOT NULL),
+        |sz AS (SELECT day, k, COUNT(*) AS bsz FROM p GROUP BY day, k),
+        |ps AS (SELECT p.user_id, p.day, p.k, sz.bsz
+        |       FROM p JOIN sz ON p.day = sz.day AND p.k = sz.k),
+        |agg AS (SELECT a.user_id AS user_id,
+        |          array_to_string(list_sort(list(DISTINCT b.user_id)), ',') AS co_users,
+        |          COUNT(DISTINCT b.user_id) AS n_co
+        |        FROM ps a JOIN ps b
+        |          ON a.day = b.day AND a.k = b.k AND a.user_id <> b.user_id
+        |        WHERE a.bsz BETWEEN 2 AND 10000
+        |        GROUP BY a.user_id),
+        |tr AS (SELECT user_id, COUNT(*) AS n_truncated FROM ps
+        |       WHERE bsz > 10000 GROUP BY user_id)
+        |SELECT COALESCE(agg.user_id, tr.user_id) AS user_id,
+        |  COALESCE(co_users, '') AS co_users,
+        |  COALESCE(n_co, 0) AS n_co,
+        |  COALESCE(n_truncated, 0) AS n_truncated
+        |FROM agg FULL OUTER JOIN tr ON agg.user_id = tr.user_id
+        |ORDER BY user_id""".stripMargin,
     "q13_semantic_segments" ->
       """WITH je AS (
         |  SELECT d.doc_id, d.source, e.embedding

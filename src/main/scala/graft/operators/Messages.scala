@@ -67,16 +67,21 @@ object Messages {
     * engine/partitioning-dependent.
     */
   /** `maxBucket` caps how large a conversation bucket may get before
-    * it is dropped: the OUTPUT of this operator is inherently
+    * it is DROPPED: the OUTPUT of this operator is inherently
     * near-quadratic in bucket size (every member lists every other
     * member), so one 10k-participant bucket contributes 10k rows ×
-    * 10k-long arrays no matter how it is computed. Production
-    * pipelines cap it (a bucket that hot is a broadcast channel, not
-    * a conversation); the default keeps every bucket for oracle
-    * parity.
+    * 10k-long arrays no matter how it is computed. A bucket that hot
+    * is a broadcast channel, not a conversation, so the cap is ON BY
+    * DEFAULT (10k — BucketProbe's evidence: capped 0.98s vs uncapped
+    * 4.4s on one planted 10k bucket; at 100 TB an uncapped default is
+    * an OOM, not a slowdown). Truncation is NOT silent: every member
+    * of a dropped bucket still gets an output row, with `n_truncated`
+    * = how many of their buckets were dropped — so a downstream
+    * consumer can see exactly whose co-participant lists are partial.
+    * The oracle applies the identical cap rule.
     */
   def recipients(spark: SparkSession, dir: String,
-                 maxBucket: Int = Int.MaxValue): DataFrame = {
+                 maxBucket: Int = 10000): DataFrame = {
     // Per-bucket ARRAY emission, never a pair stream: the bucket's
     // sorted member array is built once (one shuffle of the distinct
     // participant rows) and emitted once per member — O(Σ|bucket|)
@@ -84,19 +89,31 @@ object Messages {
     // flatMapGroups plan shuffled through a global distinct (1.63M
     // pair rows at sf0.1; the bench's slowest query at 2.27s). The
     // per-user merge then unions a few small sorted arrays.
+    //
+    // Cap enforcement is SIZE-FIRST: bucket sizes come from a plain
+    // count (map-side-combinable, O(1) state per bucket) and the
+    // over-cap rows are filtered out BEFORE collect_set, so the
+    // mega-bucket's member array is never materialized anywhere —
+    // capping after the fact would still build it once. The
+    // sizes join, the members groupBy, and the truncation count all
+    // hash on (day, k), so the exchange is reused across branches.
     val participants = withTsMs(spark, dir)
       .select(col("user_id"),
         expr("ts_ms DIV 86400000").as("day"),
-        // rows with null props / missing 'k' can never co-occur (the
-        // oracle's a.k = b.k join is null-rejecting)
+        // rows with null props / missing 'k' can never co-occur, and
+        // null members never co-occur either (the oracle's
+        // a.k = b.k / a.user_id <> b.user_id joins are null-rejecting)
         get_json_object(col("props"), "$.k").cast("int").as("k"))
-      .filter(col("k").isNotNull)
+      .filter(col("k").isNotNull && col("user_id").isNotNull)
       .distinct()
-    val buckets = participants
+    val sized = participants
+      .join(participants.groupBy("day", "k").agg(count(lit(1)).as("bsz")),
+        Seq("day", "k"))
+    val buckets = sized
+      .filter(col("bsz").between(2, maxBucket))
       .groupBy("day", "k")
       .agg(sort_array(collect_set("user_id")).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    buckets
+    val co = buckets
       .select(explode(col("members")).as("user_id"), col("members"))
       .groupBy("user_id")
       .agg(collect_list("members").as("member_lists"))
@@ -108,6 +125,14 @@ object Messages {
       .select(col("user_id"),
         array_join(col("co_arr"), ",").as("co_users"),
         size(col("co_arr")).cast("long").as("n_co"))
+    val truncated = sized
+      .filter(col("bsz") > maxBucket)
+      .groupBy("user_id").agg(count(lit(1)).as("n_truncated"))
+    co.join(truncated, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("co_users"), lit("")).as("co_users"),
+        coalesce(col("n_co"), lit(0L)).as("n_co"),
+        coalesce(col("n_truncated"), lit(0L)).as("n_truncated"))
       .orderBy("user_id")
   }
 

@@ -38,14 +38,20 @@ object BucketProbe {
       concat(lit("""{"k": """), pmod(col("id") * 13L, lit(10)), lit("}")).as("props"))
     hotRows.unionByName(normal).write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+    // min of 3: single interleaved runs swing ±5s on this fixture
+    // (GC of the mega-arrays bleeds into whichever run follows)
     def time(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val n = f.count()
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
+      val (ts, n) = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }.unzip
+      println(f"$name: min ${ts.min}%.2fs of ${ts.map(t => f"$t%.2f").mkString("/")} (${n.head} rows)")
     }
     time("warmup (capped)  ")(Messages.recipients(spark, dir, maxBucket = 1000))
     time("capped @1000     ")(Messages.recipients(spark, dir, maxBucket = 1000))
-    time(s"uncapped ($hot-hot)")(Messages.recipients(spark, dir))
+    time("default @10000   ")(Messages.recipients(spark, dir))
+    time(s"uncapped ($hot-hot)")(Messages.recipients(spark, dir, maxBucket = Int.MaxValue))
     spark.stop()
   }
 }

@@ -3,13 +3,25 @@ package graft.tools
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc single-query timer: runMain graft.tools.TimeQuery <sfdir> <name>...
-  * Times each named query twice through the noop sink (same protocol
-  * as Bench) and prints per-run seconds.
+/** Dev tool: run ONE SparkEntry query in an otherwise-idle session —
+  * the isolation harness for bench-drift triage (SURVEY §4: interleaved
+  * per-query numbers swing ±0.5-1s; an isolated A/B is the only honest
+  * way to pin a regression to a plan change vs scheduler noise).
+  *
+  * Usage: runMain graft.tools.TimeQuery <name> [sfDir] [iters] [outDir]
+  *   - warms up once (JVM/codegen/footers), then times `iters` runs
+  *     and prints each + min (min is the noise-free statistic for an
+  *     idle JVM).
+  *   - with outDir: also writes the result parquet to outDir/<name>
+  *     (same layout Verify uses, so selfcheck-style DuckDB compares
+  *     work on a single query).
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.head
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val iters = if (args.length > 2) args(2).toInt else 5
+    val outDir = if (args.length > 3) Some(args(3)) else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -17,13 +29,20 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.tail.foreach { name =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"TIME $name: ${times.map(t => f"$t%.2f").mkString(", ")}")
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'; keys: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    fn(spark, sfDir).count() // warmup
+    val times = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $s%.3fs ($n rows)")
+      s
+    }
+    println(f"$name min of $iters: ${times.min}%.3fs")
+    outDir.foreach { od =>
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$od/$name")
+      println(s"wrote $od/$name")
     }
     spark.stop()
   }

@@ -353,6 +353,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(sims(1)) < 1e-12)
     assert(sims(2) == 0.0)
   }
+
+  test("q12: over-cap buckets are dropped but their members surface n_truncated") {
+    import spark.implicits._
+    val fakeDir = "/fake/q12_cap"
+    // bucket A = (day 0, k 0) with 8 members (over a cap of 5): must be
+    // DROPPED from co-occurrence but visible through n_truncated.
+    // bucket B = (day 0, k 1) with 3 members (users 1, 100, 101): kept.
+    // user 1 sits in both — partial co-list + a truncation marker.
+    val rows = (1L to 8L).map(u =>
+      (u, u * 1000000L, u, "chat", 1.0, """{"k": 0}""")) ++
+      Seq(1L, 100L, 101L).map(u =>
+        (u + 50L, u * 1000000L, u, "chat", 1.0, """{"k": 1}"""))
+    Tables.registerOverride(spark, fakeDir, "events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = operators.Messages.recipients(spark, fakeDir, maxBucket = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("100,101", 2L, 1L)),
+      "a member of both buckets keeps the small bucket's co-list and flags the dropped one")
+    assert(out(2L) == (("", 0L, 1L)),
+      "a member of only the dropped bucket still gets a row: empty co-list, n_truncated=1")
+    assert(out(100L) == (("1,101", 2L, 0L)), "small-bucket-only members are untouched")
+    assert(out.size == 10, "every participant appears exactly once")
+  }
 }
 
 /** Streaming sessionization must agree with the batch operator and
