@@ -117,6 +117,7 @@ object SparkEntry {
     "q61_emb_outliers"      -> ((s, d) => EmbeddingQuality.embeddingOutliers(s, d)),
     "q62_hard_negs"         -> ((s, d) => EmbeddingQuality.hardNegatives(s, d)),
     "q62b_hard_negs_ivf"    -> ((s, d) => EmbeddingQuality.hardNegativesIvf(s, d)),
+    "q62c_hard_negs_planted" -> ((s, d) => EmbeddingQuality.hardNegativesIvfPlanted(s, d)),
     "q56_reply_threads"     -> ((s, d) => ReplyChains.eventThreads(s, d)),
     "q56b_thread_stats"     -> ((s, d) => ReplyChains.eventThreadStats(s, d)),
     "q30_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
@@ -1030,6 +1031,24 @@ object SparkEntry {
         |  SELECT anchor_id, anchor_label, vec_id, label, sim,
         |    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rk FROM sc) s
         |WHERE rk <= 5 ORDER BY anchor_id, rk""".stripMargin,
+    // q62c: brute-force cross-label top-1 over the PLANTED corpus —
+    // the IVF path recovers each anchor's verbatim twin with
+    // certainty (assignment purity), so IVF top-1 ≡ exact top-1
+    "q62c_hard_negs_planted" ->
+      """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT * FROM base
+        |      UNION ALL
+        |      SELECT vec_id + 1000000 AS vec_id, label + 100 AS label, emb
+        |      FROM base WHERE vec_id % 101 = 0),
+        |a AS (SELECT vec_id AS anchor_id, label AS anchor_label, emb AS avec
+        |      FROM c WHERE vec_id % 101 = 0),
+        |sc AS (SELECT a.anchor_id, a.anchor_label, c.vec_id, c.label,
+        |  round(list_cosine_similarity(c.emb, a.avec), 6) AS sim
+        |  FROM c JOIN a ON c.label <> a.anchor_label)
+        |SELECT anchor_id, anchor_label, vec_id, label, sim, CAST(rk AS INT) AS rk FROM (
+        |  SELECT anchor_id, anchor_label, vec_id, label, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rk FROM sc) s
+        |WHERE rk <= 1 ORDER BY anchor_id, rk""".stripMargin,
     "q31_quality_score" ->
       s"""SELECT doc_id, wc, n_stop,
          |  CAST(n_stop AS DOUBLE) / wc AS stop_ratio,

@@ -131,8 +131,16 @@ object EmbeddingQuality {
       .join(anchors, "vec_id")
       .select(col("vec_id").as("anchor_id"), col("anchor_label"),
         col("embedding").as("avec"), col("cell"))
+    mineFromCells(VectorIndex.cells(spark, path), probes, k)
+  }
+
+  /** The mining tail shared by q62b and its planted twin: probed
+    * inverted lists × anchors on cell EQUALITY, cross-label filter,
+    * exact cosine, per-anchor top-k.
+    */
+  private def mineFromCells(cellLists: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("anchor_id").orderBy(col("sim").desc, col("vec_id"))
-    VectorIndex.cells(spark, path)
+    cellLists
       .join(probes, Seq("cell"))
       .filter(col("label") =!= col("anchor_label"))
       .withColumn("sim", round(expr("cosine_sim(embedding, avec)"), 6))
@@ -141,5 +149,72 @@ object EmbeddingQuality {
       .select(col("anchor_id"), col("anchor_label"), col("vec_id"), col("label"),
         col("sim"), col("rk").cast("int").as("rk"))
       .orderBy("anchor_id", "rk")
+  }
+
+  /** The IVF mining pipeline over an arbitrary (vec_id, label,
+    * embedding) frame with the index built in-memory — buildMining's
+    * exact kernels (real-vector seeds via refinedCentroids, two-level
+    * nProbe=1 list assignment, two-level anchor probing) minus the
+    * persistence, so a derived corpus can exercise q62b's own
+    * blocking end-to-end.
+    */
+  private[graft] def hardNegativesIvfOn(spark: SparkSession, embs: DataFrame,
+                                        k: Int, anchorMod: Int,
+                                        nProbe: Int, nLists: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = embs.select("vec_id", "label", "embedding")
+    val n = e.count()
+    val lists = if (nLists > 0) nLists else math.max(16, (n / 125L).toInt)
+    val cents = Vectors.refinedCentroids(e.select("vec_id", "embedding"), lists, iters = 0)
+    val coarse = Vectors.autoCoarse(lists)
+    val cellLists = e
+      .join(Vectors.assignCells(e.select("vec_id", "embedding"), cents,
+        nProbe = 1, nCoarse = coarse).select("vec_id", "cell"), "vec_id")
+      .select("cell", "vec_id", "label", "embedding")
+    val anchors = e.filter(col("vec_id") % anchorMod === 0)
+      .select(col("vec_id"), col("label").as("anchor_label"), col("embedding"))
+    val probes = Vectors.assignCells(anchors.select("vec_id", "embedding"), cents,
+        nProbe = nProbe, nCoarse = coarse)
+      .join(anchors, "vec_id")
+      .select(col("vec_id").as("anchor_id"), col("anchor_label"),
+        col("embedding").as("avec"), col("cell"))
+    mineFromCells(cellLists, probes, k)
+  }
+
+  /** q62c: the ORACLE-EXACT graduation of IVF hard-negative mining —
+    * the q27b/q28b/q29d/q67g planting pattern applied to the MINING
+    * path. Every anchor (vec_id % anchorMod = 0) gets a VERBATIM copy
+    * of its embedding planted under label+100 (disjoint from the real
+    * 0-9 label space) at vec_id + idOffset (idOffset % anchorMod ≠ 0,
+    * so twins never become anchors), and q62b's own pipeline mines
+    * the planted corpus at k=1.
+    *
+    * Why the gate closes: cell assignment is a pure function of the
+    * embedding (deterministic centroid ranking, 6dp rounding + cell
+    * tie-breaks), so the twin's ONE assigned cell IS its anchor's
+    * top-1 probe — recovery is CERTAIN, not probabilistic. The twin
+    * scores sim = 1.0 (cosine of identical vectors), and the driver
+    * corpus's max cross-vector similarity is far below the 0.9999995
+    * that would round to 1.0 at 6dp, so the twin is the STRICT
+    * brute-force top-1 for every anchor — IVF top-1 ≡ exact top-1,
+    * and the DuckDB oracle is the plain quadratic cross-label top-1
+    * over the same planted corpus. q62b stays the rows-only
+    * production entry (k=5 ranks beyond the twin are approximate by
+    * design — NegMineProbe measures that recall).
+    */
+  def hardNegativesIvfPlanted(spark: SparkSession, dir: String,
+                              k: Int = 1, anchorMod: Int = 101,
+                              idOffset: Long = 1000000L,
+                              nProbe: Int = 3, nLists: Int = 0): DataFrame = {
+    val planted = Tables.embeddings(spark, dir)
+      .select(explode(when(col("vec_id") % anchorMod === 0,
+          array(struct(col("vec_id"), col("label")),
+            struct((col("vec_id") + idOffset).as("vec_id"),
+              (col("label") + 100).as("label"))))
+        .otherwise(array(struct(col("vec_id"), col("label"))))).as("ids"),
+        col("embedding"))
+      .select(col("ids.vec_id").as("vec_id"), col("ids.label").as("label"),
+        col("embedding"))
+    hardNegativesIvfOn(spark, planted, k, anchorMod, nProbe, nLists)
   }
 }

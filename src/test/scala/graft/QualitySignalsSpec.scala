@@ -180,6 +180,20 @@ class QualitySignalsSpec extends AnyFunSuite {
     assert(byRank.head.getDouble(4) == 1.0)
   }
 
+  test("q62c planted twin: every anchor recovers its verbatim cross-label copy at sim 1.0") {
+    val dir = "/root/testdata/sf0.001"
+    val r = operators.EmbeddingQuality.hardNegativesIvfPlanted(spark, dir).collect()
+    val anchors = Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 101 === 0).count()
+    assert(r.length == anchors, "exactly one top-1 row per anchor")
+    r.foreach { x =>
+      assert(x.getLong(2) == x.getLong(0) + 1000000L,
+        "the top negative IS the planted twin (assignment purity makes recovery certain)")
+      assert(x.getInt(3) == x.getInt(1) + 100, "twin label = anchor label + 100")
+      assert(x.getDouble(4) == 1.0, "identical vectors score exactly 1.0 at 6dp")
+    }
+  }
+
   test("hardNegativesIvf pairs are a high-recall subset of the brute-force twin") {
     val dir = "/root/testdata/sf0.001"
     deleteIndex(operators.VectorIndex.miningPath(spark, dir))
