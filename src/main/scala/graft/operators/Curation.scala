@@ -428,6 +428,53 @@ object Curation {
         .write.mode("overwrite").parquet(s"$path/benchgrams")
       VectorIndex.writeWatermark(spark, path, token)
     }
+
+    /** COMPACTION of a streaming seen-store into the index: fold the
+      * store's batchId-keyed hash/shingle dirs (one per micro-batch —
+      * the one genuinely PROLIFERATING delta layout in the engine)
+      * into the index's own hashes/shingles components, then clear
+      * the store. After the fold, gating against (index ∪ empty
+      * store) is value-identical to gating against (index ∪ full
+      * store) — FunnelStreamSpec pins it — and file counts are back
+      * to O(1 + nBuckets) regardless of how many batches ran.
+      *
+      * The watermark is deliberately NOT rotated: absorbed arrivals
+      * are extra-corpus history (they are not in the documents
+      * table), and the index must stay fresh w.r.t. the corpus
+      * source — a source change still rebuilds from the table, by
+      * which time ingest has landed the arrivals there (the verdict
+      * sink holds them until then). Run this only with the stream
+      * STOPPED on a committed checkpoint: a replay of an
+      * already-folded batch would see its own rows as history.
+      */
+    def foldStore(spark: SparkSession, dir: String, statePath: String,
+                  nBuckets: Int): Unit = {
+      val path = FunnelIndex.path(spark, dir)
+      val fs = VectorIndex.fsFor(spark, path)
+      val sHashes = new org.apache.hadoop.fs.Path(s"$statePath/hashes")
+      val sShingles = new org.apache.hadoop.fs.Path(s"$statePath/shingles")
+      if (fs.exists(sHashes)) {
+        VectorIndex.swapDir(spark, path, "hashes") { tmp =>
+          spark.read.parquet(s"$path/hashes")
+            .unionByName(spark.read.parquet(s"$statePath/hashes")
+              .drop("batch").select("h"))
+            .distinct()
+            .write.parquet(tmp)
+        }
+        fs.delete(sHashes, true)
+      }
+      if (fs.exists(sShingles)) {
+        VectorIndex.swapDir(spark, path, "shingles") { tmp =>
+          spark.read.parquet(s"$path/shingles")
+            .select("doc_id", "sh", "blk", "pblk")
+            .unionByName(spark.read.parquet(s"$statePath/shingles")
+              .drop("batch").select("doc_id", "sh", "blk", "pblk"))
+            .repartition(col("pblk"))
+            .write.partitionBy("pblk").parquet(tmp)
+        }
+        fs.delete(sShingles, true)
+      }
+    }
   }
 
   /** q79b: the INDEXED delta funnel — funnelDelta probing the

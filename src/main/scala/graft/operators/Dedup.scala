@@ -732,8 +732,58 @@ object Dedup {
       VectorIndex.writeWatermark(spark, path, token)
     }
 
-    def grams(spark: SparkSession, path: String): DataFrame =
-      spark.read.parquet(s"$path/grams")
+    /** The index's (gram → old-doc count) view: the base table alone
+      * in the steady state, base + per-generation absorbed deltas
+      * summed when nightly batches have been absorbed and not yet
+      * compacted. The exists-check keeps the no-delta plan identical
+      * to the pre-absorb plan (no aggregation inserted for the
+      * common probe path).
+      */
+    def grams(spark: SparkSession, path: String): DataFrame = {
+      val fs = VectorIndex.fsFor(spark, path)
+      val base = spark.read.parquet(s"$path/grams")
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/grams_delta"))) base
+      else base
+        .unionByName(spark.read.parquet(s"$path/grams_delta").drop("gen"))
+        .groupBy("g").agg(sum("nd_old").as("nd_old"))
+    }
+
+    /** Absorb one nightly batch's gram counts into the index so
+      * TOMORROW's delta treats TODAY's as old corpus — the lifecycle
+      * step q64b's steady state implies. Generation-keyed overwrite
+      * (`grams_delta/gen=<g>`): re-absorbing the same generation
+      * replaces rather than double-counts (the FunnelStream batchId
+      * idempotence rule). `docs` is the batch (doc_id, text) —
+      * explicit, because which docs constitute a generation is the
+      * caller's ingest contract, not derivable from the table.
+      */
+    def absorb(spark: SparkSession, path: String, docs: DataFrame,
+               k: Int, gen: Long): Unit = {
+      GraftFunctions.register(spark)
+      docs.select(col("doc_id"), explode(array_distinct(expr(s"kgram_hashes(text, $k)"))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("nd_old"))
+        .write.mode("overwrite").parquet(s"$path/grams_delta/gen=$gen")
+    }
+
+    /** COMPACTION: fold all absorbed generations into the base gram
+      * table (per-gram count sum) and drop the delta directories —
+      * after N nightly absorbs the index is again ONE flat table, so
+      * file counts stay bounded and the probe plan loses the
+      * delta-sum aggregation. Value-identical before/after
+      * (CompactionSpec pins the summed view). The watermark is
+      * deliberately untouched: absorbed generations are EXTRA-corpus
+      * state (arrivals not yet in the documents table), so freshness
+      * against the corpus source must keep meaning what it meant — a
+      * source change still triggers a full rebuild, by which time the
+      * ingest pipeline has landed the arrivals in the table.
+      */
+    def compact(spark: SparkSession, path: String): Unit = {
+      val fs = VectorIndex.fsFor(spark, path)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/grams_delta"))) return
+      val folded = grams(spark, path)
+      VectorIndex.swapDir(spark, path, "grams")(tmp => folded.write.parquet(tmp))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/grams_delta"), true)
+    }
   }
 
   /** q64b: INCREMENTAL substring dedup — the steady-state spelling of

@@ -554,8 +554,48 @@ object PQ {
   def appendDelta(spark: SparkSession, dir: String, deltaMod: Int = 16,
                   m: Int = 8, kCodes: Int = 16, iters: Int = 1): Unit = {
     val path = incrIndexPath(spark, dir, deltaMod)
+    // after a compaction the (residue-derived) delta is already IN the
+    // base store — re-appending it would duplicate every delta vec_id
+    // in incrCodes. The compacted watermark line marks exactly this
+    // state; a source change invalidates the whole watermark and the
+    // rebuild path clears the marker.
+    if (incrIndexFresh(spark, dir, path, m, kCodes, iters, deltaMod) &&
+        hasCompactedMark(spark, path)) return
     pqEncodeIncremental(spark, dir, deltaMod, m, kCodes, iters)
       .write.mode("overwrite").parquet(s"$path/codes_delta")
+  }
+
+  private def hasCompactedMark(spark: SparkSession, path: String): Boolean =
+    VectorIndex.readWatermark(spark, path)
+      .exists(_.linesIterator.contains("compacted|true"))
+
+  /** Nightly-steady-state COMPACTION of the flat incremental index:
+    * fold `codes_delta` into the base `codes` store and rotate the
+    * watermark with a `compacted|true` line (the freshness checks
+    * accept suffix lines, so the index stays fresh; `appendDelta`
+    * reads the line as "the delta is already folded in" and no-ops
+    * instead of re-duplicating it). Bounded file counts: N appends
+    * never proliferate directories here (the delta dir is a single
+    * overwrite target), and compaction removes even that one —
+    * `incrCodes` afterwards is a single-store scan. Value-identical
+    * before/after (CompactionSpec pins it): the fold is a pure union
+    * of disjoint vec_id sets.
+    */
+  def compactIncr(spark: SparkSession, dir: String, deltaMod: Int = 16,
+                  m: Int = 8, kCodes: Int = 16, iters: Int = 1): Unit = {
+    val path = incrIndexPath(spark, dir, deltaMod)
+    require(incrIndexFresh(spark, dir, path, m, kCodes, iters, deltaMod),
+      "compactIncr requires a fresh base index (build/append first)")
+    val fs = VectorIndex.fsFor(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS"))) return
+    VectorIndex.swapDir(spark, path, "codes") { tmp =>
+      spark.read.parquet(s"$path/codes")
+        .unionAll(spark.read.parquet(s"$path/codes_delta"))
+        .write.parquet(tmp)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes_delta"), true)
+    VectorIndex.writeWatermark(spark, path,
+      incrToken(spark, dir, m, kCodes, iters, deltaMod) + "\ncompacted|true")
   }
 
   /** All codes the incremental index currently holds (base ∪ any
@@ -651,6 +691,10 @@ object PQ {
     val path = ivfPqIncrPath(spark, dir, deltaMod)
     if (!ivfPqIncrFresh(spark, dir, path, m, kCodes, iters, nLists, deltaMod))
       buildIvfPqIncrBase(spark, dir, path, m, kCodes, iters, nLists, deltaMod)
+    // post-compaction the delta already lives in the base cell lists —
+    // re-appending would duplicate every delta vec_id (same rule as
+    // the flat index's appendDelta)
+    else if (hasCompactedMark(spark, path)) return
     val books = spark.read.parquet(s"$path/books")
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cell").as("c_cell"), col("cvec"))
@@ -666,6 +710,39 @@ object PQ {
       .join(cells, "vec_id")
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes_delta")
+  }
+
+  /** COMPACTION of the composed incremental index: fold the
+    * cell-partitioned `codes_delta` into the base `cells` lists
+    * (repartition on cell — each folded inverted list is rewritten as
+    * one partition directory, so file counts stay bounded at
+    * O(nLists) no matter how many nightly cycles ran) and rotate the
+    * watermark with the `compacted|true` line, preserving the stored
+    * `lists|N` structural record. Probes before/after are
+    * value-identical (CompactionSpec): base ∪ delta and folded-base
+    * hold the same (vec_id, codes, cell) rows, and partition pruning
+    * applies to the folded store exactly as it did to both halves.
+    */
+  def compactIvfPqIncr(spark: SparkSession, dir: String, deltaMod: Int = 16,
+                       m: Int = 8, kCodes: Int = 16, iters: Int = 1,
+                       nLists: Int = 0): Unit = {
+    val path = ivfPqIncrPath(spark, dir, deltaMod)
+    require(ivfPqIncrFresh(spark, dir, path, m, kCodes, iters, nLists, deltaMod),
+      "compactIvfPqIncr requires a fresh base index (build/append first)")
+    val fs = VectorIndex.fsFor(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS"))) return
+    val lists = storedLists(spark, path)
+    val cols = Seq(col("vec_id"), col("codes"), col("cell"))
+    VectorIndex.swapDir(spark, path, "cells") { tmp =>
+      spark.read.parquet(s"$path/cells").select(cols: _*)
+        .unionAll(spark.read.parquet(s"$path/codes_delta").select(cols: _*))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(tmp)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes_delta"), true)
+    VectorIndex.writeWatermark(spark, path,
+      ivfPqIncrToken(spark, dir, m, kCodes, iters, nLists, deltaMod) +
+        lists.map(l => s"\nlists|$l").getOrElse("") + "\ncompacted|true")
   }
 
   private def storedLists(spark: SparkSession, path: String): Option[Int] =
@@ -685,8 +762,11 @@ object PQ {
     GraftFunctions.register(spark)
     val path = ivfPqIncrPath(spark, dir, deltaMod)
     val fs = VectorIndex.fsFor(spark, path)
+    // a compacted index is complete WITHOUT a delta dir — only append
+    // when the index is stale or genuinely missing its delta
     if (!ivfPqIncrFresh(spark, dir, path, m, kCodes, iters, nLists, deltaMod) ||
-        !fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")))
+        (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")) &&
+          !hasCompactedMark(spark, path)))
       appendDeltaIvfPq(spark, dir, deltaMod, m, kCodes, iters, nLists, nProbe)
     val books = spark.read.parquet(s"$path/books")
     val cents = spark.read.parquet(s"$path/centroids")
@@ -705,8 +785,10 @@ object PQ {
       java.util.Arrays.asList(collected: _*), probeRows.schema)
     // unionAll is positional — pin the column order on both stores
     val cols = Seq(col("vec_id"), col("codes"), col("cell"))
-    val coded = spark.read.parquet(s"$path/cells").select(cols: _*)
-      .unionAll(spark.read.parquet(s"$path/codes_delta").select(cols: _*))
+    val baseCodes = spark.read.parquet(s"$path/cells").select(cols: _*)
+    val coded = (if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")))
+        baseCodes.unionAll(spark.read.parquet(s"$path/codes_delta").select(cols: _*))
+      else baseCodes) // compacted: the folded base holds everything
       .filter(col("cell").isin(probedCells: _*))
     val luts = lutsFor(q, books, m, dims)
     adcTopK(coded.join(broadcast(probes), Seq("cell")).join(broadcast(luts), "query_id"), k, kCodes)

@@ -88,6 +88,27 @@ object VectorIndex {
     }
   }
 
+  /** Staged in-place rewrite of one index component dir: materialize
+    * the replacement NEXT TO the live dir (the write may read the
+    * live dir — parquet cannot overwrite what a job is scanning),
+    * then delete-and-rename. The compaction ops' shared write
+    * discipline: a crash mid-write leaves the live dir untouched (the
+    * half-written `__compact` staging dir is overwritten by the next
+    * attempt); a crash between delete and rename loses only the
+    * derived component, which the next build/compact regenerates.
+    */
+  private[operators] def swapDir(spark: SparkSession, path: String, name: String)
+                                (write: String => Unit): Unit = {
+    val fs = fsFor(spark, path)
+    val tmp = s"$path/${name}__compact"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    write(tmp)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compaction rename $tmp -> $dst failed")
+  }
+
   private def watermarkPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/watermark")
 
   private[operators] def readWatermark(spark: SparkSession, path: String): Option[String] = {

@@ -166,6 +166,16 @@ object FunnelStream {
       .write.mode("overwrite").parquet(s"${ctx.statePath}/shingles/batch=$batchId")
   }
 
+  /** Nightly COMPACTION: fold the seen-store's batchId-keyed dirs
+    * (one pair per absorbed micro-batch — unbounded over a stream's
+    * lifetime) into the FunnelIndex itself and clear the store. Run
+    * with the stream stopped on a committed checkpoint; on restart,
+    * gating resumes against the enriched index and an empty store,
+    * producing identical verdicts (FunnelStreamSpec pins it).
+    */
+  def compact(spark: SparkSession, ctx: Ctx): Unit =
+    Curation.FunnelIndex.foldStore(spark, ctx.dir, ctx.statePath, ctx.nBuckets)
+
   /** The verdict stream: gate each micro-batch against batches < id,
     * overwrite `outPath/batch=<id>` with its verdicts, then absorb.
     * The sink write is an action, so verdicts materialize against the

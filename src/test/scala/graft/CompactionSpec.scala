@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the incremental-index family's COMPACTION lifecycle (VERDICT
+  * r11 item 4): after N appends/absorbs, each index can fold its
+  * delta state into its base layout, and
+  *   1. results are value-identical before and after the fold,
+  *   2. the delta directories are gone (file counts bounded again),
+  *   3. re-running the append path after a compaction is a no-op,
+  *      never a duplication.
+  */
+class CompactionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def deleteIndex(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private def exists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  test("flat PQ incr: compact folds codes_delta into codes; append becomes a no-op") {
+    val dm = 4 // distinct index path from the q67e driver entry's deltaMod=16
+    val path = operators.PQ.incrIndexPath(spark, dir, dm)
+    deleteIndex(path)
+    operators.PQ.appendDelta(spark, dir, deltaMod = dm)
+    def codes() = operators.PQ.incrCodes(spark, dir, deltaMod = dm)
+      .select(col("vec_id"), to_json(col("codes")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pre = codes()
+    assert(exists(s"$path/codes_delta/_SUCCESS"), "append must leave a delta dir")
+    operators.PQ.compactIncr(spark, dir, deltaMod = dm)
+    assert(!exists(s"$path/codes_delta"), "compaction must remove the delta dir")
+    assert(codes() == pre, "folded base must hold exactly the pre-compaction codes")
+    // the post-compaction append must recognize the folded state
+    operators.PQ.appendDelta(spark, dir, deltaMod = dm)
+    assert(!exists(s"$path/codes_delta"),
+      "append after compaction must no-op, not re-duplicate the delta")
+    assert(codes() == pre)
+    deleteIndex(path)
+  }
+
+  test("ivf-pq incr: probe results identical across compaction; delta dir gone") {
+    val dm = 4
+    val path = operators.PQ.ivfPqIncrPath(spark, dir, dm)
+    deleteIndex(path)
+    def probe() = operators.PQ.ivfPqIncrTopK(spark, dir, k = 5, nQueries = 3, deltaMod = dm)
+      .collect().map(_.toString).sorted.toSeq
+    val pre = probe()
+    assert(pre.nonEmpty)
+    assert(exists(s"$path/codes_delta/_SUCCESS"))
+    operators.PQ.compactIvfPqIncr(spark, dir, deltaMod = dm)
+    assert(!exists(s"$path/codes_delta"), "compaction must remove the delta dir")
+    val post = probe() // must NOT trigger a re-append either
+    assert(post == pre, "base ∪ delta and folded base must probe identically")
+    assert(!exists(s"$path/codes_delta"),
+      "a probe after compaction must not resurrect the delta dir")
+    deleteIndex(path)
+  }
+
+  test("gram index: absorbed generations sum into the view; compact folds and bounds") {
+    import spark.implicits._
+    val fdir = "/fake/compaction_grams"
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val t2 = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    Tables.registerOverride(spark, fdir, "documents",
+      Seq((1L, "s", t1), (2L, "s", t2)).toDF("doc_id", "source", "text"))
+    val path = operators.Dedup.GramIndex.path(spark, fdir)
+    deleteIndex(path)
+    operators.Dedup.GramIndex.build(spark, fdir, path, k = 8, deltaMod = 16)
+    def view() = operators.Dedup.GramIndex.grams(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = view()
+    // gen 0 re-ships t1 (sums with the base count), gen 1 ships t1 again
+    operators.Dedup.GramIndex.absorb(spark, path,
+      Seq((100L, t1)).toDF("doc_id", "text"), k = 8, gen = 0L)
+    // idempotence: re-absorbing the SAME generation replaces, never doubles
+    operators.Dedup.GramIndex.absorb(spark, path,
+      Seq((100L, t1)).toDF("doc_id", "text"), k = 8, gen = 0L)
+    operators.Dedup.GramIndex.absorb(spark, path,
+      Seq((200L, t1)).toDF("doc_id", "text"), k = 8, gen = 1L)
+    val summed = view()
+    val t1Grams = base.keySet.filter(g => summed.getOrElse(g, 0L) == base(g) + 2)
+    assert(t1Grams.nonEmpty, "t1's grams must count base + gen0 + gen1 = 3 (1+2 absorbed)")
+    assert(base.exists { case (g, c) => summed(g) == c },
+      "t2's grams (absorbed by no generation) must keep their base count")
+    operators.Dedup.GramIndex.compact(spark, path)
+    assert(!exists(s"$path/grams_delta"), "compaction must remove all generation dirs")
+    assert(view() == summed, "the folded table must equal the summed view exactly")
+    deleteIndex(path)
+  }
+
+  test("funnel seen-store: N batch dirs fold into the index; gating is unchanged") {
+    import spark.implicits._
+    import streaming.FunnelStream._
+    val fdir = "/fake/compaction_funnel"
+    val textA = "the quiet harbor sheltered a small fleet of wooden boats during rough " +
+      "weather while fishermen mended their heavy nets beside tall stacks of salted crates"
+    val textB = "the quick brown foxes jumped gracefully over a sleeping canine beside the " +
+      "quiet riverbank while autumn leaves drifted slowly downward covering narrow pathways"
+    val textC = "distant mountains glowed under the pale morning light as shepherds guided " +
+      "their flocks across dew covered meadows toward the stone walls of the old village"
+    val textNew = "carpenters assembled long oak beams inside the workshop while apprentices " +
+      "sorted polished brass fittings into labeled wooden drawers near the open furnace door"
+    Tables.registerOverride(spark, fdir, "documents",
+      Seq((1L, "s", textC)).toDF("doc_id", "source", "text"))
+    val state = java.nio.file.Files.createTempDirectory("compact_funnel_state").toString
+    deleteIndex(operators.Curation.FunnelIndex.path(spark, fdir))
+    val ctx = load(spark, fdir, state)
+    // three absorbed micro-batches -> three batchId-keyed dirs per store
+    Seq((0L, 160L, textA), (1L, 176L, textB), (2L, 192L, textC)).foreach {
+      case (id, docId, text) =>
+        val b = Seq((docId, "s", text)).toDF("doc_id", "source", "text")
+        gateBatch(ctx, b, Some(id)).count()
+        absorb(ctx, b, id)
+    }
+    assert(new java.io.File(s"$state/hashes").list().count(_.startsWith("batch=")) == 3,
+      "one store dir per absorbed batch — the proliferating layout under test")
+    // probe: a twin of an absorbed arrival + a genuinely new doc
+    val probeBatch = Seq((300L, "s", textA), (301L, "s", textNew))
+      .toDF("doc_id", "source", "text")
+    def verdicts() = gateBatch(ctx, probeBatch, Some(10L))
+      .select("doc_id", "stage").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pre = verdicts()
+    assert(pre(300L) == "exact_dup", "absorbed history must flag the twin")
+    assert(pre(301L) != "exact_dup" && pre(301L) != "near_dup",
+      "the new doc owes nothing to history (its own quality verdict is not under test)")
+    streaming.FunnelStream.compact(spark, ctx)
+    assert(!exists(s"$state/hashes") && !exists(s"$state/shingles"),
+      "compaction must clear the seen-store entirely")
+    assert(verdicts() == pre,
+      "gating against (enriched index ∪ empty store) must equal (index ∪ full store)")
+    deleteIndex(operators.Curation.FunnelIndex.path(spark, fdir))
+  }
+}
