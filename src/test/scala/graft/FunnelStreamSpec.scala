@@ -81,6 +81,73 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(!plain.head.getBoolean(plain.head.fieldIndex("ann_dup")))
   }
 
+  test("checkpoint restart: stream killed between micro-batches recovers and reproduces the batch delta") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val state = tmp("rec_state"); val out = tmp("rec_out"); val ckpt = tmp("rec_ckpt")
+    val ctx = load(spark, TestSpark.dir, state)
+    val deltaDocs = Tables.documents(spark, TestSpark.dir)
+      .filter(col("doc_id") % 16 === 0)
+      .select("doc_id", "source", "text")
+      .as[DocIn].collect().sortBy(_.doc_id)
+    val (b1, rest) = deltaDocs.splitAt(deltaDocs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    // first incarnation: commit batch 0, then die
+    val q1 = verdicts(ctx, stream.toDS(), out, ckpt)
+    stream.addData(b1: _*); q1.processAllAvailable()
+    q1.stop()
+    // arrivals land while the stream is down
+    stream.addData(b2: _*)
+    // second incarnation resumes from the SAME checkpoint — offsets,
+    // batchIds and the seen-store must all line up so the recovered
+    // stream gates b2/b3 against exactly the history b1 absorbed
+    val q2 = verdicts(ctx, stream.toDS(), out, ckpt)
+    stream.addData(b3: _*); q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "source", "n_pass", "is_bench",
+        "is_exact_dup", "is_near_dup", "contaminated", "stage")
+      .collect().map(rowKey).sortBy(_._1).toSeq
+    val want = operators.Curation.funnelDelta(spark, TestSpark.dir)
+      .collect().map(rowKey).sortBy(_._1).toSeq
+    assert(got == want,
+      "a checkpoint-recovered stream must reproduce the batch delta funnel exactly")
+  }
+
+  test("at-least-once replay: re-delivered batch (incl. crash-mid-absorb) changes nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val state = tmp("rep_state"); val out = tmp("rep_out"); val ckpt = tmp("rep_ckpt")
+    val ctx = load(spark, TestSpark.dir, state)
+    val deltaDocs = Tables.documents(spark, TestSpark.dir)
+      .filter(col("doc_id") % 16 === 0)
+      .select("doc_id", "source", "text")
+      .as[DocIn].collect().sortBy(_.doc_id)
+    val (b1, b2) = deltaDocs.splitAt(deltaDocs.length / 2)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    val q = verdicts(ctx, stream.toDS(), out, ckpt)
+    Seq(b1, b2).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def snapshot() = (
+      spark.read.parquet(out).collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$state/hashes").collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$state/shingles").collect().map(_.toString).sorted.toSeq)
+    val before = snapshot()
+    // crash-mid-absorb: batch 1's shingle rows never landed — the
+    // ugliest partial state a retry can find
+    val shDir = new org.apache.hadoop.fs.Path(s"$state/shingles/batch=1")
+    shDir.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(shDir, true)
+    // the foreachBatch body, re-delivered verbatim for batchId=1:
+    // gate against batches < 1 only, overwrite the batch dirs
+    val batch1 = b2.toSeq.toDF("doc_id", "source", "text")
+    gateBatch(ctx, batch1, Some(1L))
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    absorb(ctx, batch1, 1L)
+    assert(snapshot() == before,
+      "replaying a batch over partial state must restore, not duplicate or drift")
+  }
+
   test("ingest-time first-writer-wins: earlier ARRIVAL beats smaller doc_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -56,6 +56,36 @@ class PqStreamSpec extends AnyFunSuite {
       "the stream across batches must equal the batch gate on the union")
   }
 
+  test("file-sink checkpoint restart: recovered stream equals the batch gate, no duplicate rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("pq_rec_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pq_rec_ckpt").toString
+    val arrivals = arrivalsSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VecIn]
+    def start() = PqStream.nearDupGate(idx, stream.toDF(), maxDist = 1e12)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // first incarnation commits batch 0 to the file sink, then dies
+    val q1 = start()
+    stream.addData(arrivals.head); q1.processAllAvailable(); q1.stop()
+    // arrivals land while the stream is down; the restarted query must
+    // resume from the checkpointed offset — emitting the missed data
+    // exactly once into the sink (the _spark_metadata commit log is
+    // what makes a replayed file write invisible to readers)
+    stream.addData(arrivals.tail: _*)
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    // MULTISET comparison: a replayed/duplicated batch would survive a
+    // set-compare, so sort full rows
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val want = PqStream.nearDupGate(idx, arrivals.toDF(), maxDist = 1e12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(want.nonEmpty && got == want,
+      "recovery must emit each hit exactly once and match the batch gate on the union")
+  }
+
   test("a planted twin arrival's argmin hit is its indexed original (ADC floor)") {
     import spark.implicits._
     val hits = PqStream.nearDupGate(idx, arrivalsSeq.toDF(), maxDist = 1e12)
