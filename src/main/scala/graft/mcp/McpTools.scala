@@ -146,6 +146,9 @@ object McpTools {
     */
   def getCluster(spark: SparkSession, dir: String, source: String,
                  groupId: Long): DataFrame = {
+    // the reference's `chat_id <= 0` ValueError, with source (the
+    // chat analog in this schema) as the guarded key
+    require(source.nonEmpty, "source must be a non-empty string")
     require(groupId >= 0, "group_id must be >= 0")
     Vectors.semanticGroups(spark, dir)
       .filter(col("source") === source && col("group_id") === groupId)

@@ -148,6 +148,67 @@ class FunnelStreamSpec extends AnyFunSuite {
       "replaying a batch over partial state must restore, not duplicate or drift")
   }
 
+  test("full lifecycle: stop on a committed checkpoint, compact, reload, restart — verdicts unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = "the quiet harbor sheltered a small fleet of wooden boats during rough " +
+      "weather while fishermen mended their heavy nets beside tall stacks of salted crates " +
+      "and seagulls circled above the narrow pier waiting for scraps every morning"
+    val t2 = "the quick brown foxes jumped gracefully over a sleeping canine beside the " +
+      "quiet riverbank while autumn leaves drifted slowly downward covering narrow pathways " +
+      "with golden colors during early morning hours yesterday"
+    val t3 = "distant mountains glowed under the pale morning light as shepherds guided " +
+      "their flocks across dew covered meadows toward the stone walls of the old village " +
+      "where bakers were already lighting their ovens before sunrise"
+    val t16 = "carpenters assembled long oak beams inside the workshop while apprentices " +
+      "sorted polished brass fittings into labeled wooden drawers near the open furnace " +
+      "door as the morning bell rang across the cobbled courtyard outside"
+    val t64 = "sailors hauled heavy coils of rope onto the weathered deck while the first " +
+      "mate checked the charts against a brass compass and gulls screamed over the mast " +
+      "in the gray light of an approaching autumn storm"
+    val fdir = "/fake/funnel_lifecycle"
+    // corpus: 3 old docs (not %16) + 4 delta docs (%16): 32 twins an
+    // old doc, 48 twins an earlier delta arrival, 16/64 are fresh
+    Tables.registerOverride(spark, fdir, "documents", Seq(
+      (1L, "s", t1), (2L, "s", t2), (3L, "s", t3),
+      (16L, "s", t16), (32L, "s", t2), (48L, "s", t16), (64L, "s", t64)
+    ).toDF("doc_id", "source", "text"))
+    val ipath = operators.Curation.FunnelIndex.path(spark, fdir)
+    val ifs = new org.apache.hadoop.fs.Path(ipath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ifs.delete(new org.apache.hadoop.fs.Path(ipath), true)
+    val state = tmp("lc_state"); val out = tmp("lc_out"); val ckpt = tmp("lc_ckpt")
+    val docOf = Map(16L -> t16, 32L -> t2, 48L -> t16, 64L -> t64)
+    def batch(ids: Long*) = ids.map(i => DocIn(i, "s", docOf(i)))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    val ctx1 = load(spark, fdir, state)
+    val q1 = verdicts(ctx1, stream.toDS(), out, ckpt)
+    stream.addData(batch(16L, 32L): _*); q1.processAllAvailable()
+    q1.stop() // stopped ON a committed checkpoint — compact's precondition
+    compact(spark, ctx1)
+    val foldedHashes = spark.read.parquet(s"$ipath/hashes").count()
+    // a restart calls load() again: the folded index must read as
+    // FRESH (foldStore keeps the watermark) — a rebuild here would
+    // silently drop the absorbed arrivals from history
+    val ctx2 = load(spark, fdir, state)
+    assert(spark.read.parquet(s"$ipath/hashes").count() == foldedHashes,
+      "load() after compaction must reuse the folded index, not rebuild from the corpus")
+    val q2 = verdicts(ctx2, stream.toDS(), out, ckpt)
+    stream.addData(batch(48L, 64L): _*); q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "source", "n_pass", "is_bench",
+        "is_exact_dup", "is_near_dup", "contaminated", "stage")
+      .collect().map(rowKey).sortBy(_._1).toSeq
+    val want = operators.Curation.funnelDelta(spark, fdir)
+      .collect().map(rowKey).sortBy(_._1).toSeq
+    assert(got == want,
+      "compact + reload + checkpoint-restart must leave the verdict stream ≡ batch funnelDelta")
+    assert(got.count(_._8 == "exact_dup") >= 2,
+      "the fixture must exercise both the folded-history and old-corpus dup paths")
+    ifs.delete(new org.apache.hadoop.fs.Path(ipath), true)
+  }
+
   test("ingest-time first-writer-wins: earlier ARRIVAL beats smaller doc_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

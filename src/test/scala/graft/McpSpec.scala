@@ -60,6 +60,74 @@ class McpSpec extends AnyFunSuite {
     assert(got.toSeq == expect, "cluster aggregation must replay the reference rule exactly")
   }
 
+  test("argument validation parity with the reference bounds (server.py ValueErrors)") {
+    def bad(f: => Any): Unit = { intercept[IllegalArgumentException](f); () }
+    bad(vectorSearch(spark, TestSpark.dir, "   "))          // blank query
+    bad(vectorSearch(spark, TestSpark.dir, q, topK = 0))    // top_k 1..1000
+    bad(vectorSearch(spark, TestSpark.dir, q, topK = 1001))
+    bad(vectorSearch(spark, TestSpark.dir, q, similarityThreshold = -0.1))
+    bad(vectorSearch(spark, TestSpark.dir, q, similarityThreshold = 1.0000001))
+    bad(clusterSearch(spark, TestSpark.dir, q, maxClusters = 0))
+    bad(clusterSearch(spark, TestSpark.dir, q, maxClusters = 1001))
+    bad(getCluster(spark, TestSpark.dir, "s", groupId = -1L)) // group_id >= 0
+    bad(getCluster(spark, TestSpark.dir, "", groupId = 0L))   // chat key non-empty
+    bad(randomLargeCluster(spark, TestSpark.dir, minSize = 0))
+    // the BOUNDARIES are legal, exactly as in the reference's range checks
+    vectorSearch(spark, TestSpark.dir, q, topK = 1000, similarityThreshold = 1.0).collect()
+    clusterSearch(spark, TestSpark.dir, q, maxClusters = 1000).collect()
+    randomLargeCluster(spark, TestSpark.dir, minSize = 1).collect()
+  }
+
+  test("empty results are empty frames with the full schema, never errors") {
+    // threshold 1.0: legal, and nothing cosine-matches the hash
+    // encoder's query vector exactly — the reference returns an
+    // empty frame with the declared columns (vector_store.py's
+    // empty_schema), not an error
+    val r = vectorSearch(spark, TestSpark.dir, q, similarityThreshold = 1.0)
+    assert(r.columns.toSeq == Seq("vec_id", "sim", "rk", "source", "lang",
+      "preview", "group_id", "cluster_preview"))
+    assert(r.count() == 0)
+    val c = clusterSearch(spark, TestSpark.dir, q, similarityThreshold = 1.0)
+    assert(c.columns.toSeq == Seq("group_id", "source", "best_similarity", "hits", "snippet"))
+    assert(c.count() == 0)
+    val g = getCluster(spark, TestSpark.dir, "no_such_source", 999999L)
+    assert(g.columns.toSeq == Seq("doc_id", "source", "group_id", "lang", "text"))
+    assert(g.count() == 0)
+    // no cluster meets min_size -> empty membership, the reference's
+    // `if df_or_none is None: return []`
+    assert(randomLargeCluster(spark, TestSpark.dir, minSize = Int.MaxValue).count() == 0)
+  }
+
+  test("threshold + limit compose as WHERE-before-LIMIT: count = min(top_k, n_passing)") {
+    val all = vectorSearch(spark, TestSpark.dir, q, topK = 1000,
+      includeClusterContext = false).collect()
+    assert(all.length >= 8, "corpus must give a non-trivial ranking")
+    val t = all(5).getDouble(1) // the 6th-best sim
+    val n = all.count(_.getDouble(1) >= t)
+    // a big limit returns ALL passers…
+    val wide = vectorSearch(spark, TestSpark.dir, q, topK = 1000,
+      similarityThreshold = t, includeClusterContext = false).collect()
+    assert(wide.length == n, "limit must not clip below the passing set")
+    // …and a small one fills every slot from the passing set
+    val narrow = vectorSearch(spark, TestSpark.dir, q, topK = 4,
+      similarityThreshold = t, includeClusterContext = false).collect()
+    assert(narrow.length == 4 && narrow.forall(_.getDouble(1) >= t))
+  }
+
+  test("source filter restricts BEFORE the limit: per-chat top-k, not global-top-k ∩ chat") {
+    val all = vectorSearch(spark, TestSpark.dir, q, topK = 1000,
+      includeClusterContext = false).collect()
+    // pick a source that does NOT own the global best hit, so the two
+    // compositions genuinely differ
+    val best = all.head.getString(3)
+    val src = all.map(_.getString(3)).find(_ != best).get
+    val want = all.filter(_.getString(3) == src).take(3).map(_.getLong(0)).toSeq
+    val got = vectorSearch(spark, TestSpark.dir, q, topK = 3, source = Some(src),
+      includeClusterContext = false).collect().map(_.getLong(0)).toSeq
+    assert(got == want,
+      "the chat filter must apply in the WHERE (per-chat ranking), as in the reference SQL")
+  }
+
   test("get_cluster returns exactly the group's members in id order") {
     val g = operators.Vectors.semanticGroups(spark, TestSpark.dir)
       .groupBy("source", "group_id").agg(count(lit(1)).as("n"))
