@@ -446,6 +446,37 @@ class StreamingSpec extends AnyFunSuite {
       s"user 1's session must close with exact event-time bounds, got ${rows.toSeq}")
   }
 
+  test("sessionizer state store recovers across a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1000L
+    val out = java.nio.file.Files.createTempDirectory("sess_rec_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_rec_ckpt").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    def start() = assign(spark, stream.toDS(), gap)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // first incarnation: open a session per user, then die
+    val batch1 = Seq(Ev(1, 0, 1), Ev(1, 500, 2), Ev(2, 0, 3))
+    val q1 = start()
+    stream.addData(batch1: _*); q1.processAllAvailable(); q1.stop()
+    // arrivals land while the stream is down: event 4 continues user
+    // 1's open session WITHIN the gap (recovered lastMs decides), and
+    // event 5 opens session 2 (recovered sessionId counter decides)
+    val batch2 = Seq(Ev(1, 600, 4), Ev(1, 5000, 5), Ev(2, 800, 6))
+    stream.addData(batch2: _*)
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out).as[SessOut].collect()
+      .map(s => (s.event_id, s.session_id)).toMap
+    val want = assign(spark, (batch1 ++ batch2).toDS(), gap)
+      .collect().map(s => (s.event_id, s.session_id)).toMap
+    assert(got == want,
+      s"recovered flatMapGroupsWithState state must continue the batch assignment: stream=$got batch=$want")
+    assert(got(4) == got(2), "within-gap continuation across the restart stays in the open session")
+    assert(got(5) == got(4) + 1, "the per-user session counter survives the restart")
+  }
+
   test("stateful stream sessionization matches batch across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
