@@ -158,6 +158,48 @@ object McpTools {
       .orderBy("doc_id")
   }
 
+  /** The server's two @mcp.prompt templates (server.py:89-117) —
+    * pure string functions an MCP host registers verbatim; replayed
+    * here so the full server surface (4 tools + 2 prompts) has a
+    * graft counterpart.
+    */
+  def vectorSearchTemplate(query: String): String =
+    "You are assisting with semantic search over Telegram chats.\n" +
+      "Use the `vector_search` tool with the provided query to find the most relevant messages.\n" +
+      "Provide concise results with chat name, author, date, similarity, and a compact snippet.\n\n" +
+      s"Query: $query\n" +
+      "Return the top findings and any notable clusters."
+
+  def clusterSummaryTemplate(chatName: String, snippet: String): String =
+    "You are summarizing a conversation cluster from a Telegram chat.\n" +
+      s"Chat: $chatName\n" +
+      "Snippet (ordered by time, `>>>` marks the most relevant message):\n" +
+      s"$snippet\n\n" +
+      "Write a brief summary covering: topic, participants, and outcome."
+
+  /** get_cluster_summary_data (cluster_analysis_cli.py:339-377): one
+    * cluster's messages formatted for LLM summarization — "[date]
+    * author: text" lines in time order, empty texts skipped, joined
+    * by newlines. This schema's mapping: doc_id is the monotone date
+    * stand-in (get_cluster's ordering contract) and source the chat
+    * key; there is no author column, so the line is "[doc_id] source:
+    * text". The LLM CALL half (summarize_cluster_with_openai) needs
+    * an external API and stays out of scope — this is the data side
+    * that feeds it, reduced to ONE row on the driver (a cluster is
+    * serving-bounded, and ordering is pinned inside the aggregation
+    * by array_sort on the id-keyed struct, not by shuffle luck).
+    */
+  def clusterSummaryData(spark: SparkSession, dir: String, source: String,
+                         groupId: Long): String =
+    getCluster(spark, dir, source, groupId)
+      .filter(length(trim(col("text"))) > 0)
+      .select(struct(col("doc_id").as("id"),
+        concat(lit("["), col("doc_id"), lit("] "), col("source"), lit(": "),
+          trim(col("text"))).as("line")).as("s"))
+      .agg(coalesce(array_join(expr("transform(array_sort(collect_list(s)), x -> x.line)"),
+        "\n"), lit("")).as("txt"))
+      .head.getString(0)
+
   /** random_large_cluster (server.py:331-370): a "random" cluster of
     * size ≥ minSize. Randomness is SEEDED here (the q59 multiplicative
     * hash over the cluster key) — an engine that promises

@@ -403,6 +403,9 @@ object Curation {
     def fresh(spark: SparkSession, dir: String, path: String,
               deltaMod: Int, benchMod: Int, nBuckets: Int): Boolean = {
       val fs = VectorIndex.fsFor(spark, path)
+      // heal a crashed fold first: a component parked as __old must
+      // read as live, not trigger a folded-history-dropping rebuild
+      Seq("hashes", "shingles").foreach(VectorIndex.restoreDir(spark, path, _))
       Seq("hashes", "shingles", "benchgrams").forall(p =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$path/$p/_SUCCESS"))) &&
         VectorIndex.readWatermark(spark, path)

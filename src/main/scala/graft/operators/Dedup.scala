@@ -717,6 +717,7 @@ object Dedup {
 
     def fresh(spark: SparkSession, dir: String, path: String, k: Int, deltaMod: Int): Boolean = {
       val fs = VectorIndex.fsFor(spark, path)
+      VectorIndex.restoreDir(spark, path, "grams") // heal a crashed compact
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/grams/_SUCCESS")) &&
         VectorIndex.readWatermark(spark, path).contains(watermark(spark, dir, k, deltaMod))
     }

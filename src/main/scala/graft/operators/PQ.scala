@@ -498,6 +498,7 @@ object PQ {
   def incrIndexFresh(spark: SparkSession, dir: String, path: String,
                      m: Int, kCodes: Int, iters: Int, deltaMod: Int): Boolean = {
     val fs = VectorIndex.fsFor(spark, path)
+    VectorIndex.restoreDir(spark, path, "codes") // heal a crashed compactIncr
     val token = incrToken(spark, dir, m, kCodes, iters, deltaMod)
     Seq("books", "codes").forall(d =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d/_SUCCESS"))) &&
@@ -643,6 +644,7 @@ object PQ {
   def ivfPqIncrFresh(spark: SparkSession, dir: String, path: String, m: Int, kCodes: Int,
                      iters: Int, nLists: Int, deltaMod: Int): Boolean = {
     val fs = VectorIndex.fsFor(spark, path)
+    VectorIndex.restoreDir(spark, path, "cells") // heal a crashed compactIvfPqIncr
     val token = ivfPqIncrToken(spark, dir, m, kCodes, iters, nLists, deltaMod)
     Seq("books", "centroids", "cells").forall(d =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d/_SUCCESS"))) &&

@@ -91,22 +91,53 @@ object VectorIndex {
   /** Staged in-place rewrite of one index component dir: materialize
     * the replacement NEXT TO the live dir (the write may read the
     * live dir — parquet cannot overwrite what a job is scanning),
-    * then delete-and-rename. The compaction ops' shared write
-    * discipline: a crash mid-write leaves the live dir untouched (the
-    * half-written `__compact` staging dir is overwritten by the next
-    * attempt); a crash between delete and rename loses only the
-    * derived component, which the next build/compact regenerates.
+    * then swap via TWO renames — park the live dir as `__old`, rename
+    * the staging dir in, drop the parked copy. The compaction ops'
+    * shared write discipline, with NO destructive window: a crash
+    * mid-write leaves the live dir untouched (the half-written
+    * `__compact` staging dir is cleaned by the next attempt); a crash
+    * between the two renames leaves the component parked as `__old`,
+    * which `restoreDir` renames back on the next read or swap. The
+    * delete-then-rename spelling this replaces had a window where the
+    * component was simply GONE — survivable for corpus-derived state
+    * (rebuild), but a folded component also carries EXTRA-CORPUS
+    * absorbed arrivals, and a forced rebuild would silently drop
+    * them (CompactionSpec pins both crash windows).
     */
   private[operators] def swapDir(spark: SparkSession, path: String, name: String)
                                 (write: String => Unit): Unit = {
     val fs = fsFor(spark, path)
+    restoreDir(spark, path, name) // heal a previously crashed swap first
     val tmp = s"$path/${name}__compact"
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    write(tmp)
     val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
-    fs.delete(dst, true)
+    val old = new org.apache.hadoop.fs.Path(s"$path/${name}__old")
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(old, true)
+    write(tmp)
+    if (fs.exists(dst))
+      require(fs.rename(dst, old), s"compaction parking rename $dst -> $old failed")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
       s"compaction rename $tmp -> $dst failed")
+    fs.delete(old, true)
+  }
+
+  /** Recover a component lost in swapDir's between-renames window:
+    * the live dir has no _SUCCESS but a complete `__old` parked copy
+    * exists → rename it back. Idempotent and two-exists cheap, so
+    * every component freshness probe runs it first — a crashed swap
+    * then degrades to "the fold never happened" (the caller's
+    * not-yet-deleted delta/store side still holds the unfolded rows)
+    * instead of a stale index and a history-dropping rebuild.
+    */
+  private[operators] def restoreDir(spark: SparkSession, path: String, name: String): Unit = {
+    val fs = fsFor(spark, path)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val old = new org.apache.hadoop.fs.Path(s"$path/${name}__old")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$name/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/${name}__old/_SUCCESS"))) {
+      fs.delete(dst, true)
+      require(fs.rename(old, dst), s"restore rename $old -> $dst failed")
+    }
   }
 
   private def watermarkPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/watermark")

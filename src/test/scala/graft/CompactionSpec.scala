@@ -95,6 +95,76 @@ class CompactionSpec extends AnyFunSuite {
     deleteIndex(path)
   }
 
+  test("compaction crash windows: staged leftovers are ignored; a lost component regenerates losslessly") {
+    import spark.implicits._
+    import streaming.FunnelStream._
+    val fdir = "/fake/compaction_crash"
+    val tOld = "distant mountains glowed under the pale morning light as shepherds guided " +
+      "their flocks across dew covered meadows toward the stone walls of the old village"
+    // the arrival text must PASS the quality gate (stage ordering puts
+    // quality before the dup stages) — the harbor text is the proven
+    // quality-passing fixture of the funnel tests
+    val tArr = "the quiet harbor sheltered a small fleet of wooden boats during rough " +
+      "weather while fishermen mended their heavy nets beside tall stacks of salted crates"
+    Tables.registerOverride(spark, fdir, "documents",
+      Seq((1L, "s", tOld)).toDF("doc_id", "source", "text"))
+    val ipath = operators.Curation.FunnelIndex.path(spark, fdir)
+    deleteIndex(ipath)
+    val state = java.nio.file.Files.createTempDirectory("crash_state").toString
+    val ctx = load(spark, fdir, state)
+    val b0 = Seq((160L, "s", tArr)).toDF("doc_id", "source", "text")
+    gateBatch(ctx, b0, Some(0L)).count(); absorb(ctx, b0, 0L)
+    val probe = Seq((300L, "s", tArr), (301L, "s", tOld)).toDF("doc_id", "source", "text")
+    def verdicts(c: Ctx) = gateBatch(c, probe, Some(9L))
+      .select("doc_id", "stage").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = verdicts(ctx)
+    assert(want(300L) == "exact_dup",
+      "the absorbed arrival's history must flag its twin (the folded row under test)")
+    // crash window A: died mid-WRITE — a half-written staging dir
+    // sits next to the live component; the next compact must ignore
+    // and overwrite it, never read it as live data
+    val fs = new org.apache.hadoop.fs.Path(ipath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ipath/hashes__compact"))
+    Seq("garbage").toDF("h").write.mode("overwrite")
+      .parquet(s"$ipath/hashes__compact")
+    compact(spark, ctx)
+    assert(!exists(s"$ipath/hashes__compact"), "staging dir must be consumed by the swap")
+    assert(verdicts(ctx) == want, "a leftover staging dir must not corrupt the fold")
+    assert(spark.read.parquet(s"$ipath/hashes")
+      .filter(col("h") === "garbage").count() == 0,
+      "the half-written staging content must never be read as live data")
+    // crash window B: died BETWEEN the two renames — the live hashes
+    // component is parked as __old, dst is absent. The freshness
+    // probe must heal it (restoreDir) so the index reads FRESH and no
+    // rebuild happens: the folded component carries the absorbed
+    // arrival's md5, which is extra-corpus — a rebuild would silently
+    // drop it (exactly what the old delete-then-rename window did)
+    val hashRows = spark.read.parquet(s"$ipath/hashes").count()
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$ipath/hashes"),
+      new org.apache.hadoop.fs.Path(s"$ipath/hashes__old")), "simulated park")
+    assert(operators.Curation.FunnelIndex.fresh(spark, fdir, ipath, 16, 97, 64),
+      "the freshness probe must restore the parked component and read fresh")
+    assert(exists(s"$ipath/hashes/_SUCCESS") && !exists(s"$ipath/hashes__old"),
+      "restore renames the parked copy back")
+    val ctx2 = load(spark, fdir, state)
+    assert(spark.read.parquet(s"$ipath/hashes").count() == hashRows,
+      "no rebuild: the healed component is the folded one, bit for bit")
+    val after = verdicts(ctx2)
+    assert(after == want,
+      s"folded extra-corpus history must survive the crash untouched: $after vs $want")
+    // crash window C: died after the swap-in but before dropping the
+    // parked copy — a stale __old next to a live dst. The probe must
+    // NOT clobber the live component with the stale parked one.
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ipath/hashes__old"))
+    Seq("stale").toDF("h").write.mode("overwrite").parquet(s"$ipath/hashes__old")
+    assert(operators.Curation.FunnelIndex.fresh(spark, fdir, ipath, 16, 97, 64))
+    assert(spark.read.parquet(s"$ipath/hashes").count() == hashRows &&
+      spark.read.parquet(s"$ipath/hashes").filter(col("h") === "stale").count() == 0,
+      "a leftover parked dir must never replace the live component")
+    deleteIndex(ipath)
+  }
+
   test("funnel seen-store: N batch dirs fold into the index; gating is unchanged") {
     import spark.implicits._
     import streaming.FunnelStream._

@@ -139,6 +139,31 @@ class McpSpec extends AnyFunSuite {
     assert(members.forall(m => !m.isNullAt(3)), "every member carries its text")
   }
 
+  test("prompt templates embed their arguments verbatim (server.py @mcp.prompt parity)") {
+    val vt = vectorSearchTemplate("harbor storms")
+    assert(vt.contains("Query: harbor storms\n") && vt.contains("`vector_search`"))
+    val ct = clusterSummaryTemplate("boat-chat", ">>> the key line")
+    assert(ct.contains("Chat: boat-chat\n") && ct.contains(">>> the key line\n\n"))
+    assert(ct.endsWith("topic, participants, and outcome."))
+  }
+
+  test("cluster summary data: ordered [id] source: text lines, empty texts skipped") {
+    val g = operators.Vectors.semanticGroups(spark, TestSpark.dir)
+      .groupBy("source", "group_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3).orderBy("source", "group_id").head
+    val (src, grp) = (g.getString(0), g.getLong(1))
+    val txt = clusterSummaryData(spark, TestSpark.dir, src, grp)
+    val want = getCluster(spark, TestSpark.dir, src, grp).collect()
+      .filter(r => r.getString(4).trim.nonEmpty)
+      .map(r => s"[${r.getLong(0)}] ${r.getString(1)}: ${r.getString(4).trim}")
+      .mkString("\n")
+    assert(txt == want, "assembly must replay the reference's line format and time order")
+    assert(txt.linesIterator.size == g.getLong(2),
+      "this fixture has no empty texts, so every member contributes a line")
+    // an empty cluster assembles to the empty string, not an error
+    assert(clusterSummaryData(spark, TestSpark.dir, "no_such_source", 999999L) == "")
+  }
+
   test("random_large_cluster: seeded pick among eligible groups, full membership, deterministic") {
     val r = randomLargeCluster(spark, TestSpark.dir, minSize = 3).collect()
     assert(r.nonEmpty && r.length >= 3, "the picked cluster meets min_size")

@@ -1,0 +1,25 @@
+#!/bin/bash
+# Three-scale correctness sweep (VERDICT r11 item 7's discipline, made
+# one command): run graft.Verify + tools/selfcheck.py at sf0.001,
+# sf0.01 and sf0.1 — in that order, so the LAST selfcheck leaves
+# ORACLE_TIMING.json holding the sf0.1 numbers (the headline artifact
+# the bench gate is judged against). Every oracle-checkable query must
+# be EXACT at every scale; any FAIL exits non-zero immediately.
+#
+# Usage: tools/sweep.sh   (env: SPARK_GRAFT_CPUS, default 8)
+# NB: the sf0.1 DuckDB pass is the slow half (~20 min — brute-force
+# oracle shapes like q40/q27b dominate); run under nohup for rounds.
+set -e
+cd "$(dirname "$0")/.."
+CPUS=${SPARK_GRAFT_CPUS:-8}
+for sf in 0.001 0.01 0.1; do
+  out=/tmp/graft_sweep_sf$sf
+  rm -rf "$out"
+  echo "=== sf$sf: Verify ==="
+  SPARK_GRAFT_CPUS=$CPUS sbt -batch \
+    "runMain graft.Verify /root/testdata/sf$sf $out" 2>&1 \
+    | grep -E '\[verify\]' || true
+  echo "=== sf$sf: selfcheck ==="
+  python3 tools/selfcheck.py "/root/testdata/sf$sf" "$out" | tail -3
+done
+echo "sweep complete: ORACLE_TIMING.json now holds the sf0.1 pass"
