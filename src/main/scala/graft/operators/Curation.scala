@@ -472,6 +472,13 @@ object Curation {
             .select("doc_id", "sh", "blk", "pblk")
             .unionByName(spark.read.parquet(s"$statePath/shingles")
               .drop("batch").select("doc_id", "sh", "blk", "pblk"))
+            // one shingle row per doc, like the hashes leg's
+            // distinct(): disjoint in normal operation (index = corpus
+            // + prior folds, store = new arrivals), but a crash after
+            // this swap and before the store delete below re-folds the
+            // same store rows on retry — without the dedup each
+            // crashed attempt would grow the index by a store copy
+            .dropDuplicates("doc_id")
             .repartition(col("pblk"))
             .write.partitionBy("pblk").parquet(tmp)
         }

@@ -733,19 +733,57 @@ object Dedup {
       VectorIndex.writeWatermark(spark, path, token)
     }
 
+    /** Generation ids the folded base already contains — the
+      * `_folded_gens` sidecar the fold publishes ATOMICALLY with the
+      * folded table (written into the staging dir before the swap
+      * rename). While a gen id is listed here its dir is excluded
+      * from the summed view, so the fold's cleanup (gen-dir deletes)
+      * can crash at any point without double-counting.
+      */
+    private def foldedGens(spark: SparkSession, path: String): Set[String] = {
+      val fs = VectorIndex.fsFor(spark, path)
+      val p = new org.apache.hadoop.fs.Path(s"$path/grams/_folded_gens")
+      if (!fs.exists(p)) Set.empty
+      else {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(buf) finally in.close()
+        new String(buf, "UTF-8").split(",").iterator.filter(_.nonEmpty).toSet
+      }
+    }
+
+    /** Generation dirs that count toward the live view: COMPLETE
+      * (_SUCCESS — a crashed absorb's partial gen dir must not be
+      * summed as real counts) and not already folded into the base.
+      */
+    private def liveGens(spark: SparkSession, path: String): Seq[org.apache.hadoop.fs.Path] = {
+      val fs = VectorIndex.fsFor(spark, path)
+      val root = new org.apache.hadoop.fs.Path(s"$path/grams_delta")
+      if (!fs.exists(root)) Seq.empty
+      else {
+        val folded = foldedGens(spark, path)
+        fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith("gen="))
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          .filterNot(p => folded.contains(p.getName.stripPrefix("gen=")))
+      }
+    }
+
     /** The index's (gram → old-doc count) view: the base table alone
-      * in the steady state, base + per-generation absorbed deltas
-      * summed when nightly batches have been absorbed and not yet
-      * compacted. The exists-check keeps the no-delta plan identical
-      * to the pre-absorb plan (no aggregation inserted for the
-      * common probe path).
+      * in the steady state, base + live absorbed generations summed
+      * when nightly batches have been absorbed and not yet
+      * compacted. The empty-gens branch keeps the no-delta plan
+      * identical to the pre-absorb plan (no aggregation inserted for
+      * the common probe path).
       */
     def grams(spark: SparkSession, path: String): DataFrame = {
-      val fs = VectorIndex.fsFor(spark, path)
       val base = spark.read.parquet(s"$path/grams")
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/grams_delta"))) base
+      val gens = liveGens(spark, path)
+      if (gens.isEmpty) base
       else base
-        .unionByName(spark.read.parquet(s"$path/grams_delta").drop("gen"))
+        .unionByName(spark.read.option("basePath", s"$path/grams_delta")
+          .parquet(gens.map(_.toString): _*).drop("gen"))
         .groupBy("g").agg(sum("nd_old").as("nd_old"))
     }
 
@@ -779,11 +817,48 @@ object Dedup {
       * ingest pipeline has landed the arrivals in the table.
       */
     def compact(spark: SparkSession, path: String): Unit = {
-      val fs = VectorIndex.fsFor(spark, path)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/grams_delta"))) return
+      foldPhase(spark, path)
+      cleanupPhase(spark, path)
+    }
+
+    /** Phase 1 of compaction: write base + live gens (summed) as the
+      * new base, with the absorbed gen-id set published ATOMICALLY
+      * alongside it (`_folded_gens` written into the staging dir
+      * before the swap rename). After this phase the summed VIEW is
+      * unchanged whether or not cleanup ever runs — the marker
+      * excludes exactly the gens the base now contains. Split from
+      * cleanup so the spec can pin the crashed-between-phases state.
+      */
+    private[graft] def foldPhase(spark: SparkSession, path: String): Unit = {
+      val toFold = liveGens(spark, path)
+      if (toFold.isEmpty) return
       val folded = grams(spark, path)
-      VectorIndex.swapDir(spark, path, "grams")(tmp => folded.write.parquet(tmp))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/grams_delta"), true)
+      val gens = (foldedGens(spark, path) ++
+        toFold.map(_.getName.stripPrefix("gen="))).toSeq.sorted.mkString(",")
+      VectorIndex.swapDir(spark, path, "grams") { tmp =>
+        folded.write.parquet(tmp)
+        val fs = VectorIndex.fsFor(spark, path)
+        val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_folded_gens"), true)
+        try out.write(gens.getBytes("UTF-8")) finally out.close()
+      }
+    }
+
+    /** Phase 2: drop the folded gen dirs, THEN clear the marker (the
+      * marker may only stop excluding a gen once its dir is gone),
+      * then the delta root if nothing is left. Every prefix of this
+      * sequence is a consistent state; clearing the marker at the end
+      * means a later re-use of a gen id (tomorrow's nightly batch
+      * counter) is counted as the NEW generation it is.
+      */
+    private[graft] def cleanupPhase(spark: SparkSession, path: String): Unit = {
+      val fs = VectorIndex.fsFor(spark, path)
+      val folded = foldedGens(spark, path)
+      folded.foreach(g =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/grams_delta/gen=$g"), true))
+      if (folded.nonEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/grams/_folded_gens"), false)
+      val root = new org.apache.hadoop.fs.Path(s"$path/grams_delta")
+      if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, true)
     }
   }
 

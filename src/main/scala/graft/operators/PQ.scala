@@ -561,7 +561,8 @@ object PQ {
     // state; a source change invalidates the whole watermark and the
     // rebuild path clears the marker.
     if (incrIndexFresh(spark, dir, path, m, kCodes, iters, deltaMod) &&
-        hasCompactedMark(spark, path)) return
+        (hasCompactedMark(spark, path) ||
+          VectorIndex.hasMarker(spark, s"$path/codes"))) return
     pqEncodeIncremental(spark, dir, deltaMod, m, kCodes, iters)
       .write.mode("overwrite").parquet(s"$path/codes_delta")
   }
@@ -587,16 +588,30 @@ object PQ {
     val path = incrIndexPath(spark, dir, deltaMod)
     require(incrIndexFresh(spark, dir, path, m, kCodes, iters, deltaMod),
       "compactIncr requires a fresh base index (build/append first)")
+    // token at ENTRY (the snapshot-before-read rule, like every build
+    // path): the fold must publish under the identity it verified —
+    // a source regenerated DURING the fold must leave the index
+    // stale-marked, never stamp old codes with the new source token
+    val token = incrToken(spark, dir, m, kCodes, iters, deltaMod)
     val fs = VectorIndex.fsFor(spark, path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS"))) return
-    VectorIndex.swapDir(spark, path, "codes") { tmp =>
-      spark.read.parquet(s"$path/codes")
-        .unionAll(spark.read.parquet(s"$path/codes_delta"))
-        .write.parquet(tmp)
+    val hasDelta = fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS"))
+    val folded = VectorIndex.hasMarker(spark, s"$path/codes")
+    if (!hasDelta && !folded) return
+    // fold only when the base does not already contain the delta —
+    // the _folded marker publishes atomically with the folded data
+    // (written INTO the staging dir), so every crash point below
+    // (before the delta delete, between delete and watermark) leaves
+    // a state this re-run converges from instead of double-counting
+    if (hasDelta && !folded) {
+      VectorIndex.swapDir(spark, path, "codes") { tmp =>
+        spark.read.parquet(s"$path/codes")
+          .unionAll(spark.read.parquet(s"$path/codes_delta"))
+          .write.parquet(tmp)
+        VectorIndex.touchMarker(spark, tmp)
+      }
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes_delta"), true)
-    VectorIndex.writeWatermark(spark, path,
-      incrToken(spark, dir, m, kCodes, iters, deltaMod) + "\ncompacted|true")
+    VectorIndex.writeWatermark(spark, path, token + "\ncompacted|true")
   }
 
   /** All codes the incremental index currently holds (base ∪ any
@@ -606,7 +621,11 @@ object PQ {
     val path = incrIndexPath(spark, dir, deltaMod)
     val fs = VectorIndex.fsFor(spark, path)
     val base = spark.read.parquet(s"$path/codes")
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")))
+    // the _folded marker means the base already CONTAINS the delta
+    // (a fold published but its delta-dir cleanup may not have run) —
+    // unioning it again would double every delta vec_id
+    if (!VectorIndex.hasMarker(spark, s"$path/codes") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")))
       base.unionAll(spark.read.parquet(s"$path/codes_delta"))
     else base
   }
@@ -695,8 +714,10 @@ object PQ {
       buildIvfPqIncrBase(spark, dir, path, m, kCodes, iters, nLists, deltaMod)
     // post-compaction the delta already lives in the base cell lists —
     // re-appending would duplicate every delta vec_id (same rule as
-    // the flat index's appendDelta)
-    else if (hasCompactedMark(spark, path)) return
+    // the flat index's appendDelta; the _folded marker covers a fold
+    // whose watermark write never ran)
+    else if (hasCompactedMark(spark, path) ||
+        VectorIndex.hasMarker(spark, s"$path/cells")) return
     val books = spark.read.parquet(s"$path/books")
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cell").as("c_cell"), col("cvec"))
@@ -731,20 +752,26 @@ object PQ {
     val path = ivfPqIncrPath(spark, dir, deltaMod)
     require(ivfPqIncrFresh(spark, dir, path, m, kCodes, iters, nLists, deltaMod),
       "compactIvfPqIncr requires a fresh base index (build/append first)")
+    // token at ENTRY — the snapshot-before-read rule (see compactIncr)
+    val token = ivfPqIncrToken(spark, dir, m, kCodes, iters, nLists, deltaMod)
     val fs = VectorIndex.fsFor(spark, path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS"))) return
+    val hasDelta = fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS"))
+    val folded = VectorIndex.hasMarker(spark, s"$path/cells")
+    if (!hasDelta && !folded) return
     val lists = storedLists(spark, path)
-    val cols = Seq(col("vec_id"), col("codes"), col("cell"))
-    VectorIndex.swapDir(spark, path, "cells") { tmp =>
-      spark.read.parquet(s"$path/cells").select(cols: _*)
-        .unionAll(spark.read.parquet(s"$path/codes_delta").select(cols: _*))
-        .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(tmp)
+    if (hasDelta && !folded) {
+      val cols = Seq(col("vec_id"), col("codes"), col("cell"))
+      VectorIndex.swapDir(spark, path, "cells") { tmp =>
+        spark.read.parquet(s"$path/cells").select(cols: _*)
+          .unionAll(spark.read.parquet(s"$path/codes_delta").select(cols: _*))
+          .repartition(col("cell"))
+          .write.partitionBy("cell").parquet(tmp)
+        VectorIndex.touchMarker(spark, tmp)
+      }
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes_delta"), true)
     VectorIndex.writeWatermark(spark, path,
-      ivfPqIncrToken(spark, dir, m, kCodes, iters, nLists, deltaMod) +
-        lists.map(l => s"\nlists|$l").getOrElse("") + "\ncompacted|true")
+      token + lists.map(l => s"\nlists|$l").getOrElse("") + "\ncompacted|true")
   }
 
   private def storedLists(spark: SparkSession, path: String): Option[Int] =
@@ -765,10 +792,13 @@ object PQ {
     val path = ivfPqIncrPath(spark, dir, deltaMod)
     val fs = VectorIndex.fsFor(spark, path)
     // a compacted index is complete WITHOUT a delta dir — only append
-    // when the index is stale or genuinely missing its delta
+    // when the index is stale or genuinely missing its delta (the
+    // cells-dir _folded marker covers the crash window where a fold
+    // published but the watermark line was never written)
     if (!ivfPqIncrFresh(spark, dir, path, m, kCodes, iters, nLists, deltaMod) ||
         (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")) &&
-          !hasCompactedMark(spark, path)))
+          !hasCompactedMark(spark, path) &&
+          !VectorIndex.hasMarker(spark, s"$path/cells")))
       appendDeltaIvfPq(spark, dir, deltaMod, m, kCodes, iters, nLists, nProbe)
     val books = spark.read.parquet(s"$path/books")
     val cents = spark.read.parquet(s"$path/centroids")
@@ -788,7 +818,11 @@ object PQ {
     // unionAll is positional — pin the column order on both stores
     val cols = Seq(col("vec_id"), col("codes"), col("cell"))
     val baseCodes = spark.read.parquet(s"$path/cells").select(cols: _*)
-    val coded = (if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")))
+    // _folded marker: the base already holds the delta (fold
+    // published, cleanup possibly unfinished) — unioning would
+    // double-count every delta vec_id in the ADC ranking
+    val coded = (if (!VectorIndex.hasMarker(spark, s"$path/cells") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")))
         baseCodes.unionAll(spark.read.parquet(s"$path/codes_delta").select(cols: _*))
       else baseCodes) // compacted: the folded base holds everything
       .filter(col("cell").isin(probedCells: _*))

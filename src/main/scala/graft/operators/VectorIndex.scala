@@ -140,6 +140,22 @@ object VectorIndex {
     }
   }
 
+  /** Folded-state marker INSIDE a component dir. Written into the
+    * STAGING dir before the swap rename, so the folded data and the
+    * "this component already contains its delta" fact publish
+    * atomically — the delta-dir delete and watermark write that
+    * follow a fold can then crash at any point without readers ever
+    * double-counting the delta (they skip it while the marker is
+    * present) and without a re-run re-folding it. The underscore
+    * prefix keeps the file invisible to parquet readers.
+    */
+  private[operators] def touchMarker(spark: SparkSession, dirPath: String): Unit =
+    fsFor(spark, dirPath)
+      .create(new org.apache.hadoop.fs.Path(s"$dirPath/_folded"), true).close()
+
+  private[operators] def hasMarker(spark: SparkSession, dirPath: String): Boolean =
+    fsFor(spark, dirPath).exists(new org.apache.hadoop.fs.Path(s"$dirPath/_folded"))
+
   private def watermarkPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/watermark")
 
   private[operators] def readWatermark(spark: SparkSession, path: String): Option[String] = {

@@ -31,12 +31,19 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; keys: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
-    fn(spark, sfDir).count() // warmup
+    // the noop sink, NOT count(): count() lets Catalyst prune the
+    // final projection and drop top-level sorts, so a plan whose cost
+    // lives in an output-only expression would time as "no
+    // regression". Bench's protocol is the contract this tool A/Bs
+    // against, so it must materialize the same full result.
+    def force(): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    force() // warmup
     val times = (1 to iters).map { _ =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      force()
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"$name: $s%.3fs ($n rows)")
+      println(f"$name: $s%.3fs")
       s
     }
     println(f"$name min of $iters: ${times.min}%.3fs")

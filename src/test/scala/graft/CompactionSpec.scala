@@ -95,6 +95,76 @@ class CompactionSpec extends AnyFunSuite {
     deleteIndex(path)
   }
 
+  test("PQ fold crash windows: a lingering or re-appended delta never double-counts; re-compact converges") {
+    val dm = 4
+    val path = operators.PQ.incrIndexPath(spark, dir, dm)
+    deleteIndex(path)
+    operators.PQ.appendDelta(spark, dir, deltaMod = dm)
+    val deltaRows = spark.read.parquet(s"$path/codes_delta").collect()
+    val deltaSchema = spark.read.parquet(s"$path/codes_delta").schema
+    def codes() = operators.PQ.incrCodes(spark, dir, deltaMod = dm)
+      .select(col("vec_id"), to_json(col("codes")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val pre = codes().toMap
+    operators.PQ.compactIncr(spark, dir, deltaMod = dm)
+    // crash window: the fold published (codes carries the _folded
+    // marker) but the delta dir survived — recreate it verbatim
+    spark.createDataFrame(java.util.Arrays.asList(deltaRows: _*), deltaSchema)
+      .write.mode("overwrite").parquet(s"$path/codes_delta")
+    val seen = codes()
+    assert(seen.length == seen.toMap.size && seen.toMap == pre,
+      "a folded base + lingering delta must read each vec_id exactly ONCE")
+    // appendDelta in this state must recognize the fold and not
+    // re-encode; compactIncr must converge (delete, not re-fold)
+    operators.PQ.compactIncr(spark, dir, deltaMod = dm)
+    assert(!exists(s"$path/codes_delta"), "re-compact must clean the lingering delta")
+    assert(codes().toMap == pre, "convergence: same codes, no duplicates baked in")
+    operators.PQ.appendDelta(spark, dir, deltaMod = dm)
+    assert(!exists(s"$path/codes_delta"), "append still no-ops on the folded index")
+    deleteIndex(path)
+  }
+
+  test("gram fold crash window: fold published, cleanup never ran — view unchanged, cleanup converges") {
+    import spark.implicits._
+    val fdir = "/fake/compaction_grams_crash"
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    Tables.registerOverride(spark, fdir, "documents",
+      Seq((1L, "s", t1)).toDF("doc_id", "source", "text"))
+    val path = operators.Dedup.GramIndex.path(spark, fdir)
+    deleteIndex(path)
+    operators.Dedup.GramIndex.build(spark, fdir, path, k = 8, deltaMod = 16)
+    def view() = operators.Dedup.GramIndex.grams(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    operators.Dedup.GramIndex.absorb(spark, path,
+      Seq((100L, t1)).toDF("doc_id", "text"), k = 8, gen = 0L)
+    val summed = view()
+    // phase 1 only — the crashed-before-cleanup state: folded base +
+    // marker live, gen dir still on disk
+    operators.Dedup.GramIndex.foldPhase(spark, path)
+    assert(exists(s"$path/grams_delta/gen=0"), "fixture: the gen dir survived the crash")
+    assert(exists(s"$path/grams/_folded_gens"), "fixture: the fold marker is live")
+    assert(view() == summed,
+      "folded base + still-present folded gen must NOT double-count (marker excludes it)")
+    // a partial absorb (no _SUCCESS) must not count either
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/grams_delta/gen=7"))
+    assert(view() == summed, "a crashed absorb's partial gen dir is not live data")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/grams_delta/gen=7"), true)
+    // a NEW generation lands while the crashed state persists: counted once
+    operators.Dedup.GramIndex.absorb(spark, path,
+      Seq((200L, t1)).toDF("doc_id", "text"), k = 8, gen = 1L)
+    val withG1 = view()
+    assert(withG1.exists { case (g, c) => summed.get(g).contains(c - 1) },
+      "an unfolded new generation still sums on top of the folded base")
+    // full compact() from the crashed state: fold gen 1, clean everything
+    operators.Dedup.GramIndex.compact(spark, path)
+    assert(!exists(s"$path/grams_delta") && !exists(s"$path/grams/_folded_gens"),
+      "cleanup converges: no delta dirs, marker cleared")
+    assert(view() == withG1, "the final folded table equals the live view before cleanup")
+    deleteIndex(path)
+  }
+
   test("compaction crash windows: staged leftovers are ignored; a lost component regenerates losslessly") {
     import spark.implicits._
     import streaming.FunnelStream._
