@@ -335,6 +335,38 @@ object Vectors {
     * co-assign ALWAYS (identical cosines ⇒ identical ranking), so
     * planted exact-dup recall stays 1 (spec-pinned).
     */
+  /** Coarse structure over the FINE CENTROIDS (nLists rows): seed
+    * groups by hash, tighten with Lloyd rounds so groups are
+    * spatially coherent (hash-random groups would all average to the
+    * global mean and coarse probing would carry no signal). ONE
+    * definition shared by assignCells' two-level path and
+    * streaming.PqStream's declarative gate — the ranking-parity
+    * requirement: a gate probing with a DIFFERENT group structure
+    * than the index assigned with loses the co-ranking guarantee
+    * (an exact twin's cell could hide in a group the probe skips).
+    * Deterministic in (cents, nCoarse, coarseIters), so a re-derive
+    * at serve time equals the build-time structure.
+    * Returns (gcents: (g_grp, gvec), fine: (grp, c_cell, cvec)).
+    */
+  private[graft] def coarseStructure(cents: DataFrame, nCoarse: Int,
+                                     coarseIters: Int = 1): (DataFrame, DataFrame) = {
+    var g = cents.select(col("c_cell"), col("cvec"),
+      pmod(hash(col("c_cell")), lit(nCoarse)).as("grp"))
+    for (_ <- 1 to coarseIters) {
+      val gc = centroidsOf(g.select(col("grp").as("cell"), col("cvec").as("embedding")))
+        .select(col("c_cell").as("g_grp"), col("cvec").as("gvec"))
+      val wg = Window.partitionBy("c_cell").orderBy(col("gs").desc, col("g_grp"))
+      g = g.select("c_cell", "cvec").crossJoin(broadcast(gc))
+        .withColumn("gs", round(expr("cosine_sim(cvec, gvec)"), 6))
+        .withColumn("grk", row_number().over(wg))
+        .filter(col("grk") === 1)
+        .select(col("c_cell"), col("cvec"), col("g_grp").as("grp"))
+    }
+    val gcents = centroidsOf(g.select(col("grp").as("cell"), col("cvec").as("embedding")))
+      .select(col("c_cell").as("g_grp"), col("cvec").as("gvec"))
+    (gcents, g.select(col("grp"), col("c_cell"), col("cvec")))
+  }
+
   private[graft] def assignCells(vectors: DataFrame, cents: DataFrame, nProbe: Int,
                                  nCoarse: Int, coarseProbe: Int = 4,
                                  coarseIters: Int = 1): DataFrame = {
@@ -348,25 +380,7 @@ object Vectors {
         .filter(col("rk") <= nProbe)
         .select(col("vec_id"), col("c_cell").as("cell"), col("s"))
     } else {
-      // coarse structure over the FINE CENTROIDS (nLists rows): seed
-      // groups by hash, tighten with Lloyd rounds so groups are
-      // spatially coherent (hash-random groups would all average to
-      // the global mean and coarse probing would carry no signal)
-      var g = cents.select(col("c_cell"), col("cvec"),
-        pmod(hash(col("c_cell")), lit(nCoarse)).as("grp"))
-      for (_ <- 1 to coarseIters) {
-        val gc = centroidsOf(g.select(col("grp").as("cell"), col("cvec").as("embedding")))
-          .select(col("c_cell").as("g_grp"), col("cvec").as("gvec"))
-        val wg = Window.partitionBy("c_cell").orderBy(col("gs").desc, col("g_grp"))
-        g = g.select("c_cell", "cvec").crossJoin(broadcast(gc))
-          .withColumn("gs", round(expr("cosine_sim(cvec, gvec)"), 6))
-          .withColumn("grk", row_number().over(wg))
-          .filter(col("grk") === 1)
-          .select(col("c_cell"), col("cvec"), col("g_grp").as("grp"))
-      }
-      val gcents = centroidsOf(g.select(col("grp").as("cell"), col("cvec").as("embedding")))
-        .select(col("c_cell").as("g_grp"), col("cvec").as("gvec"))
-      val fine = g.select(col("grp"), col("c_cell"), col("cvec"))
+      val (gcents, fine) = coarseStructure(cents, nCoarse, coarseIters)
       // vectors → top-coarseProbe coarse groups (N·nCoarse cosines)
       val wc = Window.partitionBy("vec_id").orderBy(col("gs").desc, col("g_grp"))
       val vg = vectors.crossJoin(broadcast(gcents))

@@ -44,13 +44,25 @@ object DecontamStream {
   case class DecontamOut(doc_id: Long, n_grams: Int, n_overlap: Long,
                          rate: Option[Double], contaminated: Boolean)
 
-  def loadBench(spark: SparkSession, dir: String,
-                benchMod: Int = 97, fpp: Double = 0.01): BenchIndex = {
+  /** The frozen bench gram frame — ONE definition of "the bench set"
+    * for every ingest gate (loadBench here, FunnelStream.load): the
+    * bench slice rule is semantic glue between the exact gate, the
+    * fuzzy gate and the funnel, so it must not be able to drift
+    * between spellings. Persisted: every micro-batch's broadcast
+    * reads it.
+    */
+  private[streaming] def benchFrame(spark: SparkSession, dir: String,
+                                    benchMod: Int): DataFrame = {
     GraftFunctions.register(spark)
-    val bench = Curation.docGrams3(spark, dir)
+    Curation.docGrams3(spark, dir)
       .filter(col("doc_id") % benchMod === 0)
       .select(explode(col("g3")).as("g")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def loadBench(spark: SparkSession, dir: String,
+                benchMod: Int = 97, fpp: Double = 0.01): BenchIndex = {
+    val bench = benchFrame(spark, dir, benchMod)
     BenchIndex(bench, Curation.bloomBytesFor(bench, fpp))
   }
 
@@ -69,7 +81,13 @@ object DecontamStream {
                       max_jac: Option[Double], best_bench_id: Option[Long],
                       contaminated: Boolean)
 
-  private def bandCols(k: Int, bands: Int) = {
+  /** The LSH banding layout over a `sig` column — ONE definition for
+    * every streaming band consumer (here, DedupStream.banded and
+    * pairsBySignature): band buckets are cross-operator identity (a
+    * stream bucket must keep matching the fuzzy-bench buckets), so
+    * the layout must not be able to drift between spellings.
+    */
+  private[streaming] def bandCols(k: Int, bands: Int) = {
     val rows = k / bands
     transform(sequence(lit(0), lit(bands - 1)),
       b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))

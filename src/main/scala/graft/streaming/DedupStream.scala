@@ -53,14 +53,12 @@ object DedupStream {
     require(bands > 0 && k % bands == 0,
       s"bands ($bands) must divide the signature length k ($k): a non-dividing " +
         "bands silently drops the tail signature positions from banding")
-    val rows = k / bands
     docs
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), expr("shingles(text)").as("sh"))
       .withColumn("sig", expr(s"minhash(sh, $k)"))
       .select(col("doc_id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+        posexplode(DecontamStream.bandCols(k, bands)).as(Seq("band", "bucket")))
       .as[Banded]
   }
 
@@ -127,13 +125,11 @@ object DedupStream {
       s"bands ($bands) must divide the signature length k ($k): a non-dividing " +
         "bands silently drops the tail signature positions, and bands > k " +
         "degenerates every row to one shared bucket per band")
-    val rows = k / bands
     val sigBanded = docs
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), expr(s"minhash(shingles(text), $k)").as("sig"))
       .select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+        posexplode(DecontamStream.bandCols(k, bands)).as(Seq("band", "bucket")))
       .as[SigBanded]
     sigBanded
       .groupByKey(b => (b.band, b.bucket))
@@ -142,9 +138,14 @@ object DedupStream {
           val newDocs = it.toArray.sortBy(_.doc_id)
           var members = state.getOption.map(_.docs).getOrElse(Nil)
           val out = List.newBuilder[EstPair]
+          // a re-delivered doc_id (duplicate input rows, source
+          // replay — routine in the crawl streams this gate targets)
+          // is a NO-OP: without the guard each copy would be stored
+          // in state forever and every future match would emit once
+          // per stored copy
           newDocs.foreach { d =>
-            members.foreach { case (oldId, oldSig) =>
-              if (oldId != d.doc_id) {
+            if (!members.exists(_._1 == d.doc_id)) {
+              members.foreach { case (oldId, oldSig) =>
                 var eq = 0; var i = 0
                 while (i < k) { if (oldSig(i) == d.sig(i)) eq += 1; i += 1 }
                 val est = BigDecimal(eq.toDouble / k)
@@ -154,8 +155,8 @@ object DedupStream {
                   out += EstPair(a, b, est)
                 }
               }
+              members ::= (d.doc_id, d.sig)
             }
-            members ::= (d.doc_id, d.sig)
           }
           state.update(SigState(members))
           out.result().iterator
@@ -176,17 +177,18 @@ object DedupStream {
           val newDocs = it.toArray.sortBy(_.doc_id)
           var members = state.getOption.map(_.docs).getOrElse(Nil)
           val out = List.newBuilder[DupPair]
+          // re-delivered doc_id ⇒ no-op (see pairsBySignature)
           newDocs.foreach { d =>
-            members.foreach { case (oldId, oldSh) =>
-              if (oldId != d.doc_id) {
+            if (!members.exists(_._1 == d.doc_id)) {
+              members.foreach { case (oldId, oldSh) =>
                 val jac = jaccard(oldSh, d.sh)
                 if (jac >= threshold) {
                   val (a, b) = if (oldId < d.doc_id) (oldId, d.doc_id) else (d.doc_id, oldId)
                   out += DupPair(a, b, jac)
                 }
               }
+              members ::= (d.doc_id, d.sh)
             }
-            members ::= (d.doc_id, d.sh)
           }
           state.update(BucketState(members))
           out.result().iterator

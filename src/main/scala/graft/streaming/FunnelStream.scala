@@ -78,10 +78,7 @@ object FunnelStream {
     val path = Curation.FunnelIndex.path(spark, dir)
     if (!Curation.FunnelIndex.fresh(spark, dir, path, deltaMod, benchMod, nBuckets))
       Curation.FunnelIndex.build(spark, dir, path, deltaMod, benchMod, nBuckets)
-    val bench = Curation.docGrams3(spark, dir)
-      .filter(col("doc_id") % benchMod === 0)
-      .select(explode(col("g3")).as("g")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = DecontamStream.benchFrame(spark, dir, benchMod)
     Ctx(dir, statePath, benchMod, minPass, threshold, nBuckets, bench,
       DecontamStream.loadBenchFuzzy(spark, dir, benchMod),
       if (withAnn) Some(PqStream.loadIndex(spark, dir)) else None,
@@ -91,7 +88,13 @@ object FunnelStream {
   private def readIfExists(spark: SparkSession, p: String, schema: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(p))) spark.read.parquet(p)
+    // the explicit schema matters beyond the empty-frame branch: a
+    // crash during the FIRST absorb can leave the store dir holding
+    // only _temporary (no committed files), and a schema-less read
+    // then throws "Unable to infer schema" on every replay — wedging
+    // the stream the replay design exists to recover
+    if (fs.exists(new org.apache.hadoop.fs.Path(p)))
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schema)).parquet(p)
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(schema))
   }
@@ -104,9 +107,11 @@ object FunnelStream {
     */
   private def storeRead(spark: SparkSession, p: String, schema: String,
                         beforeBatch: Option[Long]): DataFrame = {
-    val raw = readIfExists(spark, p, schema)
-    if (!raw.columns.contains("batch")) raw
-    else beforeBatch.fold(raw)(b => raw.filter(col("batch") < b)).drop("batch")
+    // `batch` is declared in the schema (an explicitly-typed read
+    // must name its partition column), pruned, then dropped so the
+    // union with the index side stays schema-identical
+    val raw = readIfExists(spark, p, schema + ", batch BIGINT")
+    beforeBatch.fold(raw)(b => raw.filter(col("batch") < b)).drop("batch")
   }
 
   /** Gate ONE batch (a static frame inside foreachBatch, or any
@@ -176,6 +181,14 @@ object FunnelStream {
   def compact(spark: SparkSession, ctx: Ctx): Unit =
     Curation.FunnelIndex.foldStore(spark, ctx.dir, ctx.statePath, ctx.nBuckets)
 
+  /** An arriving document WITH its embedding — the input record that
+    * reaches the ANN leg (gateBatch probes the IVF-PQ index only for
+    * arrivals carrying an `embedding` column, which the text-only
+    * DocIn schema cannot).
+    */
+  final case class DocVecIn(doc_id: Long, source: String, text: String,
+                            embedding: Array[Float])
+
   /** The verdict stream: gate each micro-batch against batches < id,
     * overwrite `outPath/batch=<id>` with its verdicts, then absorb.
     * The sink write is an action, so verdicts materialize against the
@@ -185,7 +198,17 @@ object FunnelStream {
     */
   def verdicts(ctx: Ctx, docs: Dataset[DocIn], outPath: String,
                checkpoint: String): StreamingQuery =
-    docs.toDF().writeStream
+    verdictsOf(ctx, docs.toDF(), outPath, checkpoint)
+
+  /** DataFrame spelling of `verdicts` for arrivals that carry more
+    * than (doc_id, source, text) — specifically an `embedding`
+    * column (DocVecIn), without which a `withAnn = true` context
+    * would silently gate every arrival with ann_dup = false: the
+    * typed DocIn stream can never reach the ANN leg.
+    */
+  def verdictsOf(ctx: Ctx, docs: DataFrame, outPath: String,
+                 checkpoint: String): StreamingQuery =
+    docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gateBatch(ctx, batch, Some(batchId))

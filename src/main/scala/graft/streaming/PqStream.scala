@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.GraftFunctions
-import graft.operators.PQ
+import graft.operators.{PQ, Vectors}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,14 +45,28 @@ object PqStream {
   final case class VecIn(vec_id: Long, embedding: Array[Float])
 
   /** Static gate context read from the persisted index once at
-    * setup: centroid literal, flattened codebook literal, dims.
+    * setup: cell literal (each fine centroid tagged with its coarse
+    * group), optional coarse-centroid literal (None ⇔ the index was
+    * built with FLAT assignment), flattened codebook literal, dims.
     */
-  final case class GateIndex(centsLit: Column, booksLit: Column,
+  final case class GateIndex(cellsLit: Column, gcentsLit: Option[Column],
+                             coarseProbe: Int, booksLit: Column,
                              codes: DataFrame, m: Int, kCodes: Int, dsub: Int)
 
   /** Load (and if stale, build) the composed IVF-PQ index and collect
     * its tiny structural tables into literals. The codes table stays
     * a DataFrame — it is the (possibly huge) static join side.
+    *
+    * The probe structure MATCHES the index's assignment rule: once
+    * nLists exceeds the flat threshold, buildIvfPqIndex assigns
+    * corpus vectors two-level (autoCoarse groups — a vector lands on
+    * the best cell within its probed GROUPS, not the global best
+    * cell), so the gate must rank with the SAME group structure —
+    * re-derived here via Vectors.coarseStructure, which is
+    * deterministic in the persisted centroids — or an exact twin of
+    * an indexed vector could sit in a cell the gate's flat top-nProbe
+    * never probes (a silent false negative, exactly at the corpus
+    * size where it matters).
     */
   def loadIndex(spark: SparkSession, dir: String,
                 m: Int = 8, kCodes: Int = 16, iters: Int = 1,
@@ -66,15 +80,34 @@ object PqStream {
       .sortBy(_._1)
     val dsub = books.head._2.length
     val flat = books.flatMap(_._2)
+    val booksLit = array(flat.map(lit(_)): _*).cast("array<float>")
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.get(0).toString.toInt, r.getSeq[Float](1)))
       .sortBy(_._1)
-    val centsLit = array(cents.map { case (cell, cvec) =>
-      struct(lit(cell).as("cell"),
+    def cellStruct(grp: Int, cell: Int, cvec: Seq[Float]) =
+      struct(lit(grp).as("grp"), lit(cell).as("cell"),
         array(cvec.map(lit(_)): _*).cast("array<float>").as("cvec"))
-    }: _*)
-    val booksLit = array(flat.map(lit(_)): _*).cast("array<float>")
-    GateIndex(centsLit, booksLit, spark.read.parquet(s"$path/cells"), m, kCodes, dsub)
+    val nCoarse = Vectors.autoCoarse(cents.length)
+    val (cellsLit, gcentsLit) =
+      if (nCoarse == 1)
+        (array(cents.map { case (cell, cvec) => cellStruct(0, cell, cvec) }: _*), None)
+      else {
+        val centsDf = spark.read.parquet(s"$path/centroids")
+          .select(col("cell").cast("int").as("c_cell"), col("cvec"))
+        val (gc, fine) = Vectors.coarseStructure(centsDf, nCoarse)
+        val gcRows = gc.collect()
+          .map(r => (r.get(0).toString.toInt, r.getSeq[Float](1))).sortBy(_._1)
+        val fineRows = fine.collect()
+          .map(r => (r.get(0).toString.toInt, r.get(1).toString.toInt, r.getSeq[Float](2)))
+          .sortBy(x => (x._1, x._2))
+        (array(fineRows.map { case (grp, cell, cvec) => cellStruct(grp, cell, cvec) }: _*),
+          Some(array(gcRows.map { case (grp, gvec) =>
+            struct(lit(grp).as("grp"),
+              array(gvec.map(lit(_)): _*).cast("array<float>").as("gvec"))
+          }: _*)))
+      }
+    GateIndex(cellsLit, gcentsLit, coarseProbe = 4, booksLit,
+      spark.read.parquet(s"$path/cells"), m, kCodes, dsub)
   }
 
   /** The gate itself: `arrivals` carries (vec_id, embedding) — a
@@ -85,12 +118,26 @@ object PqStream {
   def nearDupGate(idx: GateIndex, arrivals: DataFrame,
                   maxDist: Double, nProbe: Int = 3): DataFrame = {
     val mk = idx.m * idx.kCodes
-    arrivals
-      .select(col("vec_id").as("in_id"), col("embedding"),
-        idx.centsLit.as("cents"), idx.booksLit.as("bks"))
-      // assignCells' flat ranking rule, per row: sim 6dp desc, cell asc
+    val withCands = idx.gcentsLit match {
+      case None => // flat index: every cell is a candidate
+        arrivals.select(col("vec_id").as("in_id"), col("embedding"),
+          idx.cellsLit.as("cands"), idx.booksLit.as("bks"))
+      case Some(gl) => // two-level: assignCells' own coarse rule, per
+        // row — rank groups (sim 6dp desc, grp asc), keep coarseProbe,
+        // fine candidates only within those groups
+        arrivals.select(col("vec_id").as("in_id"), col("embedding"),
+            gl.as("gcents"), idx.cellsLit.as("cells"), idx.booksLit.as("bks"))
+          .withColumn("topg", expr(
+            "slice(transform(array_sort(transform(gcents, g -> struct(" +
+              s"-round(cosine_sim(embedding, g.gvec), 6) AS nsim, g.grp AS grp))), " +
+              s"x -> x.grp), 1, ${idx.coarseProbe})"))
+          .withColumn("cands", expr("filter(cells, c -> array_contains(topg, c.grp))"))
+          .drop("gcents", "cells", "topg")
+    }
+    withCands
+      // assignCells' fine ranking rule, per row: sim 6dp desc, cell asc
       .withColumn("ranked", expr(
-        s"array_sort(transform(cents, c -> struct(-round(cosine_sim(embedding, c.cvec), 6) AS nsim, c.cell AS cell)))"))
+        s"array_sort(transform(cands, c -> struct(-round(cosine_sim(embedding, c.cvec), 6) AS nsim, c.cell AS cell)))"))
       .withColumn("cell", explode(expr(s"slice(transform(ranked, x -> x.cell), 1, $nProbe)")))
       // the dense m×kCodes LUT (the same layout pq_adc validates):
       // lut[i] = l2_sq(query subvector i/kCodes, codeword i)

@@ -53,8 +53,27 @@ object SessionizeStream {
             var cur = state.getOption
             evs.foreach { e =>
               cur match {
-                case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, e.ts_ms), n = s.n + 1))
+                // cross-batch disorder rule (state is ONE open session
+                // per user): an event within the open session's REACH
+                // [start-gap, last+gap] merges, extending the span in
+                // BOTH directions — a late event must never inflate n
+                // while leaving start_ms untouched. Within a batch the
+                // sort above handles ordering; these branches only see
+                // cross-batch stragglers the watermark let through.
+                case Some(s) if e.ts_ms >= s.startMs - gapMs && e.ts_ms - s.lastMs <= gapMs =>
+                  cur = Some(OpenSession(math.min(s.startMs, e.ts_ms),
+                    math.max(s.lastMs, e.ts_ms), s.n + 1))
+                case Some(s) if e.ts_ms < s.startMs - gapMs =>
+                  // a straggler beyond the open session's reach can
+                  // never rejoin it (events only extend the span
+                  // forward from here) — emit it as its own closed
+                  // session NOW instead of silently merging it.
+                  // Bounded-state tradeoff vs the engine-native twin:
+                  // two such stragglers within gap of each other emit
+                  // as singletons where session_window would merge
+                  // them; closedSessionsNative is the full-merge
+                  // spelling when that matters.
+                  closed ::= ClosedSession(uid, e.ts_ms, e.ts_ms, 1)
                 case Some(s) =>
                   closed ::= ClosedSession(uid, s.startMs, s.lastMs, s.n)
                   cur = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
@@ -79,13 +98,18 @@ object SessionizeStream {
     * twin (Sessions.sessionStatsNative); output schema matches
     * `closedSessions` so consumers can swap freely.
     */
-  def closedSessionsNative(spark: SparkSession, events: Dataset[Ev], gapMs: Long)
+  def closedSessionsNative(spark: SparkSession, events: Dataset[Ev], gapMs: Long,
+                           watermark: String = "10 minutes")
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     events
       .withColumn("ts", timestamp_millis($"ts_ms"))
-      .withWatermark("ts", "0 seconds")
+      // parameterized like closedSessions (same default) — a
+      // hardcoded 0-second watermark silently DROPPED any cross-batch
+      // late event the hand-rolled twin would have merged, breaking
+      // the swap-freely contract under disorder
+      .withWatermark("ts", watermark)
       .groupBy($"user_id", session_window($"ts", s"${gapMs + 1} milliseconds"))
       .agg(min($"ts_ms").as("start_ms"), max($"ts_ms").as("end_ms"),
         count(lit(1)).as("n_events"))
@@ -107,7 +131,11 @@ object SessionizeStream {
           var sid = state.getOption.map(_.sessionId).getOrElse(0L)
           val out = evs.map { e =>
             if (last == Long.MinValue || e.ts_ms - last > gapMs) sid += 1
-            last = e.ts_ms
+            // max, not assignment: a cross-batch late event must not
+            // REGRESS the frontier — a regressed `last` makes the next
+            // on-time event look like a gap and splits the session,
+            // shifting every later session_id for the user
+            last = math.max(last, e.ts_ms)
             SessOut(uid, e.event_id, sid)
           }
           if (evs.nonEmpty) state.update(SessState(last, sid))

@@ -98,6 +98,26 @@ class DedupStreamSpec extends AnyFunSuite {
       s"doc 1 wins its hash (3 and 4 are dups, 2 fails quality), 5 is new content: $got")
   }
 
+  test("re-delivered doc_id is a no-op: no duplicate state members, no repeated pair emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tA = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    val q = pairs(spark, stream.toDS(), threshold = 0.9)
+      .writeStream.format("memory").queryName("redeliver_out").outputMode("append").start()
+    stream.addData(DocIn(1, tA), DocIn(1, tA)); q.processAllAvailable() // dup rows in one batch
+    stream.addData(DocIn(1, tA)); q.processAllAvailable()              // replayed in a later batch
+    stream.addData(DocIn(2, tA)); q.processAllAvailable()              // true twin arrives
+    val got = spark.table("redeliver_out").as[DupPair].collect()
+      .map(p => (p.doc_a, p.doc_b)).toSeq
+    q.stop()
+    // identical docs collide in all 8 bands -> exactly 8 emissions of
+    // the one pair (the documented once-per-colliding-band contract);
+    // every extra stored copy of doc 1 would add 8 more
+    assert(got.toSet == Set((1L, 2L)) && got.size == 8,
+      s"doc 1 must be stored ONCE however often it is re-delivered: $got")
+  }
+
   test("within-batch pairs are found too and degenerate docs survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -81,6 +81,25 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(!plain.head.getBoolean(plain.head.fieldIndex("ann_dup")))
   }
 
+  test("ann leg END-TO-END: a DocVecIn stream through verdictsOf flags ann_dup in the sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val state = tmp("ann_e2e_state"); val out = tmp("ann_e2e_out"); val ckpt = tmp("ann_e2e_ckpt")
+    val ctx = load(spark, TestSpark.dir, state, withAnn = true, annMaxDist = 1e12)
+    val twin = Tables.embeddings(spark, TestSpark.dir)
+      .filter(col("vec_id") === 7L).select("embedding")
+      .head.getSeq[Float](0).toArray
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocVecIn]
+    val q = verdictsOf(ctx, stream.toDF(), out, ckpt)
+    stream.addData(DocVecIn(5000100L, "s",
+      "an arrival that rides the vector leg end to end", twin))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getBoolean(rows.head.fieldIndex("ann_dup")),
+      "the advertised stream entrypoint must reach the ANN leg when arrivals carry embeddings")
+  }
+
   test("checkpoint restart: stream killed between micro-batches recovers and reproduces the batch delta") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -446,6 +446,44 @@ class StreamingSpec extends AnyFunSuite {
       s"user 1's session must close with exact event-time bounds, got ${rows.toSeq}")
   }
 
+  test("cross-batch disorder: in-reach late events extend the span; far stragglers close as singletons; assign never regresses") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 60_000L
+    def ms(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00").getTime
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    // generous watermark so cross-batch late events survive to the state fn
+    val q = closedSessions(spark, stream.toDS(), gap, "2 hours")
+      .writeStream.format("memory").queryName("disorder_out").outputMode("append").start()
+    stream.addData(Ev(1, ms(10), 1), Ev(1, ms(11), 2)); q.processAllAvailable()
+    // batch 2: ms(9) is IN REACH (within gap below start) -> merges and
+    // extends start; ms(2) is beyond reach -> singleton, emitted now
+    stream.addData(Ev(1, ms(9), 3), Ev(1, ms(2), 4)); q.processAllAvailable()
+    val early = spark.table("disorder_out").as[ClosedSession].collect()
+    assert(early.exists(s => s.user_id == 1 && s.start_ms == ms(2) && s.end_ms == ms(2) && s.n_events == 1),
+      s"a straggler beyond the open session's reach must close as its own singleton: ${early.toSeq}")
+    // close the open session via the event-time timeout: the 2h
+    // watermark delay needs far-future events to pass lastMs + gap
+    def hr(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00").getTime
+    stream.addData(Ev(2, hr(14), 5)); q.processAllAvailable()
+    stream.addData(Ev(2, hr(15), 6)); q.processAllAvailable()
+    val all = spark.table("disorder_out").as[ClosedSession].collect()
+    q.stop()
+    assert(all.exists(s => s.user_id == 1 && s.start_ms == ms(9) && s.end_ms == ms(11) && s.n_events == 3),
+      s"an in-reach late event must merge AND extend start_ms (no silent span corruption): ${all.toSeq}")
+    // assign: a late event must not regress the frontier and split the session
+    val astream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val aq = assign(spark, astream.toDS(), 500L)
+      .writeStream.format("memory").queryName("assign_noreg").outputMode("append").start()
+    astream.addData(Ev(1, 1000L, 1)); aq.processAllAvailable()
+    astream.addData(Ev(1, 700L, 2)); aq.processAllAvailable()   // late, within gap -> same session
+    astream.addData(Ev(1, 1400L, 3)); aq.processAllAvailable()  // within gap of the TRUE frontier (1000)
+    val sids = spark.table("assign_noreg").as[SessOut].collect().map(s => s.event_id -> s.session_id).toMap
+    aq.stop()
+    assert(sids(1) == sids(2) && sids(2) == sids(3),
+      s"a regressed frontier would have split event 3 into a new session: $sids")
+  }
+
   test("sessionizer state store recovers across a checkpoint restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

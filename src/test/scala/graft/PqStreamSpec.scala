@@ -100,4 +100,45 @@ class PqStreamSpec extends AnyFunSuite {
         s"twin of $origId must sit at the ADC minimum: twin=${twinRows.head._3} min=$minAdc")
     }
   }
+
+  // LAST in the suite: rebuilds the shared index path under two-level
+  // params (the earlier tests' flat GateIndex literals are already
+  // consumed)
+  test("TWO-LEVEL index (nLists > 64): gate cells == assignCells; twin recovery survives") {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(operators.PQ.ivfPqIndexPath(spark, dir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val idx2 = PqStream.loadIndex(spark, dir, nLists = 128)
+    assert(idx2.gcentsLit.isDefined,
+      "nLists=128 must take the two-level path (autoCoarse > 1)")
+    val arrivals = arrivalsSeq
+    // ranking parity: the gate's probed cells must equal the batch
+    // assignCells under the index's own structure — the co-ranking
+    // guarantee the twin-recovery law rests on
+    val gateProbe = PqStream.nearDupGate(idx2, arrivals.toDF(), maxDist = 1e12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cents = spark.read.parquet(s"${operators.PQ.ivfPqIndexPath(spark, dir)}/centroids")
+      .select(org.apache.spark.sql.functions.col("cell")
+        .cast("int").as("c_cell"), org.apache.spark.sql.functions.col("cvec"))
+    val want = operators.Vectors.assignCells(
+        arrivals.toDF().select("vec_id", "embedding"), cents,
+        nProbe = 3, nCoarse = operators.Vectors.autoCoarse(128))
+      .collect().map(r => (r.getLong(0), r.get(1).toString.toInt)).toSet
+    val got = PqStream.nearDupGate(idx2, arrivals.toDF(), maxDist = 1e12)
+      .select("in_id", "cell").distinct()
+      .collect().map(r => (r.getLong(0), r.get(1).toString.toInt)).toSet
+    // the gate emits (in_id, cell) only for non-empty cells; assignCells
+    // may rank an empty cell — gate cells must be a subset ranked the
+    // same way, and every arrival's twin must still be recovered
+    assert(got.subsetOf(want),
+      s"gate must probe exactly the index's own ranking: extra=${got.diff(want)}")
+    for (origId <- Seq(0L, 7L, 13L)) {
+      val mine = gateProbe.filter(_._1 == origId + 5000000L)
+      val twinRows = mine.filter(_._2 == origId)
+      assert(twinRows.nonEmpty,
+        s"two-level gate must recover the exact twin of $origId (co-ranking guarantee)")
+      assert(twinRows.head._3 == mine.map(_._3).min,
+        s"twin of $origId at the ADC floor under the two-level probe")
+    }
+  }
 }
