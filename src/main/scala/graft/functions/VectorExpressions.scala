@@ -50,7 +50,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val lt = elemType(left).get; val rt = elemType(right).get
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched lengths always indicate a caller bug (the L2Squared
+    // rule): min-truncating scores a partial prefix against a partial
+    // norm and returns plausible-but-wrong similarities for EVERY row
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: array length mismatch ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       // promote BEFORE multiplying: float*float rounds the product to
@@ -70,7 +76,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
         case _         => s"$v.getDouble($i)"
       }
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements())
+         |  throw new IllegalArgumentException("cosine_sim: array length mismatch "
+         |    + $x.numElements() + " vs " + $y.numElements());
+         |int $n = $x.numElements();
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double xa = ${rd(x, elemType(left).get)}; double ya = ${rd(y, elemType(right).get)};

@@ -70,6 +70,11 @@ object Incremental {
     val missing = newRowsOnly(
       docs.select(col("doc_id"), col("text")),
       store.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      // a batch can carry the same doc_id twice (overlapping export
+      // files) — the anti-join only screens against the STORE, so
+      // without this each copy would encode and append a duplicate
+      // vec_id row that double-counts in every later join, forever
+      .dropDuplicates("doc_id")
     val encoded = TextEncoder.encode(spark, missing.as[TextEncoder.TextRow], dim, onBatch)
       .select(col("doc_id").as("vec_id"), col("embedding"))
     store.select(col("vec_id"), col("embedding")).unionByName(encoded)

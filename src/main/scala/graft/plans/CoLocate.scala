@@ -27,6 +27,12 @@ object CoLocate {
     * matching bucket counts Catalyst plans this without an Exchange.
     */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
-                   leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right), col(leftKey) === col(rightKey))
+                   leftKey: String, rightKey: String): DataFrame = {
+    // dataframe-qualified key references: bare col(...) on both sides
+    // throws AMBIGUOUS_REFERENCE whenever the two tables bucket on an
+    // identically-named key (the common case)
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -28,12 +28,18 @@ object TelegramHtml {
           """regexp_extract_all(value, '(?s)<div class="body">(.*?)(?=<div class="body">|$)', 1)"""))
           .as("block"))
     val b = col("block")
+    // ONE text-div predicate for both cascades: the text column
+    // previously tested the unclosed prefix `<div class="text` (which
+    // a text_* variant class also matches) while message_type tested
+    // the closed form — the two classifiers could disagree on the
+    // same block
+    val textDiv = """<div class="text">"""
     blocks.select(
       col("src_file"),
       extract(b, """(?s)<div class="pull_right date details"[^>]*title="([^"]+)"""".stripMargin)
         .as("timestamp"),
       extract(b, """(?s)<div class="from_name">\s*(.*?)\s*</div>""").as("author"),
-      when(b.contains("""<div class="text"""),
+      when(b.contains(textDiv),
         extract(b, """(?s)<div class="text">\s*(.*?)\s*</div>"""))
         .when(b.contains("video_file_wrap"), extract(b, """<a class="video_file_wrap[^"]*"\s+href="([^"]+)""""))
         .when(b.contains("photo_wrap"), extract(b, """<a class="photo_wrap[^"]*"\s+href="([^"]+)""""))
@@ -42,7 +48,7 @@ object TelegramHtml {
         .when(b.contains("sticker_wrap"), extract(b, """<a class="sticker_wrap[^"]*"\s+href="([^"]+)""""))
         .when(b.contains("media_wrap"), lit("Unknown media"))
         .otherwise(lit("Unknown")).as("text"),
-      when(b.contains("""<div class="text""""), "text")
+      when(b.contains(textDiv), "text")
         .when(b.contains("video_file_wrap"), "video")
         .when(b.contains("photo_wrap"), "photo")
         .when(b.contains("media_voice_message"), "voice_message")

@@ -123,34 +123,44 @@ object TelegramJson {
     * TelegramPreprocessor.py:706-980) as one declarative projection.
     */
   def withMediaMarkers(df: DataFrame): Column = {
-    val t = col("text")
+    // NULL semantics replay polars exactly: pl.format NULL-PROPAGATES
+    // (any null argument nullifies the whole text, and
+    // delete_empty_messages then drops the row), where Spark's
+    // format_string would render the literal string "null" —
+    // "[file](null)" garbage feeding shingles and embeddings. So
+    // every branch builds with null-propagating concat, and ONLY the
+    // arguments the reference fill_null("")s are coalesced. `text`
+    // itself is never null in the reference after load_json
+    // (str(message.get("text", ""))), so prefixed branches coalesce
+    // it to "" rather than nulling the marker.
+    val t = coalesce(col("text"), lit(""))
     when(col("media_type") === "sticker", col("sticker_emoji"))
       .when(col("media_type") === "video_file",
-        format_string("%s [video](%s)", t, col("file_name")))
+        concat(t, lit(" [video]("), col("file_name"), lit(")")))
       .when(col("media_type") === "voice_message",
-        format_string("[voice_message](%s)", col("file")))
+        concat(lit("[voice_message]("), col("file"), lit(")")))
       .when(col("media_type") === "audio_file",
-        format_string("[audio](%s-%s)", col("title"), coalesce(col("performer"), lit(""))))
+        concat(lit("[audio]("), col("title"), lit("-"),
+          coalesce(col("performer"), lit("")), lit(")")))
       .when(col("media_type") === "animation",
-        format_string("%s [animation](%s)", t, col("file_name")))
+        concat(t, lit(" [animation]("), col("file_name"), lit(")")))
       .when(col("media_type") === "video_message",
-        format_string("[video_message](%s)", col("file_name")))
+        concat(lit("[video_message]("), col("file_name"), lit(")")))
       .when(col("media_type").isNull && col("file").isNotNull,
-        format_string("[file](%s)", col("file_name")))
+        concat(lit("[file]("), col("file_name"), lit(")")))
       .when(col("photo").isNotNull,
-        format_string("%s [photo](%s)", t, coalesce(col("file_name"), lit(""))))
+        concat(t, lit(" [photo]("), coalesce(col("file_name"), lit("")), lit(")")))
       .when(col("type") === "service" && col("discard_reason").isNotNull,
-        format_string("[phone_call](%s)", col("discard_reason")))
+        concat(lit("[phone_call]("), col("discard_reason"), lit(")")))
       // handle_location (TelegramPreprocessor.py:778-812): [location](lon, lat)
       .when(col("loc_lon").isNotNull && col("loc_lat").isNotNull,
         format_string("[location](%s, %s)", col("loc_lon"), col("loc_lat")))
-      // handle_contacts (:845-896): [contact](first last : phone)
+      // handle_contacts (:845-896): [contact](first last : phone) —
+      // first/last fill_null, phone does NOT (a null phone nullifies)
       .when(col("contact_first").isNotNull || col("contact_last").isNotNull,
-        format_string("[contact](%s %s : %s)",
-          coalesce(col("contact_first"), lit("")),
-          coalesce(col("contact_last"), lit("")),
-          col("contact_phone")))
-      .otherwise(t)
+        concat(lit("[contact]("), coalesce(col("contact_first"), lit("")), lit(" "),
+          coalesce(col("contact_last"), lit("")), lit(" : "), col("contact_phone"), lit(")")))
+      .otherwise(col("text"))
   }
 
   /** Full normalization: marker rewrite, service-row removal,
@@ -159,7 +169,14 @@ object TelegramJson {
   def normalized(spark: SparkSession, path: String, minMessages: Int = 3): DataFrame = {
     val df = readExport(spark, path, minMessages)
     df.withColumn("text", withMediaMarkers(df))
-      .filter(col("type") =!= "service")            // delete_service_messages
+      // delete_service_messages (:984-1004) filters the CHAT type,
+      // not the message type: service MESSAGES survive the marker
+      // pass — phone calls become "[phone_call](reason)" precisely so
+      // they stay in the conversation (the earlier message-type
+      // filter here made that marker branch dead code and silently
+      // deleted every call from the corpus). Null-safe: a chat with
+      // no type is not a service chat.
+      .filter(!(col("chat_type") <=> lit("service")))
       .filter(col("text").isNotNull && length(col("text")) > 0) // delete_empty_messages
       .drop("type", "discard_reason",
         "loc_lon", "loc_lat", "contact_first", "contact_last", "contact_phone")

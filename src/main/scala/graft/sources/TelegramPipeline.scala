@@ -40,10 +40,15 @@ object TelegramPipeline {
     val runs = sessionized
       .withColumn("prev_author", lag("from_id", 1).over(w))
       .withColumn("prev_session", lag("session_id", 1).over(w))
+      // null-SAFE author compare: =!= on a null-author row (a from_id
+      // that didn't parse) evaluates NULL, the when() falls through,
+      // and the row is silently CONCATENATED into the previous
+      // author's run — misattributed text. <=> makes a null author
+      // its own run boundary.
       .withColumn("run_brk",
         when(col("prev_author").isNull
-          || col("prev_author") =!= col("from_id")
-          || col("prev_session") =!= col("session_id"), 1).otherwise(0))
+          || !(col("prev_author") <=> col("from_id"))
+          || !(col("prev_session") <=> col("session_id")), 1).otherwise(0))
       .withColumn("run_id",
         sum("run_brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     runs.groupBy("chat_id", "run_id")

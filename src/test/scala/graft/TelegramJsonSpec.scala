@@ -78,8 +78,9 @@ class TelegramJsonSpec extends AnyFunSuite {
   }
 
   test("pipeline: sessionize + author-run concat over a normalized export") {
-    // alpha chat: normalized keeps 1,2,3,4 (10:00..10:03), 6 (10:05),
-    // 7 (10:06) — the dropped service row leaves a 2-minute gap
+    // alpha chat: normalized keeps 1,2,3,4 (10:00..10:03), the
+    // surviving phone-call row 5 (10:04, Ann via actor_id), 6 (10:05),
+    // 7 (10:06) — one message per minute, no gaps
     val runs = sources.TelegramPipeline.prepare(spark, writeExport(), windowMs = 150 * 1000L)
       .filter(org.apache.spark.sql.functions.col("chat_id") === 100L)
       .collect()
@@ -87,12 +88,20 @@ class TelegramJsonSpec extends AnyFunSuite {
     val authors = runs.map(r => (r.getAs[Long]("run_id"), r.getAs[Long]("from_id"))).toSeq.sortBy(_._1)
     assert(authors.map(_._2) == Seq(7L, 8L, 7L, 8L, 7L, 8L),
       s"author runs must alternate per the fixture, got $authors")
-    assert(runs.forall(_.getAs[Long]("n_messages") == 1L))
+    // run 5 is Ann's phone call (10:04) + her file message (10:05) —
+    // the surviving service row concatenates into her run, exactly
+    // the reference's conversation shape
+    val byRun = runs.map(r => r.getAs[Long]("run_id") -> r).toMap
+    assert(byRun(5L).getAs[Long]("n_messages") == 2L &&
+      byRun(5L).getAs[String]("text").startsWith("[phone_call](missed)"),
+      s"the phone call must ride Ann's run: ${byRun(5L).getAs[String]("text")}")
+    assert(runs.filter(_.getAs[Long]("run_id") != 5L).forall(_.getAs[Long]("n_messages") == 1L))
     val split = sources.TelegramPipeline.prepare(spark, writeExport(), windowMs = 90 * 1000L)
       .filter(org.apache.spark.sql.functions.col("chat_id") === 100L)
       .collect()
-    assert(split.map(_.getAs[Long]("session_id")).max == 2,
-      "90s window: the 2-minute service-row gap must open a second session")
+    assert(split.map(_.getAs[Long]("session_id")).max == 1,
+      "90s window: with the phone call surviving there is no 2-minute gap — one session " +
+        "(the pre-fix pipeline dropped the call and split here)")
   }
 
   test("a directory of exports reads as one corpus, one task per file") {
@@ -122,7 +131,8 @@ class TelegramJsonSpec extends AnyFunSuite {
     assert(texts(3) == "Y", "sticker text becomes the emoji")
     assert(texts(4) == "[voice_message](v.ogg)")
     assert(texts(6) == "[file](doc.pdf)")
-    assert(!texts.contains(5), "service messages removed after marker pass")
+    assert(texts(5) == "[phone_call](missed)",
+      "phone calls SURVIVE: the reference deletes service CHATS (chat_type), not service messages")
     val byId2 = df.collect().map(r => r.getAs[Long]("message_id") -> r).toMap
     assert(byId2(401).getAs[String]("text") == "[location](30.5, 50.4)",
       s"handle_location marker: ${byId2(401).getAs[String]("text")}")
@@ -130,8 +140,26 @@ class TelegramJsonSpec extends AnyFunSuite {
       s"handle_contacts marker: ${byId2(402).getAs[String]("text")}")
     val summary = sources.TelegramJson.chatSummary(df).collect()
       .map(r => r.getAs[Long]("chat_id") -> r).toMap
-    assert(summary.size == 2 && summary(100L).getAs[Long]("n_messages") == 6
+    assert(summary.size == 2 && summary(100L).getAs[Long]("n_messages") == 7
       && summary(100L).getAs[Long]("n_authors") == 2
       && summary(400L).getAs[Long]("n_messages") == 3)
+    // polars null-propagation parity: a marker arg the reference does
+    // NOT fill_null nullifies the text and the row drops (format_string
+    // would have emitted "[file](null)" garbage instead)
+    val d2 = Files.createTempFile("tg_nullfile", ".json")
+    Files.writeString(d2,
+      """{"chats": {"list": [
+        |  {"name": "nf", "type": "personal_chat", "id": 500, "messages": [
+        |    {"id": 1, "type": "message", "date": "2024-01-01T10:00:00",
+        |     "from": "Eve", "from_id": "user11", "file": "blob_no_name"},
+        |    {"id": 2, "type": "message", "date": "2024-01-01T10:01:00",
+        |     "from": "Eve", "from_id": "user11", "text": "a"},
+        |    {"id": 3, "type": "message", "date": "2024-01-01T10:02:00",
+        |     "from": "Eve", "from_id": "user11", "text": "b"}
+        |  ]}
+        |]}}""".stripMargin)
+    val nf = sources.TelegramJson.normalized(spark, d2.toString).collect()
+    assert(nf.map(_.getAs[Long]("message_id")).toSet == Set(2L, 3L),
+      "a bare file with no file_name must DROP (null marker), never read '[file](null)'")
   }
 }
