@@ -18,7 +18,7 @@ object Tables {
     * sharing one across queries is safe.)
     */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), (String, DataFrame)]()
 
   /** Both registries key by SparkSession with strong references, so a
     * long-lived JVM cycling many sessions would pin every stopped
@@ -32,10 +32,28 @@ object Tables {
     overrideVersions.keySet.removeIf(k => k._1.sparkContext.isStopped)
   }
 
+  /** TOKEN-AWARE read cache: each entry remembers the sourceToken it
+    * was built under, and a mismatch (files regenerated, or a newer
+    * registerOverride) re-reads instead of serving the stale relation
+    * — without this, the derived caches that check sourceToken for
+    * freshness (ReplyChains' thread frames) would "rebuild" through
+    * this cache's old InMemoryFileIndex and still resolve against
+    * deleted part files. The token costs one FS listing per read()
+    * call — driver-side, at query-construction rate, not per row.
+    * Note the override edge: a source regeneration also invalidates a
+    * registered override (it was built from the old bytes).
+    */
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     evictStopped()
-    cache.computeIfAbsent((spark, dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    val key = (spark, dir, name)
+    val token = sourceToken(spark, dir, name)
+    val cached = cache.get(key)
+    if (cached != null && cached._1 == token) cached._2
+    else {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      cache.put(key, (token, df))
+      df
+    }
   }
 
   /** Substitute a pre-materialized twin (e.g. a bucketed copy) for a
@@ -45,8 +63,10 @@ object Tables {
     */
   def registerOverride(spark: SparkSession, dir: String, name: String, df: DataFrame): Unit = {
     evictStopped()
-    cache.put((spark, dir, name), df)
+    // bump the version FIRST so the cached entry's token matches what
+    // read() recomputes (the token embeds the version)
     overrideVersions.merge((spark, dir, name), 1, (a, b) => a + b)
+    cache.put((spark, dir, name), (sourceToken(spark, dir, name), df))
   }
 
   private val overrideVersions =

@@ -76,14 +76,20 @@ object Analytics {
     // tie-break so the K selected clusters are deterministic
     val top = stats.orderBy(col("n_messages").desc, col("chat"), col("session_id")).limit(topK)
     // the drill-down passes re-derive sessions ONLY over the <= K
-    // selected chats: the bounded driver collect (<= topK chat names
-    // — knowing which chats to open is the drill-down contract, same
+    // selected chats: the bounded driver collect (<= topK rows —
+    // knowing which chats to open is the drill-down contract, same
     // shape as VectorIndex's probed-cell collect) makes the filter
-    // static, so the corpus-wide session window runs ONCE — the
-    // second pass scans just the selected chats' partitions
-    val topChats = top.select("chat").distinct().collect().map(_.getString(0)).toSeq
+    // static, so the corpus-wide session window runs ONCE — ONE
+    // collect materializes top, and the joins below broadcast a
+    // driver-rebuilt local frame instead of re-embedding the full
+    // corpus-wide subplan (which would re-run the window per join)
+    val spark2 = stats.sparkSession
+    val topRows = top.collect()
+    val topLocal = spark2.createDataFrame(
+      java.util.Arrays.asList(topRows: _*), top.schema)
+    val topChats = topRows.map(_.getAs[String]("chat")).distinct.toSeq
     val tagged = chatSessions(spark, dir, windowMs, Some(topChats))
-      .join(broadcast(top.select("chat", "session_id")), Seq("chat", "session_id"))
+      .join(broadcast(topLocal.select("chat", "session_id")), Seq("chat", "session_id"))
     val parts = tagged.groupBy("chat", "session_id", "user_id")
       .agg(count(lit(1)).as("user_msgs"),
         // mean skips null texts in both engines; all-null ⇒ NULL via
@@ -103,7 +109,7 @@ object Analytics {
         col("active_users").as("peak_users"))
     val durH = (col("end_ms") - col("start_ms")) / lit(3600000.0)
     parts
-      .join(broadcast(top), Seq("chat", "session_id"))
+      .join(broadcast(topLocal), Seq("chat", "session_id"))
       .join(broadcast(peak), Seq("chat", "session_id"))
       .withColumn("duration_hours", round(durH, 6))
       .withColumn("messages_per_hour",

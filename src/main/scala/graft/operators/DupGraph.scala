@@ -84,13 +84,17 @@ object DupGraph {
     // graph route collects it — for q53 the edge list is the output
     // of a full dedupNgram scan, and the unpersisted spelling paid
     // that scan 2-3x per call (measured 3.6s isolated; ~1.7s fixed)
-    val e0 = edges.select(col("a"), col("b")).persist(lvl)
+    // long ONCE at the entry: the small-graph route already emitted
+    // bigint (id, rep), but the distributed route used to preserve
+    // the input column type — the output schema flipped across the
+    // smallGraphThreshold boundary depending on DATA VOLUME
+    val e0 = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).persist(lvl)
     val nEdges = e0.count() // materializes the persist for all readers
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
     if (nEdges <= smallGraphThreshold) {
       import edges.sparkSession.implicits._
-      val es = e0.select(col("a").cast("long"), col("b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val es = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
       e0.unpersist(false)
       val parent = scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -134,6 +138,7 @@ object DupGraph {
       round += 1
     }
     e0.unpersist(false)
+    lastState.keySet.removeIf(_.sparkContext.isStopped) // leak-bounding (Tables' rule)
     Option(lastState.put(edges.sparkSession, stateRdd)).foreach(_.unpersist(false))
     state
   }

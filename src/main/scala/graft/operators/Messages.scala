@@ -186,8 +186,14 @@ object Messages {
       // -1 = "no prior update": a nullable int column would round-trip
       // through pandas as float64 in the driver's hash compare, and the
       // two engines need not agree on that representation
+      // null-rejecting like the oracle's ASOF ... ON e.user_id =
+      // u.user_id: the window partition groups NULL users together,
+      // so without the guard a null-user event would inherit a
+      // null-user signup's upd_id that SQL equality can never match
       .withColumn("asof_upd",
-        coalesce(last("upd_id", ignoreNulls = true).over(w), lit(-1L)))
+        when(col("user_id").isNotNull,
+          coalesce(last("upd_id", ignoreNulls = true).over(w), lit(-1L)))
+        .otherwise(lit(-1L)))
       .filter(col("kind") === 1)
       .select("event_id", "user_id", "ts_ms", "asof_upd")
       .orderBy("event_id")

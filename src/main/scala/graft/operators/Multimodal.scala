@@ -45,7 +45,10 @@ object Multimodal {
         // per-BATCH setup would happen here (codec handles, model
         // weights); the stub derives dimensions from byte statistics
         batch.map { m =>
-          val b = m.payload
+          // a null payload (nullable source column) decodes like an
+          // EMPTY one — the row survives with n_bytes 0 instead of
+          // NPEing the whole task after retries
+          val b = if (m.payload == null) Array.emptyByteArray else m.payload
           var s = 0L; var i = 0
           while (i < b.length) { s += (b(i) & 0xff); i += 1 }
           Decoded(m.doc_id, m.source, (s % 640).toInt + 1, (s % 480).toInt + 1, b.length)
@@ -77,7 +80,9 @@ object Multimodal {
         val vec = new org.apache.arrow.vector.VarBinaryVector("payload", alloc)
         try {
           vec.allocateNew(batch.size)
-          batch.zipWithIndex.foreach { case (m, i) => vec.setSafe(i, m.payload) }
+          batch.zipWithIndex.foreach { case (m, i) =>
+            vec.setSafe(i, if (m.payload == null) Array.emptyByteArray else m.payload)
+          }
           vec.setValueCount(batch.size)
           // kernel reads the COLUMNAR buffer — materialize before the
           // vector closes (flatMap consumes lazily otherwise)

@@ -39,6 +39,7 @@ object ReplyChains {
 
   def threads(messages: DataFrame, maxDepth: Int = 16): DataFrame = {
     val (state, rdd) = resolveIter(messages, maxDepth)
+    lastState.keySet.removeIf(_.sparkContext.isStopped) // leak-bounding (Tables' rule)
     Option(lastState.put(messages.sparkSession, rdd)).foreach(_.unpersist(false))
     state
   }
@@ -163,7 +164,8 @@ object ReplyChains {
     val it = eventThreadCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if ((e.getKey._1 eq spark) && e.getKey._2 != dir) {
+      if (e.getKey._1.sparkContext.isStopped) it.remove() // leak-bounding (Tables' rule)
+      else if ((e.getKey._1 eq spark) && e.getKey._2 != dir) {
         e.getValue.rdd.unpersist(false); it.remove()
       }
     }

@@ -191,7 +191,10 @@ object Sessions {
     */
   def concatRuns(spark: SparkSession, dir: String): DataFrame = {
     val gapMs = 5 * 60 * 1000L
-    sessionized(spark, dir, gapMs) // reuse session machinery for the gap breaks
+    // the gap break is fully re-derived in run_brk below (prev_ms2),
+    // so the base is just the ts frame — routing through sessionized
+    // computed a session window nothing here read
+    withTsMs(spark, dir)
       .withColumn("prev_kind", lag("event_type", 1).over(userW))
       .withColumn("prev_ms2", lag("ts_ms", 1).over(userW))
       .withColumn("run_brk",
@@ -210,7 +213,7 @@ object Sessions {
       .orderBy("user_id", "run_id")
   }
 
-  /** q04: largest sessions — HAVING size ≥ 10, deterministic top-20
+  /** q04: largest sessions — HAVING size ≥ 2, deterministic top-20
     * (get_largest_cluster_messages / random_large_cluster's
     * `HAVING COUNT(*) >= min_size` surface).
     */

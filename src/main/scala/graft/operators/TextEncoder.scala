@@ -37,7 +37,10 @@ object TextEncoder {
     * seam; callCounter (tests) observes the per-batch invariant.
     */
   private[graft] def encodeBatch(texts: Seq[String], dim: Int): Seq[Array[Float]] =
-    texts.map { t =>
+    texts.map { t0 =>
+      // null text encodes like "" (nothing upstream forbids a null
+      // document text, and one null row must not kill the stage)
+      val t = if (t0 == null) "" else t0
       val seed = graft.functions.Hashing.mix64(t.hashCode.toLong ^ 0x7ea7L)
       val raw = Array.tabulate(dim) { i =>
         val h = graft.functions.Hashing.mix64(seed ^ i.toLong)
