@@ -1428,9 +1428,9 @@ object SparkEntry {
         |  SELECT b.query_id, COUNT(*) AS n_hit
         |  FROM brute b JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
         |  GROUP BY b.query_id),
-        |qs AS (SELECT DISTINCT query_id FROM brute)
+        |qs AS (SELECT query_id, COUNT(*) AS n_brute FROM brute GROUP BY query_id)
         |SELECT qs.query_id, 10 AS k, COALESCE(h.n_hit, 0) AS n_hit,
-        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10 AS recall
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / qs.n_brute AS recall
         |FROM qs LEFT JOIN hits h ON h.query_id = qs.query_id
         |ORDER BY qs.query_id""".stripMargin,
     "q19b_ann_ivf_seeded" ->

@@ -30,6 +30,24 @@ object Curation {
     * trap, SURVEY §4); sequence(1, n) with n < 1 would DESCEND in
     * Spark ([1,0]), so short docs get an explicit empty gram set.
     */
+  /** One-live-copy persist registry (Vectors.slidingCache's pattern,
+    * generalized): operators that persist an intermediate for
+    * multiple readers register it under a stable key, and
+    * re-registering unpersists the PREVIOUS copy — bench loops and
+    * notebook re-runs then hold at most one cached copy per operator
+    * instead of stacking them until memory eviction. Stopped
+    * sessions evicted on touch (Tables' leak-bounding rule).
+    */
+  private val persistRegistry =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def registerPersist(spark: SparkSession, key: String, df: DataFrame): DataFrame = {
+    persistRegistry.keySet.removeIf(_._1.sparkContext.isStopped)
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(persistRegistry.put((spark, key), p)).foreach(_.unpersist(false))
+    p
+  }
+
   private[graft] def grams3(docs: DataFrame): DataFrame = {
     val toks = col("toks")
     val grams = when(size(toks) >= 3,
@@ -96,8 +114,11 @@ object Curation {
                          fpp: Double = 0.01): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val withG = docGrams3(spark, dir)
-    val bench = withG.filter(col("doc_id") % benchMod === 0)
-      .select(explode(col("g3")).as("g")).distinct()
+    // persisted: THREE readers re-derive this corpus scan otherwise —
+    // bloomBytesFor's count, its bloom aggregate, and the verify join
+    val bench = registerPersist(spark, "decontaminateBloom.bench",
+      withG.filter(col("doc_id") % benchMod === 0)
+        .select(explode(col("g3")).as("g")).distinct())
     val bf = lit(bloomBytesFor(bench, fpp))
     // phase 1 (screen): bloom-test every gram IN THE SCAN STAGE —
     // clean grams die before any join; no false negatives, so the
@@ -257,7 +278,11 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_pass"), col("kept"))
     val canon = DupGraph.clusterReps(spark, dir)
       .select(col("doc_id"), col("is_canonical"))
-    val contam = decontaminate(spark, dir)
+    // forward the caller's benchMod: is_bench below flags doc_id %
+    // benchMod, so the contamination gate must screen against the
+    // SAME bench slice (a defaulted call here silently computed
+    // contamination against mod-97 whatever the caller asked for)
+    val contam = decontaminate(spark, dir, benchMod = benchMod)
       .select(col("doc_id"), col("contaminated"))
     budget
       .join(exact, "doc_id")
@@ -309,16 +334,13 @@ object Curation {
                   benchMod: Int = 97, minPass: Int = 6,
                   threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val flags = Seq("r_words", "r_meanlen", "r_symbol", "r_alpha",
-      "r_stop", "r_bullet", "r_ellipsis")
     val isDeltaId = (c: org.apache.spark.sql.Column) => c % deltaMod === 0
     // quality: the delta docs' spine — every delta doc gets a verdict
-    val scored = TextAnalysis.gopherFlags(
+    val scored = TextAnalysis.gopherScored(
         Tables.documents(spark, dir).filter(isDeltaId(col("doc_id")))
           .select("doc_id", "source", "text"),
-        Seq("doc_id", "source"), 30L, 100000L, 42L, 100L, Seq("the", "a"), 2L)
-      .select(col("doc_id"), col("source"),
-        flags.map(c => col(c).cast("int")).reduce(_ + _).as("n_pass"))
+        Seq("doc_id", "source"))
+      .select("doc_id", "source", "n_pass")
     // exact dup: content-hash probe of the full corpus; an old twin
     // (any id) or an earlier delta twin drops the arrival
     val hashed = Tables.documents(spark, dir)
@@ -425,6 +447,12 @@ object Curation {
       Dedup.docShinglesOn(spark, old)
         .withColumn("blk", element_at(col("sh"), 1))
         .withColumn("pblk", pmod(xxhash64(col("blk")), lit(nBuckets)).cast("int"))
+        // align write tasks with the partition dirs: without this,
+        // every scan task sprays a file into each of the nBuckets
+        // dirs (T×nBuckets small files) and the nightly probe's
+        // pruned read degrades into listing cost — the measured
+        // failure mode VectorIndex.buildDedup documents
+        .repartition(col("pblk"))
         .write.mode("overwrite").partitionBy("pblk").parquet(s"$path/shingles")
       grams3(old.filter(col("doc_id") % benchMod === 0).select("doc_id", "text"))
         .select(explode(col("g3")).as("g")).distinct()
@@ -471,7 +499,14 @@ object Curation {
           spark.read.parquet(s"$path/shingles")
             .select("doc_id", "sh", "blk", "pblk")
             .unionByName(spark.read.parquet(s"$statePath/shingles")
-              .drop("batch").select("doc_id", "sh", "blk", "pblk"))
+              .drop("batch")
+              // recompute pblk under THIS index's bucket count: a
+              // store written against a different nBuckets layout
+              // would otherwise fold rows into dirs the pruned probe
+              // never reads (the parameter existed but went unused)
+              .withColumn("pblk",
+                pmod(xxhash64(col("blk")), lit(nBuckets)).cast("int"))
+              .select("doc_id", "sh", "blk", "pblk"))
             // one shingle row per doc, like the hashes leg's
             // distinct(): disjoint in normal operation (index = corpus
             // + prior folds, store = new arrivals), but a crash after
@@ -535,13 +570,9 @@ object Curation {
                                 minPass: Int, threshold: Double,
                                 nBuckets: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val flags = Seq("r_words", "r_meanlen", "r_symbol", "r_alpha",
-      "r_stop", "r_bullet", "r_ellipsis")
-    val scored = TextAnalysis.gopherFlags(
-        delta.select("doc_id", "source", "text"),
-        Seq("doc_id", "source"), 30L, 100000L, 42L, 100L, Seq("the", "a"), 2L)
-      .select(col("doc_id"), col("source"),
-        flags.map(c => col(c).cast("int")).reduce(_ + _).as("n_pass"))
+    val scored = TextAnalysis.gopherScored(
+        delta.select("doc_id", "source", "text"), Seq("doc_id", "source"))
+      .select("doc_id", "source", "n_pass")
     val deltaHashed = delta.select(col("doc_id"), md5(col("text")).as("h"))
     val oldTwin = deltaHashed
       .join(corpusHashes, Seq("h"), "left_semi")
@@ -939,11 +970,11 @@ object Curation {
     val stats = ex
       .withColumn("ct", sum(when(col("tgt") && col("g").isNotNull, 1L).otherwise(0L)).over(wG))
       .withColumn("cr", sum(when(!col("tgt") && col("g").isNotNull, 1L).otherwise(0L)).over(wG))
-    val perdoc = stats.groupBy("doc_id", "tgt")
-      .agg(sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("n_grams"),
-        sum(when(col("g").isNotNull, col("ct")).otherwise(0L)).as("sum_t"),
-        sum(when(col("g").isNotNull, col("cr")).otherwise(0L)).as("sum_r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perdoc = registerPersist(spark, "importanceSelect",
+      stats.groupBy("doc_id", "tgt")
+        .agg(sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("n_grams"),
+          sum(when(col("g").isNotNull, col("ct")).otherwise(0L)).as("sum_t"),
+          sum(when(col("g").isNotNull, col("cr")).otherwise(0L)).as("sum_r")))
     val totals = perdoc.groupBy().agg(
       sum(when(col("tgt"), col("n_grams")).otherwise(0L)).as("nt"),
       sum(when(!col("tgt"), col("n_grams")).otherwise(0L)).as("nr"))
@@ -983,10 +1014,10 @@ object Curation {
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val ex = Tables.documents(spark, dir)
-      .select(col("source"), explode(expr("array_distinct(kgram_hashes(text, 2))")).as("g"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = registerPersist(spark, "sourceOverlap",
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(expr("array_distinct(kgram_hashes(text, 2))")).as("g"))
+        .distinct())
     val perSource = ex.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.source") < col("b.source"))
@@ -1044,9 +1075,9 @@ object Curation {
       minDocs: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
-    val grams = docs
-      .select(col("doc_id"), posexplode(expr(s"kgram_hashes(text, $k)")).as(Seq("pos", "g")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = registerPersist(spark, "boilerplateSpans",
+      docs.select(col("doc_id"),
+        posexplode(expr(s"kgram_hashes(text, $k)")).as(Seq("pos", "g"))))
     val boiler = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
@@ -1100,27 +1131,28 @@ object Curation {
     * integers and booleans only, ORACLE-EXACT.
     */
   def tokenBudget(spark: SparkSession, dir: String, budgetPct: Int = 50,
-      minWords: Long = 30L, maxWords: Long = 100000L,
-      meanLenMin10: Long = 42L, meanLenMax10: Long = 100L,
-      stopwords: Seq[String] = Seq("the", "a"),
-      minStopwords: Long = 2L): DataFrame = {
+      minWords: Long = TextAnalysis.Gopher.MinWords,
+      maxWords: Long = TextAnalysis.Gopher.MaxWords,
+      meanLenMin10: Long = TextAnalysis.Gopher.MeanLenMin10,
+      meanLenMax10: Long = TextAnalysis.Gopher.MeanLenMax10,
+      stopwords: Seq[String] = TextAnalysis.Gopher.Stopwords,
+      minStopwords: Long = TextAnalysis.Gopher.MinStopwords): DataFrame = {
     require(budgetPct >= 0 && budgetPct <= 100, s"budgetPct in [0,100]: $budgetPct")
-    val flags = Seq("r_words", "r_meanlen", "r_symbol", "r_alpha",
-      "r_stop", "r_bullet", "r_ellipsis")
+    val flags = TextAnalysis.Gopher.FlagCols
     // BOTH consumers (the fill histogram and the final keep join)
     // need the scored frame, and the rule pass is the expensive part
     // (regex flags over text) — persist the SLIM projection (five
     // integers per doc, text already dropped) so the corpus text is
     // scanned and scored exactly once (q73's persist-for-two-readers
     // discipline; measured 1.46s → ~0.6s at sf0.1)
-    val scored = TextAnalysis.gopherFlags(
-        Tables.documents(spark, dir).select("doc_id", "source", "text"),
-        Seq("doc_id", "source"),
-        minWords, maxWords, meanLenMin10, meanLenMax10, stopwords, minStopwords)
-      .select(col("doc_id"), col("source"), col("n_words").as("wc"),
-        flags.map(c => col(c).cast("int")).reduce(_ + _).as("n_pass"),
-        expr("((doc_id % 1048576) * 2654435761) % 1048576").as("hkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = registerPersist(spark, "tokenBudget",
+      TextAnalysis.gopherFlags(
+          Tables.documents(spark, dir).select("doc_id", "source", "text"),
+          Seq("doc_id", "source"),
+          minWords, maxWords, meanLenMin10, meanLenMax10, stopwords, minStopwords)
+        .select(col("doc_id"), col("source"), col("n_words").as("wc"),
+          flags.map(c => col(c).cast("int")).reduce(_ + _).as("n_pass"),
+          expr("((doc_id % 1048576) * 2654435761) % 1048576").as("hkey")))
     val wSrc = Window.partitionBy("source")
     val wCum = wSrc.orderBy(col("n_pass").desc)
       .rowsBetween(Window.unboundedPreceding, -1)

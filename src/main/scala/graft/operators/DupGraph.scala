@@ -185,13 +185,9 @@ object DupGraph {
     val pairs = Dedup.dedupNgram(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val comp = connectedComponents(pairs)
-    val flags = Seq("r_words", "r_meanlen", "r_symbol", "r_alpha",
-      "r_stop", "r_bullet", "r_ellipsis")
-    val scored = TextAnalysis.gopherFlags(
-        graft.Tables.documents(spark, dir).select("doc_id", "text"), Seq("doc_id"),
-        30L, 100000L, 42L, 100L, Seq("the", "a"), 2L)
-      .select(col("doc_id"), col("n_words").as("wc"),
-        flags.map(c => col(c).cast("int")).reduce(_ + _).as("n_pass"))
+    val scored = TextAnalysis.gopherScored(
+        graft.Tables.documents(spark, dir).select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), col("n_words").as("wc"), col("n_pass"))
     val members = comp.join(scored, comp("id") === scored("doc_id"))
       .select(col("id").as("doc_id"), col("rep"), col("n_pass"), col("wc"))
     val best = members.groupBy("rep").agg(

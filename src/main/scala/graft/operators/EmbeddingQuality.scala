@@ -206,6 +206,11 @@ object EmbeddingQuality {
                               k: Int = 1, anchorMod: Int = 101,
                               idOffset: Long = 1000000L,
                               nProbe: Int = 3, nLists: Int = 0): DataFrame = {
+    // the gate's certainty argument depends on it (docstring): a twin
+    // id divisible by anchorMod would itself become an anchor and
+    // mine its original at sim 1.0 — rows the oracle never produces
+    require(idOffset % anchorMod != 0,
+      s"idOffset ($idOffset) must not be divisible by anchorMod ($anchorMod): planted twins must never become anchors")
     val planted = Tables.embeddings(spark, dir)
       .select(explode(when(col("vec_id") % anchorMod === 0,
           array(struct(col("vec_id"), col("label")),

@@ -402,11 +402,35 @@ object TextAnalysis {
     * At 100 TB this is the cheapest possible pass: one codegen'd
     * projection per partition.
     */
+  /** The corpus-default Gopher thresholds and the flag list — ONE
+    * definition for every consumer (q71's gate, q74's budget fill,
+    * the funnel family's quality spine, clusterReps' quality pick):
+    * retuning a threshold in one gate must not silently
+    * desynchronize n_pass between gates (the no-paste-drift rule;
+    * these values were previously copy-pasted at four call sites).
+    */
+  private[graft] object Gopher {
+    val MinWords = 30L; val MaxWords = 100000L
+    val MeanLenMin10 = 42L; val MeanLenMax10 = 100L
+    val Stopwords: Seq[String] = Seq("the", "a"); val MinStopwords = 2L
+    val FlagCols: Seq[String] = Seq("r_words", "r_meanlen", "r_symbol", "r_alpha",
+      "r_stop", "r_bullet", "r_ellipsis")
+  }
+
+  /** gopherFlags under the corpus defaults with the summed n_pass
+    * appended — the spelling every default-threshold consumer shares.
+    */
+  private[graft] def gopherScored(in: DataFrame, keep: Seq[String]): DataFrame =
+    gopherFlags(in, keep, Gopher.MinWords, Gopher.MaxWords,
+      Gopher.MeanLenMin10, Gopher.MeanLenMax10, Gopher.Stopwords, Gopher.MinStopwords)
+      .withColumn("n_pass", Gopher.FlagCols.map(c => col(c).cast("int")).reduce(_ + _))
+
   def gopherRules(spark: SparkSession, dir: String,
-                  minWords: Long = 30L, maxWords: Long = 100000L,
-                  meanLenMin10: Long = 42L, meanLenMax10: Long = 100L,
-                  stopwords: Seq[String] = Seq("the", "a"),
-                  minStopwords: Long = 2L): DataFrame =
+                  minWords: Long = Gopher.MinWords, maxWords: Long = Gopher.MaxWords,
+                  meanLenMin10: Long = Gopher.MeanLenMin10,
+                  meanLenMax10: Long = Gopher.MeanLenMax10,
+                  stopwords: Seq[String] = Gopher.Stopwords,
+                  minStopwords: Long = Gopher.MinStopwords): DataFrame =
     gopherFlags(Tables.documents(spark, dir).select("doc_id", "text"), Seq("doc_id"),
       minWords, maxWords, meanLenMin10, meanLenMax10, stopwords, minStopwords)
       .orderBy("doc_id")
@@ -422,7 +446,9 @@ object TextAnalysis {
                   meanLenMin10: Long, meanLenMax10: Long,
                   stopwords: Seq[String],
                   minStopwords: Long): DataFrame = {
-    val stopArr = s"array(${stopwords.map(w => s"'$w'").mkString(", ")})"
+    // escape embedded quotes: a stopword like "don't" would otherwise
+    // break (or silently mis-parse) the interpolated SQL literal
+    val stopArr = s"array(${stopwords.map(w => s"'${w.replace("\\", "\\\\").replace("'", "\\'")}'").mkString(", ")})"
     val k = keep.map(col)
     in
       .select(k ++ Seq(

@@ -161,11 +161,14 @@ object Vectors {
     val ivf = annIvfSeeded(spark, dir, k, nProbe, nQueries).select("query_id", "vec_id")
     val hits = brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    brute.select("query_id").distinct()
+    // denominator = the per-query BRUTE set size, not the requested
+    // k: when fewer than k candidates exist (tiny corpus, heavy
+    // filters) a perfect index must read recall 1.0, not n_brute/k
+    brute.groupBy("query_id").agg(count(lit(1)).as("n_brute"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"), lit(k).as("k"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_brute")).as("recall"))
       .orderBy("query_id")
   }
 
