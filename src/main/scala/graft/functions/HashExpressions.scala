@@ -72,12 +72,19 @@ case class MinHashSignature(child: Expression, k: Int)
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val base = Hashing.fnv1a64(arr.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < k) {
-        val h = Hashing.mix64(base ^ (j * 0x9e3779b97f4a7c15L))
-        if (h < sig(j)) sig(j) = h
-        j += 1
+      // null elements are SKIPPED, not dereferenced: the type check
+      // accepts containsNull arrays (any user SQL array is one), and
+      // an NPE inside a task is the worst possible spelling of
+      // "null is not a shingle". Both modes agree (codegen below).
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val base = Hashing.fnv1a64(s.getBytes)
+        var j = 0
+        while (j < k) {
+          val h = Hashing.mix64(base ^ (j * 0x9e3779b97f4a7c15L))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
       }
       i += 1
     }
@@ -96,6 +103,7 @@ case class MinHashSignature(child: Expression, k: Int)
          |long[] $sig = new long[$k];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if ($c.isNullAt($i)) continue; // null element = not a shingle
          |  long $base = $hashing.fnv1a64($c.getUTF8String($i).getBytes());
          |  for (int $j = 0; $j < $k; $j++) {
          |    long $h = $hashing.mix64($base ^ ($j * -7046029254386353131L));
@@ -130,11 +138,14 @@ case class SimHash64(child: Expression)
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
-      val h = Hashing.mix64(Hashing.fnv1a64(arr.getUTF8String(i).getBytes))
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      val s = arr.getUTF8String(i) // null element = not a shingle (see minhash)
+      if (s != null) {
+        val h = Hashing.mix64(Hashing.fnv1a64(s.getBytes))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -155,6 +166,7 @@ case class SimHash64(child: Expression)
       s"""
          |int[] $votes = new int[64];
          |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if ($c.isNullAt($i)) continue; // null element = not a shingle
          |  long $h = $hashing.mix64($hashing.fnv1a64($c.getUTF8String($i).getBytes()));
          |  for (int $b = 0; $b < 64; $b++) {
          |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;

@@ -40,6 +40,19 @@ object Dedup {
       .select(col("doc_id"), expr("shingles(text)").as("sh"))
   }
 
+  /** The MinHash-LSH banding layout over a `sig` column — ONE
+    * definition for every consumer, batch (dedupMinHashOn,
+    * dedupMinHashIncremental) and streaming (via
+    * DecontamStream.bandCols): band buckets are cross-operator
+    * identity, so the layout must not be able to drift between
+    * spellings.
+    */
+  private[graft] def bandCols(k: Int, bands: Int): Column = {
+    val rows = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))
+  }
+
   /** The q44 planting pattern on `documents`: every `every`-th doc is
     * re-emitted verbatim under doc_id + idOffset, in ONE scan via
     * explode (a self-union would recompute the scan per branch).
@@ -152,7 +165,6 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0, 1]: $threshold")
     import spark.implicits._
     GraftFunctions.register(spark)
-    val rows = k / bands
     // Candidates WITHOUT arrays, then join-verify: band rows carry
     // only (doc_id, band, bucket) — carrying the shingle arrays into
     // the banding shuffle amplifies them ×bands (measured 2M strings
@@ -160,11 +172,13 @@ object Dedup {
     // LSH collisions are rare by design, so arrays move only once per
     // DISTINCT surviving candidate side in the verify join. (Contrast
     // q26, where blocks are huge and in-group verification wins.)
-    val banded = docs
+    // The shingle frame feeds the banding AND both verify-join sides
+    // — persist it once instead of re-paying the documents scan +
+    // shingle computation three times (the dedupSimHashExact rule)
+    val docsP = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = docsP
       .withColumn("sig", expr(s"minhash(sh, $k)"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+      .select(col("doc_id"), posexplode(bandCols(k, bands)).as(Seq("band", "bucket")))
       .as[BandRow]
     val cands = banded.groupByKey(d => (d.band, d.bucket))
       .flatMapGroups { (_, it) =>
@@ -176,8 +190,8 @@ object Dedup {
       }
       .toDF("doc_a", "doc_b").distinct()
     cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(docsP.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docsP.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("c", expr("intersect_count_sorted(sh_a, sh_b)"))
       .withColumn("jac", round(col("c").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("c")), 6))
@@ -255,9 +269,15 @@ object Dedup {
           if na >= threshold * nb && nb >= threshold * na
           // positional filter (PPJoin): beyond this token only the
           // suffixes can still match — prune when even a full suffix
-          // match can't reach the required overlap ⌈t/(1+t)(na+nb)⌉
+          // match can't reach the required overlap ⌈t/(1+t)(na+nb)⌉.
+          // EPSILON-GUARDED: double ceil can land one above the exact
+          // rational ceiling at exact-threshold sizes (t=0.9:
+          // ceil(0.9/1.9*133) = 64 in doubles, exact = 63) and a
+          // boundary pair the verification would PASS gets pruned —
+          // the slack only ever admits extra candidates, which the
+          // exact jaccard below rejects for free
           if math.min(na - pos(i), nb - pos(j)) + 1 >=
-            math.ceil(threshold / (1 + threshold) * (na + nb))
+            math.ceil(threshold / (1 + threshold) * (na + nb) - 1e-6)
           // emission dedup: verify a pair only at its globally first
           // shared prefix token (pref is rarity-ordered, so the first
           // element of a.pref contained in b's prefix set is it)
@@ -374,28 +394,36 @@ object Dedup {
     require(bands > 0 && k % bands == 0, s"k ($k) must be a positive multiple of bands ($bands)")
     import spark.implicits._
     GraftFunctions.register(spark)
-    val rows = k / bands
-    val banded = docShingles(spark, dir)
+    // id-only candidates + join-verify — dedupMinHashOn's own shape
+    // (this used to carry full shingle arrays through the banding
+    // shuffle ×bands and re-verify a pair once per shared band, the
+    // exact amplification the batch operator measured and designed
+    // away): old-old pairs die at the candidate stage before any
+    // array moves, and a surviving pair is verified exactly once
+    val docsP = docShingles(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = docsP
       .withColumn("sig", expr(s"minhash(sh, $k)"))
-      .select(col("doc_id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
-      .as[BandedDoc]
-    banded.groupByKey(d => (d.band, d.bucket))
+      .select(col("doc_id"), posexplode(bandCols(k, bands)).as(Seq("band", "bucket")))
+      .as[BandRow]
+    val cands = banded.groupByKey(d => (d.band, d.bucket))
       .flatMapGroups { (_, it) =>
-        val docs = it.toArray.sortBy(_.doc_id)
+        val ids = it.map(_.doc_id).toArray.sorted
         for {
-          i <- docs.indices.iterator
-          j <- (i + 1 until docs.length).iterator
-          a = docs(i); b = docs(j)
-          if b.doc_id >= minNewDocId // docs sorted: b is the newer one
-          c = sortedIntersectCount(a.sh, b.sh)
-          jac = roundHalfUp6(c.toDouble / (a.sh.length + b.sh.length - c))
-          if jac >= threshold
-        } yield NgramPair(a.doc_id, b.doc_id, jac)
+          i <- ids.indices.iterator
+          j <- (i + 1 until ids.length).iterator
+          if ids(j) >= minNewDocId // sorted: ids(j) is the newer one
+        } yield (ids(i), ids(j))
       }
-      .toDF("doc_a", "doc_b", "jac")
-      .dropDuplicates("doc_a", "doc_b")
+      .toDF("doc_a", "doc_b").distinct()
+    cands
+      .join(docsP.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docsP.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("c", expr("intersect_count_sorted(sh_a, sh_b)"))
+      .withColumn("jac", round(col("c").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("c")), 6))
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -730,6 +758,14 @@ object Dedup {
         .select(col("doc_id"), explode(array_distinct(expr(s"kgram_hashes(text, $k)"))).as("g"))
         .groupBy("g").agg(count(lit(1)).as("nd_old"))
         .write.mode("overwrite").parquet(s"$path/grams")
+      // a rebuild OBSOLETES the delta state: absorbed generations
+      // belong to the previous corpus regime (by rebuild time ingest
+      // has landed them in the table — the fold contract), and the
+      // overwrite above just wiped the _folded_gens marker, so a
+      // leftover gen dir would re-sum into the fresh base as a
+      // double count
+      val fs = VectorIndex.fsFor(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/grams_delta"), true)
       VectorIndex.writeWatermark(spark, path, token)
     }
 

@@ -85,6 +85,13 @@ object PQ {
       books = grid.join(refined, Seq("s", "code"), "left")
         .join(books.withColumnRenamed("cvec", "prev"), Seq("s", "code"), "left")
         .select(col("s"), col("code"), coalesce(col("cvec"), col("prev")).as("cvec"))
+        // MATERIALIZE per round: the new plan embeds the previous
+        // books subtree twice (assign + the prev fallback), so
+        // without a lineage cut the plan doubles per iteration —
+        // ~2^iters replication for a PUBLIC iters parameter. The
+        // frame is m·kCodes rows (~128 at defaults): an eager
+        // localCheckpoint is a few KB and keeps rounds linear.
+        .localCheckpoint(true)
     }
     books
   }
@@ -523,6 +530,12 @@ object PQ {
       .write.mode("overwrite").parquet(s"$path/books")
     encode(spark, eOld, spark.read.parquet(s"$path/books"), m, dims)
       .write.mode("overwrite").parquet(s"$path/codes")
+    // a rebuild obsoletes any delta: its codes were encoded under the
+    // OLD books/params (the path is keyed only by deltaMod), and the
+    // overwrite above wiped the _folded marker — a stale codes_delta
+    // would union wrong-stride codes into every subsequent scan
+    VectorIndex.fsFor(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/codes_delta"), true)
     VectorIndex.writeWatermark(spark, path, token)
   }
 
@@ -697,6 +710,10 @@ object PQ {
       .join(cells, "vec_id")
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    // stale-delta rule, same as buildIncrBase: old-regime codes must
+    // not survive into the rebuilt index's scans
+    VectorIndex.fsFor(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/codes_delta"), true)
     VectorIndex.writeWatermark(spark, path, token + s"\nlists|$lists")
   }
 
@@ -705,9 +722,13 @@ object PQ {
     * an overwrite-mode delta directory (idempotent — re-running the
     * same batch cannot duplicate).
     */
+  // NB: no nProbe parameter — delta ASSIGNMENT is top-1 by contract
+  // (one cell per vector; the probe's at-most-once pairing depends on
+  // it). The previous dead parameter invited threading probe width
+  // into the append, which would break that invariant.
   def appendDeltaIvfPq(spark: SparkSession, dir: String, deltaMod: Int = 16,
                        m: Int = 8, kCodes: Int = 16, iters: Int = 1,
-                       nLists: Int = 0, nProbe: Int = 3): Unit = {
+                       nLists: Int = 0): Unit = {
     GraftFunctions.register(spark)
     val path = ivfPqIncrPath(spark, dir, deltaMod)
     if (!ivfPqIncrFresh(spark, dir, path, m, kCodes, iters, nLists, deltaMod))
@@ -799,7 +820,7 @@ object PQ {
         (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")) &&
           !hasCompactedMark(spark, path) &&
           !VectorIndex.hasMarker(spark, s"$path/cells")))
-      appendDeltaIvfPq(spark, dir, deltaMod, m, kCodes, iters, nLists, nProbe)
+      appendDeltaIvfPq(spark, dir, deltaMod, m, kCodes, iters, nLists)
     val books = spark.read.parquet(s"$path/books")
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cell").as("c_cell"), col("cvec"))

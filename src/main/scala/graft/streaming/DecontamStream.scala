@@ -81,17 +81,13 @@ object DecontamStream {
                       max_jac: Option[Double], best_bench_id: Option[Long],
                       contaminated: Boolean)
 
-  /** The LSH banding layout over a `sig` column — ONE definition for
-    * every streaming band consumer (here, DedupStream.banded and
-    * pairsBySignature): band buckets are cross-operator identity (a
-    * stream bucket must keep matching the fuzzy-bench buckets), so
-    * the layout must not be able to drift between spellings.
+  /** The LSH banding layout over a `sig` column — delegates to the
+    * batch definition (graft.operators.Dedup.bandCols): a stream
+    * bucket must keep matching the batch operators' buckets, so
+    * there is exactly ONE spelling of the layout in the codebase.
     */
-  private[streaming] def bandCols(k: Int, bands: Int) = {
-    val rows = k / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))
-  }
+  private[streaming] def bandCols(k: Int, bands: Int) =
+    graft.operators.Dedup.bandCols(k, bands)
 
   def loadBenchFuzzy(spark: SparkSession, dir: String, benchMod: Int = 97,
                      k: Int = 32, bands: Int = 8): FuzzyBenchIndex = {
