@@ -213,7 +213,7 @@ object SparkEntry {
         |FROM (
         |  SELECT *, SUM(run_brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS run_id
         |  FROM (
-        |    SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 300000 OR prev_kind <> event_type THEN 1 ELSE 0 END AS run_brk
+        |    SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 300000 OR prev_kind IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS run_brk
         |    FROM (
         |      SELECT event_id, user_id, event_type, props, epoch_ms(ts) AS ts_ms,
         |        LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms,

@@ -41,7 +41,7 @@ object Curation {
   private val persistRegistry =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def registerPersist(spark: SparkSession, key: String, df: DataFrame): DataFrame = {
+  private[graft] def registerPersist(spark: SparkSession, key: String, df: DataFrame): DataFrame = {
     persistRegistry.keySet.removeIf(_._1.sparkContext.isStopped)
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Option(persistRegistry.put((spark, key), p)).foreach(_.unpersist(false))

@@ -174,8 +174,11 @@ object Dedup {
     // q26, where blocks are huge and in-group verification wins.)
     // The shingle frame feeds the banding AND both verify-join sides
     // — persist it once instead of re-paying the documents scan +
-    // shingle computation three times (the dedupSimHashExact rule)
-    val docsP = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle computation three times (the dedupSimHashExact rule).
+    // Registered (one-live-copy), not bare-persisted: repeated calls
+    // in a long-lived session would otherwise stack a cached copy
+    // per invocation (ADVICE r12)
+    val docsP = Curation.registerPersist(spark, "dedupMinHashOn", docs)
     val banded = docsP
       .withColumn("sig", expr(s"minhash(sh, $k)"))
       .select(col("doc_id"), posexplode(bandCols(k, bands)).as(Seq("band", "bucket")))
@@ -342,8 +345,8 @@ object Dedup {
     // first-computed partitions serve the other two subtrees from
     // cache, and the ContextCleaner reclaims the blocks when the
     // frame goes unreachable)
-    val docs = docShinglesOn(spark, plantedDocs(spark, dir, every, idOffset))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = Curation.registerPersist(spark, "dedupSimHashPlanted",
+      docShinglesOn(spark, plantedDocs(spark, dir, every, idOffset)))
     dedupSimHashOn(spark, docs, maxDist = 0)
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -400,8 +403,8 @@ object Dedup {
     // exact amplification the batch operator measured and designed
     // away): old-old pairs die at the candidate stage before any
     // array moves, and a surviving pair is verified exactly once
-    val docsP = docShingles(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docsP = Curation.registerPersist(spark, "dedupMinHashIncremental",
+      docShingles(spark, dir))
     val banded = docsP
       .withColumn("sig", expr(s"minhash(sh, $k)"))
       .select(col("doc_id"), posexplode(bandCols(k, bands)).as(Seq("band", "bucket")))

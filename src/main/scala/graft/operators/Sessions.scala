@@ -198,8 +198,13 @@ object Sessions {
       .withColumn("prev_kind", lag("event_type", 1).over(userW))
       .withColumn("prev_ms2", lag("ts_ms", 1).over(userW))
       .withColumn("run_brk",
+        // kind break is NULL-SAFE (<=>): with `=!=`, a null event_type
+        // next to a non-null one yields NULL, the whole OR-chain falls
+        // to `otherwise(0)`, and the row silently concatenates into a
+        // run of a DIFFERENT kind (the <=> bug class r12 fixed in
+        // TelegramPipeline; oracle uses IS DISTINCT FROM to match)
         when(col("prev_ms2").isNull || col("ts_ms") - col("prev_ms2") > gapMs
-          || col("prev_kind") =!= col("event_type"), 1).otherwise(0))
+          || !(col("prev_kind") <=> col("event_type")), 1).otherwise(0))
       .withColumn("run_id", sum("run_brk").over(userW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "run_id")
       .agg(

@@ -158,7 +158,7 @@ object VectorIndex {
 
   private def watermarkPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/watermark")
 
-  private[operators] def readWatermark(spark: SparkSession, path: String): Option[String] = {
+  private[graft] def readWatermark(spark: SparkSession, path: String): Option[String] = {
     val fs = fsFor(spark, path)
     if (!fs.exists(watermarkPath(path))) None
     else {

@@ -174,8 +174,15 @@ object TelegramJson {
       // pass — phone calls become "[phone_call](reason)" precisely so
       // they stay in the conversation (the earlier message-type
       // filter here made that marker branch dead code and silently
-      // deleted every call from the corpus). Null-safe: a chat with
-      // no type is not a service chat.
+      // deleted every call from the corpus). Null-safe — an
+      // INTENTIONAL DIVERGENCE from the reference: polars'
+      // `chat_type != 'service'` (TelegramPreprocessor.py:1004) drops
+      // rows whose chat has NO type (null predicate is not true in a
+      // polars filter), i.e. an export missing chat.type loses the
+      // whole chat as collateral of the service filter. Here a chat
+      // with no type is not a service chat and is KEPT; exports with
+      // chat.type present (every real Telegram export) are identical
+      // under both rules, and TelegramJsonSpec pins this choice.
       .filter(!(col("chat_type") <=> lit("service")))
       .filter(col("text").isNotNull && length(col("text")) > 0) // delete_empty_messages
       .drop("type", "discard_reason",

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.functions.GraftFunctions
-import graft.operators.{PQ, Vectors}
+import graft.Tables
+import graft.operators.{PQ, VectorIndex, Vectors}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -87,7 +88,23 @@ object PqStream {
     def cellStruct(grp: Int, cell: Int, cvec: Seq[Float]) =
       struct(lit(grp).as("grp"), lit(cell).as("cell"),
         array(cvec.map(lit(_)): _*).cast("array<float>").as("cvec"))
-    val nCoarse = Vectors.autoCoarse(cents.length)
+    // group structure must mirror the BUILD's assignment rule, which
+    // keyed autoCoarse on the RESOLVED list count — not on however
+    // many centroid rows survived (sparse vec_id residues or n <
+    // lists leave seed classes empty, so cents.length can undershoot
+    // lists and silently diverge the gate's groups from the build's).
+    // Same resolution ladder as PQ.ivfPqTopKIndexed: explicit nLists,
+    // else the watermark's recorded `lists|` line, else the corpus
+    // count fallback the build itself would use (ADVICE r12).
+    val lists =
+      if (nLists > 0) nLists
+      else VectorIndex.readWatermark(spark, path)
+        .flatMap(_.linesIterator.collectFirst {
+          case l if l.startsWith("lists|") => l.stripPrefix("lists|").toInt
+        })
+        .getOrElse(math.max(16,
+          (Tables.embeddings(spark, dir).count() / 125L).toInt))
+    val nCoarse = Vectors.autoCoarse(lists)
     val (cellsLit, gcentsLit) =
       if (nCoarse == 1)
         (array(cents.map { case (cell, cvec) => cellStruct(0, cell, cvec) }: _*), None)

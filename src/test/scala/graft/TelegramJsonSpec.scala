@@ -162,4 +162,36 @@ class TelegramJsonSpec extends AnyFunSuite {
     assert(nf.map(_.getAs[Long]("message_id")).toSet == Set(2L, 3L),
       "a bare file with no file_name must DROP (null marker), never read '[file](null)'")
   }
+
+  test("service-chat filter is null-safe: a chat with NO type survives (intentional divergence)") {
+    // the reference's polars `chat_type != 'service'`
+    // (TelegramPreprocessor.py:1004) silently drops rows whose chat
+    // has no type at all — collateral, not intent. The graft keeps
+    // them (documented divergence in TelegramJson.normalized); this
+    // pins the choice so a future "parity" edit can't flip it blind.
+    val f = Files.createTempFile("tg_notype", ".json")
+    Files.writeString(f,
+      """{"chats": {"list": [
+        |  {"name": "untyped", "id": 600, "messages": [
+        |    {"id": 1, "type": "message", "date": "2024-01-01T10:00:00",
+        |     "from": "Eve", "from_id": "user11", "text": "kept one"},
+        |    {"id": 2, "type": "message", "date": "2024-01-01T10:01:00",
+        |     "from": "Eve", "from_id": "user11", "text": "kept two"},
+        |    {"id": 3, "type": "message", "date": "2024-01-01T10:02:00",
+        |     "from": "Eve", "from_id": "user11", "text": "kept three"}
+        |  ]},
+        |  {"name": "svc", "type": "service", "id": 700, "messages": [
+        |    {"id": 1, "type": "message", "date": "2024-01-01T11:00:00",
+        |     "from": "Bot", "from_id": "user12", "text": "svc a"},
+        |    {"id": 2, "type": "message", "date": "2024-01-01T11:01:00",
+        |     "from": "Bot", "from_id": "user12", "text": "svc b"},
+        |    {"id": 3, "type": "message", "date": "2024-01-01T11:02:00",
+        |     "from": "Bot", "from_id": "user12", "text": "svc c"}
+        |  ]}
+        |]}}""".stripMargin)
+    val out = sources.TelegramJson.normalized(spark, f.toString).collect()
+    assert(out.map(_.getAs[Long]("chat_id")).toSet == Set(600L),
+      "untyped chat KEPT (null-safe filter), service chat dropped")
+    assert(out.length == 3)
+  }
 }
