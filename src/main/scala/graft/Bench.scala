@@ -59,6 +59,18 @@ object Bench {
     Seq("q20_pricing_summary", "q05_activity_heatmap", "q30_token_stats", "q16_vector_topk")
       .foreach(n => try force(n) catch { case _: Throwable => () })
 
+    // SETTLING SWEEP (untimed): one full pass over every query before
+    // any timing starts — the in-process spelling of the settled-bench
+    // protocol (VERDICT r12 item 4: the committed r12 artifact was a
+    // first-invocation run 15% above the same binary's settled pair).
+    // This pass absorbs what min-of-3-interleaved can't: first-touch
+    // parquet footer reads and OS page-cache faults, Janino
+    // compilation of every query's generated classes, and all
+    // persisted-index builds (q48/q67c/q79b/...) — so the TIMED passes
+    // below start from the steady state two consecutive manual runs
+    // reach, and the driver-visible headline is the settled number.
+    SparkEntry.queries.keys.foreach(n => try force(n) catch { case _: Throwable => () })
+
     // min of three runs, INTERLEAVED across the whole query set
     // (pass 1 of all queries, then pass 2, then pass 3): back-to-back
     // samples of one query share whatever GC/compilation hiccup is in
@@ -72,23 +84,33 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.LinkedHashMap[String, Double](names.map(_ -> -1.0): _*)
-    for (_ <- 1 to 3; name <- names) {
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok = try { force(name); true } catch {
-        case t: Throwable =>
-          // strip ALL JSON-breaking bytes, not just the common five —
-          // any control char (or a stray quote/backslash) in an
-          // exception message would invalidate the summary line and
-          // detail file (ADVICE r08)
-          errors(name) = (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
-            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160)
-          false
+    // per-pass totals ride into the detail file: with the settling
+    // sweep above, consecutive timed passes should agree — the drift
+    // between the last two passes IS the settledness check, recorded
+    // instead of re-derived from a second manual invocation.
+    val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
+    for (pass <- 1 to 3) {
+      var passSum = 0.0
+      for (name <- names) {
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok = try { force(name); true } catch {
+          case t: Throwable =>
+            // strip ALL JSON-breaking bytes, not just the common five —
+            // any control char (or a stray quote/backslash) in an
+            // exception message would invalidate the summary line and
+            // detail file (ADVICE r08)
+            errors(name) = (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
+              .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160)
+            false
+        }
+        if (ok) {
+          val dt = (System.nanoTime() - t0) / 1e9
+          passSum += dt
+          if (best(name) < 0 || dt < best(name)) best(name) = dt
+        }
       }
-      if (ok) {
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (best(name) < 0 || dt < best(name)) best(name) = dt
-      }
+      passTotals += passSum
     }
     val results = names.map(n => n -> best(n))
     // The consumer captures only the LAST ~2000 chars of this
@@ -105,8 +127,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val detailPath = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json")).getAbsolutePath
+    val pts = passTotals.map(fmt).mkString("[", ",", "]")
+    val settled = passTotals.takeRight(2) match {
+      case scala.collection.mutable.ArrayBuffer(a, b) =>
+        math.abs(a - b) / math.max(math.min(a, b), 1e-9) <= 0.05
+      case _ => false
+    }
     val detailLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passTotals":$pts,"settled":$settled,"errors":$errJson,"sf":"$sfDir"}"""
     // an unwritable detail file must not take the summary line with it
     val detailField = try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
@@ -145,7 +173,7 @@ object Bench {
     // cap their contribution and point at the detail file.
     val errField = if (errors.isEmpty) "{}" else if (errJson.length <= 600) errJson else "\"see detail\""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"nerr":${errors.size},"errors":$errField,"slowest5":$slowest,"detail":"$detailField","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"nerr":${errors.size},"settled":$settled,"errors":$errField,"slowest5":$slowest,"detail":"$detailField","sf":"$sfDir"}"""
     // budget: 2000-char window − "\n[success] Total time: ..." ≈ 1925;
     // the compact line is ~350 chars and independent of query count.
     if (line.length > 1500)

@@ -134,12 +134,45 @@ object SparkEntry {
     "q21_top_orders"      -> ((s, d) => Relational.topOrders(s, d)),
     "q22_region_volume"   -> ((s, d) => Relational.regionVolume(s, d)),
     "q23_windowed_topn"   -> ((s, d) => Relational.windowedTopN(s, d)),
-    "q24_order_priority"  -> ((s, d) => Relational.orderPriority(s, d))
+    "q24_order_priority"  -> ((s, d) => Relational.orderPriority(s, d)),
+    "q80_stream_sessions" -> ((s, d) => streaming.StreamHarness.streamSessions(s, d)),
+    "q80b_stream_funnel"  -> ((s, d) => streaming.StreamHarness.streamFunnel(s, d)),
+    // MCP serving surface under the oracle (below the encoder seam:
+    // the query is corpus vector 3, which DuckDB can name too)
+    "q81_mcp_search"      -> ((s, d) =>
+      mcp.McpTools.vectorSearchById(s, d, vecId = 3L, topK = 10,
+        similarityThreshold = 0.25)),
+    "q81b_mcp_clusters"   -> ((s, d) =>
+      mcp.McpTools.clusterSearchById(s, d, vecId = 3L, topK = 50,
+        maxClusters = 10, similarityThreshold = 0.25)),
+    "q82_pseudonymize"    -> ((s, d) => Curation.pseudonymize(s, d))
   )
 
   /** Reference word-count formula (analyze_dialogues.py:273). */
   private val wcSql =
     "CASE WHEN TRIM(text) = '' THEN 0 ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END"
+
+  /** DuckDB side of Vectors.semanticGroups (q14's CTE chain with a
+    * final `grp(doc_id, source, group_id)` clause) — spliced into the
+    * q81 serving oracles' WITH list.
+    */
+  private val groupsCteClauses: String =
+    """g_je AS (
+      |  SELECT d.doc_id, d.source, d.n_chars // 100 AS bucket, e.embedding
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      |g_l AS (SELECT *,
+      |        LAG(embedding) OVER (PARTITION BY source ORDER BY doc_id) AS prev_emb,
+      |        LAG(bucket) OVER (PARTITION BY source ORDER BY doc_id) AS prev_bucket
+      |      FROM g_je),
+      |g_x AS (SELECT doc_id, source, bucket,
+      |        CASE WHEN prev_emb IS NULL THEN 1
+      |             WHEN round(1.0 - round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(prev_emb AS DOUBLE[])), 6), 6) > 1.0
+      |                  OR bucket <> prev_bucket THEN 1
+      |             ELSE 0 END AS brk
+      |      FROM g_l),
+      |grp AS (SELECT doc_id, source,
+      |    CAST(SUM(brk) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS group_id
+      |  FROM g_x)""".stripMargin
 
   /** Distinct bigram shingles of `text` (DuckDB side of q26). */
   private val shinglesSql =
@@ -179,7 +212,14 @@ object SparkEntry {
     * shares q79's oracle verbatim.
     */
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("q79b_funnel_indexed" -> oracleSqlBase("q79_funnel_delta"))
+    oracleSqlBase ++ Map(
+      "q79b_funnel_indexed" -> oracleSqlBase("q79_funnel_delta"),
+      // the streaming entries CERTIFY stream ≡ batch under the hard
+      // gate: the closed-session stream rollup shares q01c's oracle,
+      // the online funnel shares q79's (ascending arrival order makes
+      // ingest-time first-writer-wins agree with batch id order)
+      "q80_stream_sessions" -> oracleSqlBase("q01c_sessions_native"),
+      "q80b_stream_funnel" -> oracleSqlBase("q79_funnel_delta"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q01_temporal_sessions" ->
@@ -1599,6 +1639,92 @@ object SparkEntry {
         |  SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate AND l_returnflag = 'R')
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    // q81: McpTools.vectorSearchById(vecId=3, topK=10, threshold=0.25,
+    // cluster context on) — the MCP vector_search tool below the
+    // encoder seam, replayed verbatim (server.py:119-189 /
+    // vector_store.py:315-383's top-k cosine + threshold + text join)
+    "q81_mcp_search" ->
+      s"""WITH $groupsCteClauses,
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 3),
+         |scored AS (
+         |  SELECT e.vec_id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qv.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM embeddings e, qv),
+         |topk AS (
+         |  SELECT vec_id, sim, CAST(rk AS INT) AS rk FROM (
+         |    SELECT vec_id, sim, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rk
+         |    FROM scored WHERE sim >= 0.25) h
+         |  WHERE rk <= 10),
+         |lead AS (SELECT source AS c_source, group_id AS c_group, MIN(doc_id) AS lead_id
+         |         FROM grp GROUP BY 1, 2),
+         |leadp AS (SELECT c_source, c_group, substr(d.text, 1, 40) AS cluster_preview
+         |          FROM lead JOIN documents d ON d.doc_id = lead_id)
+         |SELECT t.vec_id, t.sim, t.rk, d.source, d.lang,
+         |  substr(d.text, 1, 40) AS preview, g.group_id, lp.cluster_preview
+         |FROM topk t
+         |JOIN documents d ON d.doc_id = t.vec_id
+         |LEFT JOIN grp g ON g.doc_id = t.vec_id
+         |LEFT JOIN leadp lp ON lp.c_source = d.source AND lp.c_group = g.group_id
+         |ORDER BY t.rk""".stripMargin,
+    // q81b: McpTools.clusterSearchById(vecId=3, topK=50, max=10,
+    // threshold=0.25) — the cluster_search aggregation
+    // (server.py:191-276): best sim, hit count, best hit's preview
+    "q81b_mcp_clusters" ->
+      s"""WITH $groupsCteClauses,
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 3),
+         |scored AS (
+         |  SELECT e.vec_id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qv.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM embeddings e, qv),
+         |topk AS (
+         |  SELECT vec_id, sim FROM (
+         |    SELECT vec_id, sim, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rk
+         |    FROM scored WHERE sim >= 0.25) h
+         |  WHERE rk <= 50),
+         |hg AS (
+         |  SELECT t.vec_id, t.sim, g.source, g.group_id, substr(d.text, 1, 40) AS preview
+         |  FROM topk t
+         |  JOIN documents d ON d.doc_id = t.vec_id
+         |  JOIN grp g ON g.doc_id = t.vec_id),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY group_id, source
+         |             ORDER BY sim DESC, vec_id) AS m FROM hg),
+         |agg AS (SELECT group_id, source, MAX(sim) AS best_similarity,
+         |          CAST(COUNT(*) AS BIGINT) AS hits
+         |        FROM hg GROUP BY 1, 2)
+         |SELECT a.group_id, a.source, a.best_similarity, a.hits, r.preview AS snippet
+         |FROM agg a JOIN ranked r
+         |  ON r.group_id = a.group_id AND r.source = a.source AND r.m = 1
+         |ORDER BY a.best_similarity DESC, a.hits DESC, a.group_id, a.source
+         |LIMIT 10""".stripMargin,
+    // q82: Curation.pseudonymize — pools spliced from the SAME Scala
+    // values the operator reads (Curation.Pseudonyms), khash is the
+    // identical BIGINT arithmetic on both engines
+    "q82_pseudonymize" -> {
+      def lst(pool: Seq[String]): String =
+        pool.map(s => "'" + s.replace("'", "''") + "'").mkString("[", ", ", "]")
+      def khashSql(c: String): String = s"(($c * 2654435761) % 4294967296)"
+      def pickSql(pool: Seq[String]): String =
+        s"${lst(pool)}[CAST(${khashSql("e.event_id")} % ${pool.size} AS INT) + 1]"
+      import operators.Curation.Pseudonyms._
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |m AS (SELECT user_id,
+         |        CAST(${khashSql("user_id")} % ${basePool.size} AS INT) AS base,
+         |        ROW_NUMBER() OVER (
+         |          PARTITION BY CAST(${khashSql("user_id")} % ${basePool.size} AS INT)
+         |          ORDER BY user_id) AS ord
+         |      FROM u),
+         |p AS (SELECT user_id, ${lst(basePool)}[base + 1] || '-' || ord AS pseudonym FROM m)
+         |SELECT e.event_id, p.pseudonym,
+         |  CASE
+         |    WHEN e.props IS NULL OR len(trim(e.props)) = 0 THEN ${pickSql(questionPool)}
+         |    WHEN ends_with(e.props, '?') THEN ${pickSql(questionPool)}
+         |    WHEN len(e.props) < 20 THEN ${pickSql(shortPool)}
+         |    WHEN len(e.props) < 50 THEN ${pickSql(questionPool)}
+         |    ELSE ${pickSql(longPool)}
+         |  END AS text
+         |FROM events e JOIN p USING (user_id)
+         |ORDER BY e.event_id""".stripMargin
+    }
   )
 }

@@ -68,7 +68,36 @@ object McpTools {
   def vectorSearch(spark: SparkSession, dir: String, query: String,
                    topK: Int = 10, source: Option[String] = None,
                    similarityThreshold: Double = 0.0,
-                   includeClusterContext: Boolean = true): DataFrame = {
+                   includeClusterContext: Boolean = true): DataFrame =
+    searchScored(spark, dir, queryScoredImpl(spark, dir, query),
+      topK, source, similarityThreshold, includeClusterContext)
+
+  /** vector_search for a query that arrives ALREADY EMBEDDED — the
+    * tool surface below the encoder seam (the reference's
+    * VectorStore.search takes the query vector; _encode_query /
+    * TextEncoder sit above it). The query is a corpus vector named by
+    * id, which is what makes this leg ORACLE-EXPRESSIBLE end-to-end
+    * (q81: DuckDB can name the same vector and replay the whole
+    * pipeline; the text leg's encoder is a deterministic stub with
+    * nothing to oracle — q49's rows-only contract).
+    */
+  def vectorSearchById(spark: SparkSession, dir: String, vecId: Long,
+                       topK: Int = 10, source: Option[String] = None,
+                       similarityThreshold: Double = 0.0,
+                       includeClusterContext: Boolean = true): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === vecId).select(col("embedding").as("qvec"))
+    val scored = e.crossJoin(broadcast(q))
+      .withColumn("sim", round(expr("cosine_sim(embedding, qvec)"), 6))
+      .drop("qvec", "embedding")
+    searchScored(spark, dir, scored, topK, source, similarityThreshold, includeClusterContext)
+  }
+
+  private def searchScored(spark: SparkSession, dir: String, scored: DataFrame,
+                           topK: Int, source: Option[String],
+                           similarityThreshold: Double,
+                           includeClusterContext: Boolean): DataFrame = {
     require(topK > 0 && topK <= 1000, "top_k must be in the range 1..1000")
     require(similarityThreshold >= 0.0 && similarityThreshold <= 1.0,
       "similarity_threshold must be between 0.0 and 1.0")
@@ -77,7 +106,7 @@ object McpTools {
         substring(col("text"), 1, 40).as("preview"))
     val groups = Vectors.semanticGroups(spark, dir)
       .select(col("doc_id"), col("source").as("g_source"), col("group_id"))
-    val scoredDocs = queryScoredImpl(spark, dir, query)
+    val scoredDocs = scored
       .join(docs, col("vec_id") === col("doc_id"))
     val filtered = source.fold(scoredDocs)(s => scoredDocs.filter(col("source") === s))
       .filter(col("sim") >= similarityThreshold)
@@ -135,10 +164,22 @@ object McpTools {
     */
   def clusterSearch(spark: SparkSession, dir: String, query: String,
                     topK: Int = 50, maxClusters: Int = 10,
-                    similarityThreshold: Double = 0.0): DataFrame = {
+                    similarityThreshold: Double = 0.0): DataFrame =
+    clusterAgg(vectorSearch(spark, dir, query, topK, None, similarityThreshold,
+      includeClusterContext = false), maxClusters)
+
+  /** cluster_search below the encoder seam (vectorSearchById's
+    * contract) — q81b's oracle-expressible serving leg.
+    */
+  def clusterSearchById(spark: SparkSession, dir: String, vecId: Long,
+                        topK: Int = 50, maxClusters: Int = 10,
+                        similarityThreshold: Double = 0.0): DataFrame =
+    clusterAgg(vectorSearchById(spark, dir, vecId, topK, None, similarityThreshold,
+      includeClusterContext = false), maxClusters)
+
+  private def clusterAgg(hitsRaw: DataFrame, maxClusters: Int): DataFrame = {
     require(maxClusters > 0 && maxClusters <= 1000, "max_clusters must be in the range 1..1000")
-    val hits = vectorSearch(spark, dir, query, topK, None, similarityThreshold,
-        includeClusterContext = false)
+    val hits = hitsRaw
       .filter(col("group_id").isNotNull) // the reference skips cluster_id < 0
     hits
       .groupBy(col("group_id"), col("source"))

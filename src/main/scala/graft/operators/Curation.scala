@@ -43,9 +43,30 @@ object Curation {
 
   private[graft] def registerPersist(spark: SparkSession, key: String, df: DataFrame): DataFrame = {
     persistRegistry.keySet.removeIf(_._1.sparkContext.isStopped)
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(persistRegistry.put((spark, key), p)).foreach(_.unpersist(false))
-    p
+    // Cache identity is PLAN-based (CacheManager keys on canonicalized
+    // plans, not DataFrame objects), which made the original
+    // persist-then-unpersist-previous sequence self-defeating: a
+    // repeated call with the identical plan persisted "a new copy"
+    // (a no-op — the plan is already cached), then unpersisted the
+    // previous handle — evicting the shared entry and leaving the
+    // SECOND call uncached. Every bench pass ≥2 of a persist-backed
+    // operator ran without its cache (found r13 via the q77
+    // shared-frame plan spec). Same-plan re-registration now reuses
+    // the live copy; on a genuine plan change, the old entry is
+    // unpersisted only if no OTHER key still serves that plan.
+    val prev = Option(persistRegistry.get((spark, key)))
+    prev match {
+      case Some(p) if p.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) => p
+      case _ =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Option(persistRegistry.put((spark, key), p)).foreach { old =>
+          val oldPlan = old.queryExecution.analyzed
+          val stillServed = persistRegistry.values.stream()
+            .anyMatch(v => v.queryExecution.analyzed.sameResult(oldPlan))
+          if (!stillServed) old.unpersist(false)
+        }
+        p
+    }
   }
 
   private[graft] def grams3(docs: DataFrame): DataFrame = {
@@ -274,9 +295,21 @@ object Curation {
     val exact = hashed
       .join(hashed.groupBy("h").agg(min("doc_id").as("keep_id")), "h")
       .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("is_exact_dup"))
-    val budget = tokenBudget(spark, dir)
+    // the budget gate and the canonical pick both need the gopher
+    // quality frame (the regex-heavy corpus pass): derive it ONCE,
+    // persist through the one-live-copy registry, and hand the SAME
+    // copy to both gates' *On spellings — the funnel now scores the
+    // corpus once where it used to pay the scan per gate (VERDICT r12
+    // item 5; each gate's standalone entry still derives its own)
+    val scoredShared = registerPersist(spark, "curationFunnel.scored",
+      budgetScoredFrame(spark, dir,
+        TextAnalysis.Gopher.MinWords, TextAnalysis.Gopher.MaxWords,
+        TextAnalysis.Gopher.MeanLenMin10, TextAnalysis.Gopher.MeanLenMax10,
+        TextAnalysis.Gopher.Stopwords, TextAnalysis.Gopher.MinStopwords))
+    val budget = tokenBudgetOn(scoredShared)
       .select(col("doc_id"), col("source"), col("n_pass"), col("kept"))
-    val canon = DupGraph.clusterReps(spark, dir)
+    val canon = DupGraph.clusterRepsOn(spark, dir,
+        scoredShared.select(col("doc_id"), col("wc"), col("n_pass")))
       .select(col("doc_id"), col("is_canonical"))
     // forward the caller's benchMod: is_bench below flags doc_id %
     // benchMod, so the contamination gate must screen against the
@@ -668,6 +701,93 @@ object Curation {
         regexp_replace(regexp_replace(regexp_replace(col("t2"),
           emailPat, "<EMAIL>"), urlPat, "<URL>"), phonePat, "<PHONE>").as("clean_text"))
       .orderBy("doc_id")
+  }
+
+  /** q82: deterministic, consistent author pseudonymization + template
+    * text rewrite — the reference's export anonymizer
+    * (scripts/animal_message_transformer.py:122-151: per-message
+    * author → pseudonym map, text → length-bucketed replacement
+    * phrase) grafted as a corpus operator over `events` (user_id is
+    * the author analog, props the text). Its serious core is the
+    * reversible-mapping complement of q55's redaction: every author
+    * gets ONE stable pseudonym across the whole corpus, no two
+    * authors share one, and the mapping is reproducible run-to-run.
+    *
+    * Two deliberate divergences from the reference, both because an
+    * engine that promises deterministic replays has no business
+    * calling random.choice at transform time (the q59/McpTools rule):
+    *   - pseudonym choice is HASH-KEYED (Knuth multiplicative hash of
+    *     user_id picks the base name; a per-base ordinal makes the
+    *     full pseudonym collision-free even with more authors than
+    *     base names — the reference's fixed dict + random fallback
+    *     can collide and is irreproducible);
+    *   - replacement-phrase choice is hash-keyed by event_id. The
+    *     LENGTH-BUCKET rule replays transform_message_text exactly:
+    *     empty → question (its get_random_animal_message(10) branch),
+    *     trailing '?' → question, len < 20 → short ack, len < 50 →
+    *     question, else → long phrase. Phrase POOLS are original
+    *     placeholder text (the reference's strings are its own corpus;
+    *     only the selection structure is replayed).
+    *
+    * Scale shape: one distinct over user_id (the authors dim — tiny
+    * next to events), a per-base row_number window over that dim only,
+    * then ONE broadcast-joined projection pass over events. Nothing
+    * event-sized shuffles; the phrase pick is pure per-row arithmetic.
+    */
+  /** The q82 phrase pools — shared with the DuckDB oracle builder
+    * (SparkEntry splices these exact strings into SQL list literals,
+    * so pool edits can never drift the two sides apart).
+    */
+  private[graft] object Pseudonyms {
+    val basePool = Seq("Falcon", "Otter", "Lynx", "Heron", "Marmot", "Ibis", "Badger", "Newt")
+    val shortPool = Seq("Noted.", "Agreed.", "Sounds good.", "Nice.",
+      "Got it.", "Sure thing.", "Great.", "Thanks.")
+    val questionPool = Seq("What do you think about this?", "Shall we pick this up later?",
+      "Could you share more details?", "Does that work for everyone?",
+      "When would be a good time?", "Have you seen the latest update?",
+      "Is there anything else to add?", "Where should we go from here?")
+    val longPool = Seq(
+      "Here is a longer placeholder note standing in for the original message content.",
+      "This message was replaced with neutral text while keeping its position in the thread.",
+      "The original content of this message has been rewritten for the anonymized export.",
+      "A substitute paragraph fills this slot so conversation structure stays intact.",
+      "This entry keeps the timing and ordering of the thread without the source text.",
+      "Replacement body text preserves the shape of the discussion for downstream tools.",
+      "The anonymizer swapped this message for boilerplate of a comparable length class.",
+      "Longer filler content appears here in place of the author's original writing.")
+  }
+
+  def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    import Pseudonyms._
+    def pick(pool: Seq[String], idx: org.apache.spark.sql.Column) =
+      element_at(array(pool.map(lit): _*), (idx % pool.size).cast("int") + 1)
+    // Knuth multiplicative hash, identical arithmetic on both engines
+    // (BIGINT multiply + mod — no overflow at testdata id ranges, and
+    // at 100TB ids a 64-bit wraparound is itself deterministic)
+    def khash(c: org.apache.spark.sql.Column) = pmod(c * lit(2654435761L), lit(4294967296L))
+    val authors = Tables.events(spark, dir).select("user_id").distinct()
+      .withColumn("base", (khash(col("user_id")) % basePool.size).cast("int"))
+      .withColumn("ord", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("base").orderBy("user_id")))
+      .withColumn("pseudonym",
+        concat(element_at(array(basePool.map(lit): _*), col("base") + 1), lit("-"), col("ord")))
+      .select("user_id", "pseudonym")
+    // the reference checks emptiness on the STRIPPED text but lengths
+    // and the trailing-'?' on the RAW text — replayed as-is
+    val raw = col("props")
+    val len = length(raw)
+    val idx = khash(col("event_id"))
+    val rewritten =
+      when(raw.isNull || length(trim(raw)) === 0, pick(questionPool, idx))
+        .when(raw.endsWith("?"), pick(questionPool, idx))
+        .when(len < 20, pick(shortPool, idx))
+        .when(len < 50, pick(questionPool, idx))
+        .otherwise(pick(longPool, idx))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("props"))
+      .join(broadcast(authors), "user_id")
+      .select(col("event_id"), col("pseudonym"), rewritten.as("text"))
+      .orderBy("event_id")
   }
 
   private[operators] case class DocTok(lang: String, doc_id: Long, wc: Long)
@@ -1138,7 +1258,6 @@ object Curation {
       stopwords: Seq[String] = TextAnalysis.Gopher.Stopwords,
       minStopwords: Long = TextAnalysis.Gopher.MinStopwords): DataFrame = {
     require(budgetPct >= 0 && budgetPct <= 100, s"budgetPct in [0,100]: $budgetPct")
-    val flags = TextAnalysis.Gopher.FlagCols
     // BOTH consumers (the fill histogram and the final keep join)
     // need the scored frame, and the rule pass is the expensive part
     // (regex flags over text) — persist the SLIM projection (five
@@ -1146,13 +1265,33 @@ object Curation {
     // scanned and scored exactly once (q73's persist-for-two-readers
     // discipline; measured 1.46s → ~0.6s at sf0.1)
     val scored = registerPersist(spark, "tokenBudget",
-      TextAnalysis.gopherFlags(
-          Tables.documents(spark, dir).select("doc_id", "source", "text"),
-          Seq("doc_id", "source"),
-          minWords, maxWords, meanLenMin10, meanLenMax10, stopwords, minStopwords)
-        .select(col("doc_id"), col("source"), col("n_words").as("wc"),
-          flags.map(c => col(c).cast("int")).reduce(_ + _).as("n_pass"),
-          expr("((doc_id % 1048576) * 2654435761) % 1048576").as("hkey")))
+      budgetScoredFrame(spark, dir, minWords, maxWords,
+        meanLenMin10, meanLenMax10, stopwords, minStopwords))
+    tokenBudgetOn(scored, budgetPct)
+  }
+
+  /** The (doc_id, source, wc, n_pass, hkey) scored projection the
+    * budget fill reads — factored out so q77 can derive it ONCE and
+    * share the persisted copy with the canonical-pick gate.
+    */
+  private def budgetScoredFrame(spark: SparkSession, dir: String,
+      minWords: Long, maxWords: Long, meanLenMin10: Long, meanLenMax10: Long,
+      stopwords: Seq[String], minStopwords: Long): DataFrame = {
+    val flags = TextAnalysis.Gopher.FlagCols
+    TextAnalysis.gopherFlags(
+        Tables.documents(spark, dir).select("doc_id", "source", "text"),
+        Seq("doc_id", "source"),
+        minWords, maxWords, meanLenMin10, meanLenMax10, stopwords, minStopwords)
+      .select(col("doc_id"), col("source"), col("n_words").as("wc"),
+        flags.map(c => col(c).cast("int")).reduce(_ + _).as("n_pass"),
+        expr("((doc_id % 1048576) * 2654435761) % 1048576").as("hkey"))
+  }
+
+  /** The budget fill + keep rule over an already-derived (and ideally
+    * persisted) scored frame — tokenBudget's second half, single
+    * definition shared with q77's funnel.
+    */
+  private[graft] def tokenBudgetOn(scored: DataFrame, budgetPct: Int = 50): DataFrame = {
     val wSrc = Window.partitionBy("source")
     val wCum = wSrc.orderBy(col("n_pass").desc)
       .rowsBetween(Window.unboundedPreceding, -1)

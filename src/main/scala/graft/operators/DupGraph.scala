@@ -181,13 +181,21 @@ object DupGraph {
     * so a pathological mega-cluster costs one combiner row per
     * partition, not a single-task sort).
     */
-  def clusterReps(spark: SparkSession, dir: String): DataFrame = {
+  def clusterReps(spark: SparkSession, dir: String): DataFrame =
+    clusterRepsOn(spark, dir,
+      TextAnalysis.gopherScored(
+          graft.Tables.documents(spark, dir).select("doc_id", "text"), Seq("doc_id"))
+        .select(col("doc_id"), col("n_words").as("wc"), col("n_pass")))
+
+  /** clusterReps over a caller-supplied (doc_id, wc, n_pass) quality
+    * frame — q77 passes its shared persisted gopher projection here
+    * so the funnel scores the corpus once, not once per gate.
+    */
+  private[graft] def clusterRepsOn(spark: SparkSession, dir: String,
+                                   scored: DataFrame): DataFrame = {
     val pairs = Dedup.dedupNgram(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val comp = connectedComponents(pairs)
-    val scored = TextAnalysis.gopherScored(
-        graft.Tables.documents(spark, dir).select("doc_id", "text"), Seq("doc_id"))
-      .select(col("doc_id"), col("n_words").as("wc"), col("n_pass"))
     val members = comp.join(scored, comp("id") === scored("doc_id"))
       .select(col("id").as("doc_id"), col("rep"), col("n_pass"), col("wc"))
     val best = members.groupBy("rep").agg(

@@ -28,7 +28,7 @@ object Sessions {
   private def decV: Column = col("value").cast(DecimalType(12, 2))
 
   /** events + ts_ms (ts arrives as raw ns long; see Tables.events). */
-  private def withTsMs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def withTsMs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("ts_ms", expr("ts DIV 1000000"))
 

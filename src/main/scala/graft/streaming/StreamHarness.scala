@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.Tables
+import graft.operators.Sessions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Driver-verifiable STREAMING queries — the bridge that puts the
+  * Structured Streaming operators under the same DuckDB oracle as the
+  * batch ones (VERDICT r12 item 1: the specs pin stream ≡ batch laws,
+  * but the hard correctness gate never executed a micro-batch until
+  * these entries existed).
+  *
+  * Each entry drives a real StreamingQuery to completion inside the
+  * call: a MemoryStream is fed DETERMINISTIC slices (ascending event
+  * time / doc id — the order in which a log-shipped feed would arrive)
+  * so micro-batch boundaries are reproducible, the stream's sink is
+  * read back, and the result is returned as a normal DataFrame whose
+  * rows must HASH-EXACTLY match the batch twin's oracle SQL.
+  *
+  * The driver-side collect that feeds MemoryStream is the HARNESS, not
+  * the design: in production the same `closedSessions` / `verdicts`
+  * plans run off `readStream` (Kafka / file source) and nothing below
+  * them changes — the gate certifies the operator body + state
+  * semantics, while the feed is swapped per deployment. Collect sizes
+  * here are the events table (100k rows / ~2.4 MB at sf0.1) and the
+  * doc delta (corpus/16 rows), both bounded by the harness contract.
+  */
+object StreamHarness {
+
+  /** Unique memory-sink names: repeated calls in one session (bench
+    * loops) must not collide on the sink's registered temp view.
+    */
+  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q80: `events` fed through the EventTimeTimeout sessionizer in
+    * ascending (ts, event_id) order over `nBatches` micro-batches;
+    * the closed-session rollup equals batch q01c row-for-row (the
+    * StreamingSpec law, now oracle-certified). A sentinel pair on a
+    * reserved negative user advances the event-time watermark past
+    * every open session's timeout so the final sessions CLOSE and
+    * emit — the streaming equivalent of end-of-input — and is then
+    * filtered out of the result.
+    */
+  def streamSessions(spark: SparkSession, dir: String,
+                     windowMs: Long = 30 * 60 * 1000L,
+                     nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import SessionizeStream.{ClosedSession, Ev}
+    val evs = Sessions.withTsMs(spark, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id")).as[Ev]
+      .collect().sortBy(e => (e.ts_ms, e.event_id))
+    require(evs.nonEmpty, s"events table at $dir is empty")
+    val stream = MemoryStream[Ev]
+    val name = s"q80_stream_sessions_${runId.incrementAndGet()}"
+    // the stream's STATE partition count is frozen from
+    // shuffle.partitions at query start, and every micro-batch pays a
+    // state-store commit PER partition — at 32 partitions × ~2×
+    // (data + timeout) batches that fixed cost dwarfed the work
+    // (measured 11.4s at sf0.1; results are keyed-state identical at
+    // any partition count). 8 keeps the harness parallel enough for
+    // sf0.1 while cutting commits 4×; restored in finally.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // watermark 0s: slices arrive in ascending event time, so nothing
+    // is ever late — the watermark is purely the session-closing clock
+    val q = SessionizeStream.closedSessions(spark, stream.toDS(), windowMs, "0 seconds")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val chunk = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
+      evs.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
+      val maxTs = evs.last.ts_ms
+      // sentinel batch 1 pushes max event time past every possible
+      // timeout (lastMs + windowMs); the watermark updates at batch
+      // END, so sentinel batch 2 is what actually fires the timeouts
+      stream.addData(Ev(-1L, maxTs + windowMs + 1000L, -1L)); q.processAllAvailable()
+      stream.addData(Ev(-1L, maxTs + 2 * (windowMs + 1000L), -2L)); q.processAllAvailable()
+      val rows = spark.table(name).as[ClosedSession].collect()
+        .filter(_.user_id >= 0L)
+      spark.createDataset(rows.toSeq).toDF()
+        .select("user_id", "start_ms", "end_ms", "n_events")
+        .orderBy("user_id", "start_ms")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
+  /** q80b: the ONLINE curation funnel driven to completion — delta
+    * docs (doc_id % deltaMod == 0) stream in ascending doc_id order
+    * through `FunnelStream.verdicts` (gate against FunnelIndex ∪
+    * seen-store, absorb, batchId-keyed sink), and the sink re-reads
+    * as q79's columns. Ascending arrival makes the stream's ingest-
+    * time first-writer-wins agree with batch q79's smaller-id-wins,
+    * so the result shares q79_funnel_delta's oracle EXACTLY
+    * (FunnelStreamSpec law 1, now oracle-certified). Fresh temp
+    * state/sink/checkpoint dirs per call — the persisted FunnelIndex
+    * is the only shared artifact, by design (it is the nightly
+    * corpus-side build q79b also reuses).
+    */
+  def streamFunnel(spark: SparkSession, dir: String,
+                   nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import FunnelStream.DocIn
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val ctx = FunnelStream.load(spark, dir, tmp("q80b_state"))
+    val delta = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 16 === 0)
+      .select("doc_id", "source", "text").as[DocIn]
+      .collect().sortBy(_.doc_id)
+    require(delta.nonEmpty, s"documents delta at $dir is empty")
+    val out = tmp("q80b_out")
+    val stream = MemoryStream[DocIn]
+    val q = FunnelStream.verdicts(ctx, stream.toDS(), out, tmp("q80b_ckpt"))
+    try {
+      val chunk = math.max(1, math.ceil(delta.length.toDouble / nBatches).toInt)
+      delta.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.read.parquet(out)
+      .select("doc_id", "source", "n_pass", "is_bench",
+        "is_exact_dup", "is_near_dup", "contaminated", "stage")
+      .orderBy("doc_id")
+  }
+}

@@ -536,4 +536,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream=$got batch=$want")
     assert(got(5) == got(4) + 1, "5s gap must open a new session for user 1")
   }
+
+  test("q80 harness: micro-batch slicing is semantics-free (2 batches == 5 batches == q01c)") {
+    // the driver certifies q80 against q01c's oracle at the default
+    // slicing; this pins that the RESULT never depends on where the
+    // batch boundaries fall (ascending feed => no stragglers, so the
+    // bounded-state sessionizer is exact at any batch count)
+    val dir = "/root/testdata/sf0.001"
+    val a = streaming.StreamHarness.streamSessions(spark, dir, nBatches = 2).collect()
+    val b = streaming.StreamHarness.streamSessions(spark, dir, nBatches = 5).collect()
+    assert(a.length == b.length && a.sameElements(b),
+      "closed-session rollup must be identical under different micro-batch slicings")
+    val want = operators.Sessions.sessionStatsNative(spark, dir).collect()
+    assert(a.sameElements(want), "stream rollup == batch q01c rollup, row for row")
+  }
 }

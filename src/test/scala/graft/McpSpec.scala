@@ -175,4 +175,26 @@ class McpSpec extends AnyFunSuite {
     assert(r.map(_.getLong(0)).toSeq == viaGet.map(_.getLong(0)).toSeq,
       "membership agrees with get_cluster")
   }
+
+  test("vectorSearchById: self-hit leads, clusterSearchById aggregates the same hits") {
+    // the below-the-encoder serving leg (q81): querying BY a corpus
+    // vector must rank that vector itself first at sim 1.0, and the
+    // cluster aggregation must be exactly the grouped top-k hits
+    val hits = vectorSearchById(spark, TestSpark.dir, vecId = 3L, topK = 8,
+      includeClusterContext = false).collect()
+    assert(hits.length == 8)
+    assert(hits.head.getLong(0) == 3L && hits.head.getDouble(1) == 1.0,
+      s"vec 3 must self-hit at rk=1 sim=1.0, got ${hits.head}")
+    assert(hits.map(_.getInt(2)).toSeq == (1 to 8), "ranks are dense 1..k")
+    val clusters = clusterSearchById(spark, TestSpark.dir, vecId = 3L, topK = 8,
+      maxClusters = 100).collect()
+    assert(clusters.map(_.getLong(3)).sum == 8L,
+      "cluster hit counts partition the top-k hit set")
+    val bestByCluster = hits.groupBy(r => (r.getLong(6), r.getString(3)))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).max }
+    clusters.foreach { c =>
+      assert(bestByCluster((c.getLong(0), c.getString(1))) == c.getDouble(2),
+        "best_similarity equals the group's max hit sim")
+    }
+  }
 }
