@@ -114,20 +114,34 @@ object EmbeddingQuality {
     */
   def hardNegativesIvf(spark: SparkSession, dir: String,
                        k: Int = 5, anchorMod: Int = 101,
-                       nProbe: Int = 3, nLists: Int = 0): DataFrame = {
+                       nProbe: Int = 3, nLists: Int = 0,
+                       useStored: Boolean = true): DataFrame = {
     GraftFunctions.register(spark)
     val path = VectorIndex.miningPath(spark, dir)
     val params = VectorIndex.miningParams(nLists, refineIters = 0)
     if (!VectorIndex.fresh(spark, dir, path, params))
       VectorIndex.buildMining(spark, dir, path, nLists)
-    val cents = VectorIndex.centroids(spark, path)
-      .select(col("cell").as("c_cell"), col("cvec"))
-    val nCells = cents.count().toInt
     val anchors = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % anchorMod === 0)
       .select(col("vec_id"), col("label").as("anchor_label"), col("embedding"))
-    val probes = Vectors.assignCells(anchors.select("vec_id", "embedding"), cents,
-        nProbe = nProbe, nCoarse = Vectors.autoCoarse(nCells))
+    // steady-state probe: the index STORES its coarse structure, so
+    // ranking reads it back instead of re-running coarseStructure's
+    // iterative grouping per call (VERDICT r12 item 7) — and probes
+    // then rank with the build's exact groups BY CONSTRUCTION, not by
+    // re-derivation parity. Fallback (pre-record or flat index)
+    // re-derives from the stored centroids as before; `useStored =
+    // false` forces that path so the spec can pin both equal.
+    val assigned = VectorIndex.storedCoarse(spark, path).filter(_ => useStored) match {
+      case Some((gc, fine)) =>
+        Vectors.assignCellsStructured(anchors.select("vec_id", "embedding"),
+          gc, fine, nProbe = nProbe)
+      case None =>
+        val cents = VectorIndex.centroids(spark, path)
+          .select(col("cell").as("c_cell"), col("cvec"))
+        Vectors.assignCells(anchors.select("vec_id", "embedding"), cents,
+          nProbe = nProbe, nCoarse = Vectors.autoCoarse(cents.count().toInt))
+    }
+    val probes = assigned
       .join(anchors, "vec_id")
       .select(col("vec_id").as("anchor_id"), col("anchor_label"),
         col("embedding").as("avec"), col("cell"))

@@ -285,8 +285,26 @@ object VectorIndex {
     // default skips refinement; corpora with real cluster structure
     // can pass refineIters > 0 (build-time cost only).
     val cents = Vectors.refinedCentroids(e.select("vec_id", "embedding"), lists, refineIters)
-    val assign = Vectors.assignCells(e.select("vec_id", "embedding"), cents,
-      nProbe = 1, nCoarse = Vectors.autoCoarse(lists))
+    // the coarse structure is PART OF THE INDEX: derive it once here,
+    // use it for the build's own assignment, and persist it so probes
+    // (q62b) read it back instead of re-deriving per call — which also
+    // makes build/probe group parity structural (the probe ranks with
+    // the exact groups the lists were assigned under, closing the
+    // cents.length-vs-lists drift class the r12 advice flagged in
+    // PqStream). nCoarse == 1 stores no structure: the flat path has
+    // no groups to agree on.
+    val nCoarse = Vectors.autoCoarse(lists)
+    val assign =
+      if (nCoarse == 1)
+        Vectors.assignCells(e.select("vec_id", "embedding"), cents, nProbe = 1, nCoarse = 1)
+      else {
+        val (gc, fine) = Vectors.coarseStructure(cents, nCoarse)
+        gc.write.mode("overwrite").parquet(s"$path/coarse_groups")
+        fine.write.mode("overwrite").parquet(s"$path/coarse_fine")
+        Vectors.assignCellsStructured(e.select("vec_id", "embedding"),
+          spark.read.parquet(s"$path/coarse_groups"),
+          spark.read.parquet(s"$path/coarse_fine"), nProbe = 1)
+      }
     cents.select(col("c_cell").as("cell"), col("cvec"))
       .write.mode("overwrite").parquet(s"$path/centroids")
     e.join(assign.select("vec_id", "cell"), "vec_id")
@@ -313,6 +331,20 @@ object VectorIndex {
 
   def centroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/centroids")
+
+  /** The index's PERSISTED coarse structure — (gcents, fine) as
+    * written by buildMining. None for flat builds (nCoarse == 1, no
+    * groups exist) and for pre-record indexes (built before the
+    * structure was part of the layout); callers fall back to
+    * re-deriving via Vectors.coarseStructure, which is deterministic
+    * in the same centroids.
+    */
+  def storedCoarse(spark: SparkSession, path: String): Option[(DataFrame, DataFrame)] = {
+    val g = s"$path/coarse_groups"
+    if (fsFor(spark, g).exists(new org.apache.hadoop.fs.Path(g)))
+      Some((spark.read.parquet(g), spark.read.parquet(s"$path/coarse_fine")))
+    else None
+  }
 
   def cells(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/cells")

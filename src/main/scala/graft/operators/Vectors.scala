@@ -384,21 +384,33 @@ object Vectors {
         .select(col("vec_id"), col("c_cell").as("cell"), col("s"))
     } else {
       val (gcents, fine) = coarseStructure(cents, nCoarse, coarseIters)
-      // vectors → top-coarseProbe coarse groups (N·nCoarse cosines)
-      val wc = Window.partitionBy("vec_id").orderBy(col("gs").desc, col("g_grp"))
-      val vg = vectors.crossJoin(broadcast(gcents))
-        .withColumn("gs", round(expr("cosine_sim(embedding, gvec)"), 6))
-        .withColumn("grk", row_number().over(wc))
-        .filter(col("grk") <= coarseProbe)
-        .select(col("vec_id"), col("embedding"), col("g_grp").as("grp"))
-      // fine ranking within probed groups only — equality join on grp
-      val wf = Window.partitionBy("vec_id").orderBy(col("s").desc, col("c_cell"))
-      vg.join(fine, Seq("grp"))
-        .withColumn("s", round(expr("cosine_sim(embedding, cvec)"), 6))
-        .withColumn("rk", row_number().over(wf))
-        .filter(col("rk") <= nProbe)
-        .select(col("vec_id"), col("c_cell").as("cell"), col("s"))
+      assignCellsStructured(vectors, gcents, fine, nProbe, coarseProbe)
     }
+  }
+
+  /** The two-level ranking AFTER the coarse structure exists —
+    * shared by assignCells (which derives the structure) and probes
+    * over a PERSISTED structure (q62b reads the mining index's stored
+    * (gcents, fine) instead of re-deriving them per call, which also
+    * guarantees build/probe group parity by construction).
+    */
+  private[graft] def assignCellsStructured(vectors: DataFrame,
+                                           gcents: DataFrame, fine: DataFrame,
+                                           nProbe: Int, coarseProbe: Int = 4): DataFrame = {
+    // vectors → top-coarseProbe coarse groups (N·nCoarse cosines)
+    val wc = Window.partitionBy("vec_id").orderBy(col("gs").desc, col("g_grp"))
+    val vg = vectors.crossJoin(broadcast(gcents))
+      .withColumn("gs", round(expr("cosine_sim(embedding, gvec)"), 6))
+      .withColumn("grk", row_number().over(wc))
+      .filter(col("grk") <= coarseProbe)
+      .select(col("vec_id"), col("embedding"), col("g_grp").as("grp"))
+    // fine ranking within probed groups only — equality join on grp
+    val wf = Window.partitionBy("vec_id").orderBy(col("s").desc, col("c_cell"))
+    vg.join(fine, Seq("grp"))
+      .withColumn("s", round(expr("cosine_sim(embedding, cvec)"), 6))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id"), col("c_cell").as("cell"), col("s"))
   }
 
   /** q42: embedding corpus statistics — per-label vector counts and

@@ -235,6 +235,36 @@ class QualitySignalsSpec extends AnyFunSuite {
     deleteIndex(path)
   }
 
+  test("q62b stored coarse structure: probe reads it back, equals the re-derive path") {
+    // sf0.01 (500 vectors) with nLists=100: autoCoarse(100)=10 forces
+    // the two-level regime, and every one of the 100 seed residues is
+    // populated so the derive fallback (autoCoarse of the centroid
+    // COUNT) agrees with the build's group rule — the comparison
+    // isolates stored-vs-derived, not the count-vs-lists drift the
+    // stored path exists to close
+    val dir = "/root/testdata/sf0.01"
+    val path = operators.VectorIndex.miningPath(spark, dir)
+    deleteIndex(path)
+    val stored = operators.EmbeddingQuality.hardNegativesIvf(spark, dir, nLists = 100)
+      .collect().toSeq
+    assert(operators.VectorIndex.storedCoarse(spark, path).isDefined,
+      "a two-level build must persist its coarse structure")
+    val derived = operators.EmbeddingQuality.hardNegativesIvf(spark, dir, nLists = 100,
+      useStored = false).collect().toSeq
+    assert(stored == derived,
+      "stored-structure probe must equal the coarseStructure re-derive probe row-for-row")
+    deleteIndex(path)
+    // flat regime (sf0.001 default 16 lists): no structure on disk,
+    // the fallback path serves
+    val fdir = "/root/testdata/sf0.001"
+    val fpath = operators.VectorIndex.miningPath(spark, fdir)
+    deleteIndex(fpath)
+    operators.EmbeddingQuality.hardNegativesIvf(spark, fdir).collect()
+    assert(operators.VectorIndex.storedCoarse(spark, fpath).isEmpty,
+      "a flat build (nCoarse == 1) stores no structure")
+    deleteIndex(fpath)
+  }
+
   test("gopherRules: each rule fires on exactly its planted violation") {
     val dir = "/fake/quality_gopher"
     val good = (Seq.fill(28)("alpha") ++ Seq("the", "a")).mkString(" ")
