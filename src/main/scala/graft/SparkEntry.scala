@@ -145,7 +145,10 @@ object SparkEntry {
     "q81b_mcp_clusters"   -> ((s, d) =>
       mcp.McpTools.clusterSearchById(s, d, vecId = 3L, topK = 50,
         maxClusters = 10, similarityThreshold = 0.25)),
-    "q82_pseudonymize"    -> ((s, d) => Curation.pseudonymize(s, d))
+    "q82_pseudonymize"    -> ((s, d) => Curation.pseudonymize(s, d)),
+    "q83_stream_dedup"    -> ((s, d) => streaming.StreamHarness.streamDedup(s, d)),
+    "q84_stream_decontam" -> ((s, d) => streaming.StreamHarness.streamDecontam(s, d)),
+    "q85_stream_threads"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d))
   )
 
   /** Reference word-count formula (analyze_dialogues.py:273). */
@@ -219,7 +222,10 @@ object SparkEntry {
       // the online funnel shares q79's (ascending arrival order makes
       // ingest-time first-writer-wins agree with batch id order)
       "q80_stream_sessions" -> oracleSqlBase("q01c_sessions_native"),
-      "q80b_stream_funnel" -> oracleSqlBase("q79_funnel_delta"))
+      "q80b_stream_funnel" -> oracleSqlBase("q79_funnel_delta"),
+      "q83_stream_dedup" -> oracleSqlBase("q27b_minhash_planted"),
+      "q84_stream_decontam" -> oracleSqlBase("q54_decontam"),
+      "q85_stream_threads" -> oracleSqlBase("q56_reply_threads"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q01_temporal_sessions" ->

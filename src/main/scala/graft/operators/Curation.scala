@@ -54,6 +54,12 @@ object Curation {
     // shared-frame plan spec). Same-plan re-registration now reuses
     // the live copy; on a genuine plan change, the old entry is
     // unpersisted only if no OTHER key still serves that plan.
+    // Freshness: a reused copy serves the data it cached — safe
+    // because every in-session source change this repo makes goes
+    // through Tables.registerOverride, which swaps the underlying
+    // DataFrame (different plan → sameResult false → re-persist);
+    // files mutating under an unchanged path mid-session are already
+    // stale territory for Spark's own FileIndex snapshot.
     val prev = Option(persistRegistry.get((spark, key)))
     prev match {
       case Some(p) if p.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) => p

@@ -57,7 +57,7 @@ object Dedup {
     * re-emitted verbatim under doc_id + idOffset, in ONE scan via
     * explode (a self-union would recompute the scan per branch).
     */
-  private def plantedDocs(spark: SparkSession, dir: String,
+  private[graft] def plantedDocs(spark: SparkSession, dir: String,
                           every: Int, idOffset: Long): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(when(col("doc_id") % every === 0,

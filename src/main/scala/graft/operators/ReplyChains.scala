@@ -127,7 +127,7 @@ object ReplyChains {
     * jumping kernel itself oracle-EXACT — the one operator family
     * (iterative graph resolution) a window function cannot express.
     */
-  private def eventReplyFrame(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private[graft] def eventReplyFrame(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))

@@ -125,4 +125,97 @@ object StreamHarness {
         "is_exact_dup", "is_near_dup", "contaminated", "stage")
       .orderBy("doc_id")
   }
+
+  /** Shared feed: a memory-sink stream over chunked ascending input;
+    * returns the sink table after the stream drains, then tears the
+    * stream and its temp view down.
+    */
+  private def runToSink[T](spark: SparkSession, rows: Seq[T], nBatches: Int,
+                           prefix: String,
+                           start: (MemoryStream[T], String) => org.apache.spark.sql.streaming.StreamingQuery)
+                          (implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    require(rows.nonEmpty, s"$prefix: empty input")
+    val stream = MemoryStream[T]
+    val name = s"${prefix}_${runId.incrementAndGet()}"
+    val q = start(stream, name)
+    try {
+      val chunk = math.max(1, math.ceil(rows.length.toDouble / nBatches).toInt)
+      rows.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
+      val collected = spark.table(name).collect()
+      spark.createDataFrame(spark.sparkContext.parallelize(collected.toSeq, 4),
+        spark.table(name).schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
+  /** q83: ONLINE near-dup pair detection under the oracle — the q27b
+    * planted corpus streams through `DedupStream.pairs` (per-bucket
+    * shingle state, exact Jaccard verify across micro-batches) in
+    * ascending doc_id order; a pair colliding in several bands emits
+    * once per band, deduped here exactly like the batch operator's
+    * candidate distinct. Shares q27b_minhash_planted's oracle — the
+    * DedupStreamSpec stream ≡ batch law, driver-certified.
+    */
+  def streamDedup(spark: SparkSession, dir: String,
+                  threshold: Double = 0.5, nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    import DedupStream.DocIn
+    val docs = graft.operators.Dedup.plantedDocs(spark, dir, every = 20, idOffset = 1000000L)
+      .select("doc_id", "text").as[DocIn].collect().sortBy(_.doc_id).toSeq
+    runToSink[DocIn](spark, docs, nBatches, "q83_stream_dedup", (stream, name) =>
+      DedupStream.pairs(spark, stream.toDS(), threshold)
+        .writeStream.format("memory").queryName(name).outputMode("append").start())
+      .dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q84: the ONLINE exact-decontamination gate under the oracle —
+    * train docs stream through `DecontamStream.gate` (frozen bloom +
+    * broadcast bench grams, q54b's sentinel discipline) and the
+    * verdicts equal batch q54 row-for-row (DecontamStreamSpec law,
+    * driver-certified via q54's oracle verbatim).
+    */
+  def streamDecontam(spark: SparkSession, dir: String,
+                     nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    import DedupStream.DocIn
+    val idx = DecontamStream.loadBench(spark, dir)
+    try {
+      val train = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "text").as[DocIn].collect().sortBy(_.doc_id).toSeq
+      runToSink[DocIn](spark, train, nBatches, "q84_stream_decontam", (stream, name) =>
+        DecontamStream.gate(idx, stream.toDF())
+          .writeStream.format("memory").queryName(name).outputMode("append").start())
+        .select("doc_id", "n_grams", "n_overlap", "rate", "contaminated")
+        .orderBy("doc_id")
+    } finally idx.bench.unpersist(false)
+  }
+
+  /** q85: ONLINE reply-thread resolution under the oracle — the q56
+    * reply forest (ReplyChains.eventReplyFrame — parents nullified
+    * before feeding, exactly like the batch derivation) streams in
+    * ascending message_id order through `ReplyChainStream.resolve`
+    * (O(1) per-message state resolution); chronological arrival makes
+    * the stream equal batch pointer jumping (ReplyChainStreamSpec
+    * law), certified by q56's oracle verbatim.
+    */
+  def streamThreads(spark: SparkSession, dir: String,
+                    nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    import ReplyChainStream.Msg
+    val msgs = graft.operators.ReplyChains.eventReplyFrame(spark, dir)
+      .collect().map(r => Msg(r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_.message_id).toSeq
+    runToSink[Msg](spark, msgs, nBatches, "q85_stream_threads", (stream, name) =>
+      ReplyChainStream.resolve(spark, stream.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start())
+      .select(col("message_id").as("event_id"), col("root_id"), col("depth"))
+      .orderBy("event_id")
+  }
 }
