@@ -145,10 +145,24 @@ object SparkEntry {
     "q81b_mcp_clusters"   -> ((s, d) =>
       mcp.McpTools.clusterSearchById(s, d, vecId = 3L, topK = 50,
         maxClusters = 10, similarityThreshold = 0.25)),
+    // getCluster with a deterministic pick: the FIRST (source,
+    // group_id) holding >= 3 members — chosen by data, not hardcoded,
+    // so the entry is non-vacuous at every sf
+    "q81c_mcp_get_cluster" -> ((s, d) => {
+      val pick = Vectors.semanticGroups(s, d)
+        .groupBy("source", "group_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .filter(org.apache.spark.sql.functions.col("n") >= 3)
+        .orderBy("source", "group_id").limit(1).head
+      mcp.McpTools.getCluster(s, d, pick.getString(0), pick.getLong(1))
+    }),
     "q82_pseudonymize"    -> ((s, d) => Curation.pseudonymize(s, d)),
     "q83_stream_dedup"    -> ((s, d) => streaming.StreamHarness.streamDedup(s, d)),
     "q84_stream_decontam" -> ((s, d) => streaming.StreamHarness.streamDecontam(s, d)),
-    "q85_stream_threads"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d))
+    "q85_stream_threads"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d)),
+    "q86_source_roundtrip" -> ((s, d) => sources.SourceHarness.jsonRoundTrip(s, d)),
+    "q86b_source_html"    -> ((s, d) => sources.SourceHarness.htmlRoundTrip(s, d))
   )
 
   /** Reference word-count formula (analyze_dialogues.py:273). */
@@ -225,7 +239,29 @@ object SparkEntry {
       "q80b_stream_funnel" -> oracleSqlBase("q79_funnel_delta"),
       "q83_stream_dedup" -> oracleSqlBase("q27b_minhash_planted"),
       "q84_stream_decontam" -> oracleSqlBase("q54_decontam"),
-      "q85_stream_threads" -> oracleSqlBase("q56_reply_threads"))
+      "q85_stream_threads" -> oracleSqlBase("q56_reply_threads"),
+      // q86: the parser round-trip must reproduce this projection of
+      // `events` exactly (chat = user, min-messages as HAVING,
+      // from_id prefix stripped back to the numeric id, date at
+      // second precision — the export format's granularity)
+      "q86_source_roundtrip" ->
+        """WITH el AS (SELECT user_id, event_id, props,
+          |         epoch_ms(ts) // 1000 AS sec FROM events),
+          |big AS (SELECT user_id FROM el GROUP BY user_id HAVING COUNT(*) >= 3)
+          |SELECT e.user_id AS chat_id, 'u' || e.user_id AS chat_name,
+          |  e.event_id AS message_id, e.user_id AS from_id,
+          |  e.props AS text, e.sec
+          |FROM el e JOIN big b ON e.user_id = b.user_id
+          |ORDER BY chat_id, message_id""".stripMargin,
+      // q86b: the HTML shard parser's extraction must reproduce the
+      // serialized fields verbatim (timestamp title string at second
+      // precision, from_name, text div, 'text' classification)
+      "q86b_source_html" ->
+        """SELECT strftime(ts, '%d.%m.%Y %H:%M:%S') AS "timestamp",
+          |  'u' || user_id AS author, props AS text,
+          |  'text' AS message_type
+          |FROM events
+          |ORDER BY "timestamp", author, text""".stripMargin)
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q01_temporal_sessions" ->
@@ -1703,6 +1739,16 @@ object SparkEntry {
          |  ON r.group_id = a.group_id AND r.source = a.source AND r.m = 1
          |ORDER BY a.best_similarity DESC, a.hits DESC, a.group_id, a.source
          |LIMIT 10""".stripMargin,
+    // q81c: getCluster on the first (source, group) with >= 3 members
+    // — the same deterministic pick the Spark entry computes
+    "q81c_mcp_get_cluster" ->
+      s"""WITH $groupsCteClauses,
+         |pick AS (SELECT source, group_id FROM grp GROUP BY source, group_id
+         |         HAVING COUNT(*) >= 3 ORDER BY source, group_id LIMIT 1)
+         |SELECT g.doc_id, g.source, g.group_id, d.lang, d.text
+         |FROM grp g JOIN pick p ON g.source = p.source AND g.group_id = p.group_id
+         |JOIN documents d ON d.doc_id = g.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
     // q82: Curation.pseudonymize — pools spliced from the SAME Scala
     // values the operator reads (Curation.Pseudonyms), khash is the
     // identical BIGINT arithmetic on both engines

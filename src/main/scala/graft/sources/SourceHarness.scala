@@ -1,0 +1,119 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-verifiable SOURCE-PARSER queries — the q80 pattern applied
+  * to the ingestion package (VERDICT r12: sources were spec-only; the
+  * hard DuckDB gate never executed a parse). The trick: DuckDB can
+  * only see the testdata parquet tables, so the entry SERIALIZES a
+  * deterministic Telegram export FROM `events` (one chat per user,
+  * messages in id order — the shape a real export has), runs the real
+  * parser over the file, and projects columns the oracle re-derives
+  * from `events` directly. A parser defect anywhere on that path
+  * (flatten, min-size filter, id-prefix strip, date parse, text
+  * extraction) breaks hash-equality with the oracle.
+  *
+  * The serializer is the HARNESS (deliberately trivial — plain
+  * "text" strings, no entities/media, JSON-escaped verbatim): rich
+  * edge cases stay covered by TelegramJsonSpec's handcrafted exports;
+  * this certifies the core path end-to-end at corpus scale, driver-
+  * checked at every sf.
+  */
+object SourceHarness {
+
+  private def esc(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private val isoFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+
+  private def iso(sec: Long): String =
+    java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+      .format(isoFmt)
+
+  /** q86: serialize events → Telegram JSON export → readExport →
+    * project (chat identity, message id, stripped from_id, text,
+    * parsed epoch seconds). Oracle re-derives the same frame from
+    * `events` with the min-messages filter as a HAVING.
+    */
+  def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000000000").as("sec"), col("props"))
+      .collect()
+    val sb = new StringBuilder(rows.length * 96)
+    sb.append("{\"chats\":{\"list\":[")
+    var firstChat = true
+    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach { case (uid, ms) =>
+      if (!firstChat) sb.append(',')
+      firstChat = false
+      sb.append(s"""{"name":"u$uid","type":"personal_chat","id":$uid,"messages":[""")
+      var firstMsg = true
+      ms.sortBy(_.getLong(1)).foreach { r =>
+        if (!firstMsg) sb.append(',')
+        firstMsg = false
+        val text = if (r.isNullAt(3)) "null" else "\"" + esc(r.getString(3)) + "\""
+        sb.append(s"""{"id":${r.getLong(1)},"type":"message","date":"${iso(r.getLong(2))}",""" +
+          s""""from":"u$uid","from_id":"user$uid","text":$text}""")
+      }
+      sb.append("]}")
+    }
+    sb.append("]}}")
+    val f = java.nio.file.Files.createTempFile("q86_export", ".json")
+    java.nio.file.Files.writeString(f, sb.toString)
+    TelegramJson.readExport(spark, f.toString)
+      .select(col("chat_id"), col("chat_name"), col("message_id"),
+        col("from_id"), col("text"), unix_timestamp(col("date")).as("sec"))
+      .orderBy("chat_id", "message_id")
+  }
+
+  private val htmlDateFmt = java.time.format.DateTimeFormatter
+    .ofPattern("dd.MM.yyyy HH:mm:ss")
+
+  /** q86b: the same round-trip through the HTML export parser —
+    * events serialized as `messages.html` body blocks (date title,
+    * from_name, text div — the Telegram Desktop shard layout), parsed
+    * by TelegramHtml.readExport, compared against the events-derived
+    * oracle on (timestamp string, author, text, message_type). The
+    * corpus props carry no HTML metacharacters (verified: the only
+    * non-alphanumerics are JSON punctuation), so verbatim text
+    * serialization is faithful; entity-escaping edge cases remain
+    * TelegramHtmlSpec's territory.
+    */
+  def htmlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000000000").as("sec"), col("props"))
+      .collect()
+    val sb = new StringBuilder(rows.length * 192)
+    sb.append("<html><body>")
+    rows.sortBy(r => (r.getLong(0), r.getLong(1))).foreach { r =>
+      val ts = java.time.LocalDateTime
+        .ofEpochSecond(r.getLong(2), 0, java.time.ZoneOffset.UTC).format(htmlDateFmt)
+      sb.append(s"""<div class="body">\n""")
+        .append(s""" <div class="pull_right date details" title="$ts"></div>\n""")
+        .append(s""" <div class="from_name">u${r.getLong(0)}</div>\n""")
+        .append(s""" <div class="text">${r.getString(3)}</div>\n""")
+        .append("</div>\n")
+    }
+    sb.append("</body></html>")
+    val d = java.nio.file.Files.createTempDirectory("q86b_html")
+    java.nio.file.Files.writeString(d.resolve("messages.html"), sb.toString)
+    TelegramHtml.readExport(spark, d.toString)
+      .select(col("timestamp"), col("author"), col("text"), col("message_type"))
+      .orderBy("timestamp", "author", "text")
+  }
+}
