@@ -115,10 +115,16 @@ object McpTools {
     // row_number window, which would single-task the corpus. The rank
     // window below runs over the already-k-bounded frame (≤1000 rows).
     val w = Window.orderBy(col("sim").desc, col("vec_id"))
-    val hits = filtered
-      .orderBy(col("sim").desc, col("vec_id")).limit(topK)
-      .withColumn("rk", row_number().over(w))
-      .join(groups.drop("g_source"), Seq("doc_id"), "left")
+    // group join is INNER with the k-bounded side broadcast: a left
+    // join would pin the ≤1000-row hit frame as the preserved side
+    // (un-broadcastable) and sort-merge the corpus-sized group frame
+    // instead (plan-audited r13). Inner is LOSSLESS here by
+    // construction — hits and semanticGroups have identical support
+    // (both are documents ⋈ embeddings), so no hit can lack a group.
+    val hits = broadcast(filtered
+        .orderBy(col("sim").desc, col("vec_id")).limit(topK)
+        .withColumn("rk", row_number().over(w)))
+      .join(groups.drop("g_source"), Seq("doc_id"))
       .select("vec_id", "sim", "rk", "source", "lang", "preview", "group_id")
     if (!includeClusterContext) hits.orderBy("rk")
     else {
