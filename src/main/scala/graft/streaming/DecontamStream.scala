@@ -54,10 +54,14 @@ object DecontamStream {
   private[streaming] def benchFrame(spark: SparkSession, dir: String,
                                     benchMod: Int): DataFrame = {
     GraftFunctions.register(spark)
-    Curation.docGrams3(spark, dir)
-      .filter(col("doc_id") % benchMod === 0)
-      .select(explode(col("g3")).as("g")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registry-managed (one live copy per (dir, mod); same-plan
+    // reloads reuse it) — the bare per-call persist stacked a cached
+    // bench-gram copy per loadBench/FunnelStream.load in long-lived
+    // sessions, the exact leak class ADVICE r12 flagged in Dedup
+    Curation.registerPersist(spark, s"decontamStream.bench|$dir|$benchMod",
+      Curation.docGrams3(spark, dir)
+        .filter(col("doc_id") % benchMod === 0)
+        .select(explode(col("g3")).as("g")).distinct())
   }
 
   def loadBench(spark: SparkSession, dir: String,

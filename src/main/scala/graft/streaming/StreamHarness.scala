@@ -183,17 +183,18 @@ object StreamHarness {
                      nBatches: Int = 3): DataFrame = {
     import spark.implicits._
     import DedupStream.DocIn
+    // idx.bench is registry-managed (one live copy; reloads reuse
+    // it) — no manual unpersist, which would strand the registry's
+    // entry uncached for every later caller
     val idx = DecontamStream.loadBench(spark, dir)
-    try {
-      val train = Tables.documents(spark, dir)
-        .filter(col("doc_id") % 97 =!= 0)
-        .select("doc_id", "text").as[DocIn].collect().sortBy(_.doc_id).toSeq
-      runToSink[DocIn](spark, train, nBatches, "q84_stream_decontam", (stream, name) =>
-        DecontamStream.gate(idx, stream.toDF())
-          .writeStream.format("memory").queryName(name).outputMode("append").start())
-        .select("doc_id", "n_grams", "n_overlap", "rate", "contaminated")
-        .orderBy("doc_id")
-    } finally idx.bench.unpersist(false)
+    val train = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select("doc_id", "text").as[DocIn].collect().sortBy(_.doc_id).toSeq
+    runToSink[DocIn](spark, train, nBatches, "q84_stream_decontam", (stream, name) =>
+      DecontamStream.gate(idx, stream.toDF())
+        .writeStream.format("memory").queryName(name).outputMode("append").start())
+      .select("doc_id", "n_grams", "n_overlap", "rate", "contaminated")
+      .orderBy("doc_id")
   }
 
   /** q85: ONLINE reply-thread resolution under the oracle — the q56
