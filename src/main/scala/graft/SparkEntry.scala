@@ -162,7 +162,24 @@ object SparkEntry {
     "q84_stream_decontam" -> ((s, d) => streaming.StreamHarness.streamDecontam(s, d)),
     "q85_stream_threads"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d)),
     "q86_source_roundtrip" -> ((s, d) => sources.SourceHarness.jsonRoundTrip(s, d)),
-    "q86b_source_html"    -> ((s, d) => sources.SourceHarness.htmlRoundTrip(s, d))
+    "q86b_source_html"    -> ((s, d) => sources.SourceHarness.htmlRoundTrip(s, d)),
+    // incremental resessionization under q01's oracle: stored rows
+    // for dirty users (user_id % 5 == 0) are deliberately CORRUPTED
+    // (+999) before the call — the entry is only EXACT if the dirty
+    // slice actually re-derives (and clean users' stored rows pass
+    // through untouched), so both paths are load-bearing
+    "q87_resessionize"    -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, when}
+      val events = Tables.events(s, d)
+      val dirty = (c: org.apache.spark.sql.Column) => c % 5 === 0
+      val stale = Sessions.temporalSessions(s, d)
+        .withColumn("session_id",
+          when(dirty(col("user_id")), col("session_id") + 999)
+            .otherwise(col("session_id")))
+      Sessions.resessionizeDirty(events, stale,
+          events.select("user_id").filter(dirty(col("user_id"))))
+        .orderBy("user_id", "session_id", "event_id")
+    })
   )
 
   /** Reference word-count formula (analyze_dialogues.py:273). */
@@ -244,6 +261,10 @@ object SparkEntry {
       // `events` exactly (chat = user, min-messages as HAVING,
       // from_id prefix stripped back to the numeric id, date at
       // second precision — the export format's granularity)
+      // q87: the incremental path must reproduce the FULL batch
+      // sessionization (q01's oracle verbatim) despite the corrupted
+      // dirty-user stored rows it is handed
+      "q87_resessionize" -> oracleSqlBase("q01_temporal_sessions"),
       "q86_source_roundtrip" ->
         """WITH el AS (SELECT user_id, event_id, props,
           |         epoch_ms(ts) // 1000 AS sec FROM events),
