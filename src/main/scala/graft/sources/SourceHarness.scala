@@ -73,6 +73,7 @@ object SourceHarness {
     }
     sb.append("]}}")
     val f = java.nio.file.Files.createTempFile("q86_export", ".json")
+    f.toFile.deleteOnExit()
     java.nio.file.Files.writeString(f, sb.toString)
     TelegramJson.readExport(spark, f.toString)
       .select(col("chat_id"), col("chat_name"), col("message_id"),
@@ -93,25 +94,37 @@ object SourceHarness {
     * serialization is faithful; entity-escaping edge cases remain
     * TelegramHtmlSpec's territory.
     */
-  def htmlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+  def htmlRoundTrip(spark: SparkSession, dir: String,
+                    shardSize: Int = 1000): DataFrame = {
     val rows = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
         expr("ts DIV 1000000000").as("sec"), col("props"))
       .collect()
-    val sb = new StringBuilder(rows.length * 192)
-    sb.append("<html><body>")
-    rows.sortBy(r => (r.getLong(0), r.getLong(1))).foreach { r =>
-      val ts = java.time.LocalDateTime
-        .ofEpochSecond(r.getLong(2), 0, java.time.ZoneOffset.UTC).format(htmlDateFmt)
-      sb.append(s"""<div class="body">\n""")
-        .append(s""" <div class="pull_right date details" title="$ts"></div>\n""")
-        .append(s""" <div class="from_name">u${r.getLong(0)}</div>\n""")
-        .append(s""" <div class="text">${r.getString(3)}</div>\n""")
-        .append("</div>\n")
-    }
-    sb.append("</body></html>")
     val d = java.nio.file.Files.createTempDirectory("q86b_html")
-    java.nio.file.Files.writeString(d.resolve("messages.html"), sb.toString)
+    d.toFile.deleteOnExit()
+    // shard like Telegram Desktop does (messagesNN.html at ~1000
+    // messages/file) — which is also what makes the parse PARALLEL:
+    // wholetext reads one row per file, so a single monolithic file
+    // is a single task regardless of size (measured 2.3s at sf0.1;
+    // sharded, the regex extraction spreads across the cores)
+    rows.sortBy(r => (r.getLong(0), r.getLong(1)))
+      .grouped(shardSize).zipWithIndex.foreach { case (shard, i) =>
+        val sb = new StringBuilder(shard.length * 192)
+        sb.append("<html><body>")
+        shard.foreach { r =>
+          val ts = java.time.LocalDateTime
+            .ofEpochSecond(r.getLong(2), 0, java.time.ZoneOffset.UTC).format(htmlDateFmt)
+          sb.append(s"""<div class="body">\n""")
+            .append(s""" <div class="pull_right date details" title="$ts"></div>\n""")
+            .append(s""" <div class="from_name">u${r.getLong(0)}</div>\n""")
+            .append(s""" <div class="text">${r.getString(3)}</div>\n""")
+            .append("</div>\n")
+        }
+        sb.append("</body></html>")
+        val f = d.resolve(f"messages$i%04d.html")
+        f.toFile.deleteOnExit()
+        java.nio.file.Files.writeString(f, sb.toString)
+      }
     TelegramHtml.readExport(spark, d.toString)
       .select(col("timestamp"), col("author"), col("text"), col("message_type"))
       .orderBy("timestamp", "author", "text")
