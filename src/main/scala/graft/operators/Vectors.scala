@@ -528,14 +528,6 @@ object Vectors {
     * order-insensitive, so deterministic under any partitioning —
     * broadcast back as a 1-row literal join.
     */
-  /** Last persisted distance frame per session — the mean-fallback
-    * path caches the multi-lag window output; repeated calls (bench
-    * loops, notebook re-runs) would otherwise stack cached copies
-    * until eviction. One live cache per session bounds that.
-    */
-  private val slidingCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
-
   def slidingSegments(spark: SparkSession, dir: String, windowSize: Int = 5,
                       threshold: Option[Double] = None): DataFrame = {
     val d = slidingDistances(spark, dir, windowSize)
@@ -549,9 +541,16 @@ object Vectors {
         // executor loss (or dynamic-allocation reclaim) on a real
         // cluster RECOMPUTES the lost blocks instead of failing the
         // job the way checkpoint's truncated lineage does — and it's
-        // lazy, so construction stays action-free
-        val dc = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        Option(slidingCache.put(spark, dc)).foreach(_.unpersist(false))
+        // lazy, so construction stays action-free. Registry-managed
+        // (one live copy, same-plan reuse): the former local
+        // put-then-unpersist-previous cache had the plan-keyed
+        // self-eviction bug registerPersist fixed in r13 — a repeat
+        // call "re-persisted" the identical canonicalized plan (a
+        // no-op) then unpersisted the previous handle, evicting the
+        // entry it had just reused, so every call after the first ran
+        // the multi-lag pass twice again.
+        val dc = graft.operators.Curation.registerPersist(spark,
+          "vectors.slidingDistances", d)
         val m = dc.agg((sum(col("dist").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double") / count(lit(1))).as("mean_dist"))
         dc.crossJoin(broadcast(m))
