@@ -34,6 +34,22 @@ object StreamHarness {
     */
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Cap the STATE partition count for a stream started inside
+    * `body`: the count is frozen from shuffle.partitions at query
+    * start, and every micro-batch pays a state-store commit PER
+    * partition — at 32 partitions the fixed commit cost dwarfed the
+    * work on every keyed-state harness entry (q80 measured 11.4s at
+    * sf0.1 before the cap; results are keyed-state identical at any
+    * partition count). 8 keeps the harness parallel enough for sf0.1
+    * while cutting commits 4×. Only query START reads the conf, so
+    * the previous value is restored as soon as `body` returns.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** q80: `events` fed through the EventTimeTimeout sessionizer in
     * ascending (ts, event_id) order over `nBatches` micro-batches;
     * the closed-session rollup equals batch q01c row-for-row (the
@@ -55,19 +71,12 @@ object StreamHarness {
     require(evs.nonEmpty, s"events table at $dir is empty")
     val stream = MemoryStream[Ev]
     val name = s"q80_stream_sessions_${runId.incrementAndGet()}"
-    // the stream's STATE partition count is frozen from
-    // shuffle.partitions at query start, and every micro-batch pays a
-    // state-store commit PER partition — at 32 partitions × ~2×
-    // (data + timeout) batches that fixed cost dwarfed the work
-    // (measured 11.4s at sf0.1; results are keyed-state identical at
-    // any partition count). 8 keeps the harness parallel enough for
-    // sf0.1 while cutting commits 4×; restored in finally.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     // watermark 0s: slices arrive in ascending event time, so nothing
     // is ever late — the watermark is purely the session-closing clock
-    val q = SessionizeStream.closedSessions(spark, stream.toDS(), windowMs, "0 seconds")
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val q = withStatePartitions(spark, 8) {
+      SessionizeStream.closedSessions(spark, stream.toDS(), windowMs, "0 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    }
     try {
       val chunk = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
       evs.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
@@ -85,7 +94,6 @@ object StreamHarness {
     } finally {
       q.stop()
       spark.catalog.dropTempView(name)
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }
 
@@ -115,7 +123,9 @@ object StreamHarness {
     require(delta.nonEmpty, s"documents delta at $dir is empty")
     val out = tmp("q80b_out")
     val stream = MemoryStream[DocIn]
-    val q = FunnelStream.verdicts(ctx, stream.toDS(), out, tmp("q80b_ckpt"))
+    val q = withStatePartitions(spark, 8) {
+      FunnelStream.verdicts(ctx, stream.toDS(), out, tmp("q80b_ckpt"))
+    }
     try {
       val chunk = math.max(1, math.ceil(delta.length.toDouble / nBatches).toInt)
       delta.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
@@ -138,7 +148,7 @@ object StreamHarness {
     require(rows.nonEmpty, s"$prefix: empty input")
     val stream = MemoryStream[T]
     val name = s"${prefix}_${runId.incrementAndGet()}"
-    val q = start(stream, name)
+    val q = withStatePartitions(spark, 8) { start(stream, name) }
     try {
       val chunk = math.max(1, math.ceil(rows.length.toDouble / nBatches).toInt)
       rows.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
