@@ -62,7 +62,14 @@ object Curation {
     // stale territory for Spark's own FileIndex snapshot.
     val prev = Option(persistRegistry.get((spark, key)))
     prev match {
-      case Some(p) if p.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) => p
+      // the CacheManager probe guards against EXTERNAL eviction
+      // (clearCache in a test, memory-pressure unpersist by an
+      // operator outside the registry): without it a reused handle
+      // whose entry was dropped behind the registry's back would
+      // serve every later caller uncached while claiming otherwise
+      case Some(p) if p.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)
+          && spark.sharedState.cacheManager.lookupCachedData(
+               p.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isDefined => p
       case _ =>
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Option(persistRegistry.put((spark, key), p)).foreach { old =>

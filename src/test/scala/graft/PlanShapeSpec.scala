@@ -140,6 +140,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no corpus-sized join shuffle in q76:\n$p")
   }
 
+  test("q47 repeat calls reuse the registry-cached distance frame") {
+    // the former local put-then-unpersist cache had the plan-keyed
+    // self-eviction bug (a repeat call "re-persisted" the identical
+    // canonicalized plan — a no-op — then unpersisted the previous
+    // handle, evicting the entry it had just reused), so every call
+    // after the first ran the dominant multi-lag window pass twice.
+    // Registry-routed, the SECOND call must still read the cache.
+    operators.Vectors.slidingSegments(spark, dir).collect()
+    val second = operators.Vectors.slidingSegments(spark, dir)
+    assert(second.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "second slidingSegments call must serve the distance frame from the persisted copy")
+    // and the registry self-heals after EXTERNAL eviction: clear the
+    // cache behind its back, call again — the frame must be re-cached,
+    // not served from a handle whose entry is gone
+    spark.sharedState.cacheManager.clearCache()
+    val healed = operators.Vectors.slidingSegments(spark, dir)
+    assert(healed.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "after clearCache the registry must re-persist, not reuse the evicted handle")
+  }
+
   test("q75's canonical pick is a struct max, not a per-cluster window sort") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = operators.DupGraph.clusterReps(spark, dir)
