@@ -122,17 +122,31 @@ object StreamHarness {
       .collect().sortBy(_.doc_id)
     require(delta.nonEmpty, s"documents delta at $dir is empty")
     val out = tmp("q80b_out")
+    val ckpt = tmp("q80b_ckpt")
     val stream = MemoryStream[DocIn]
     val q = withStatePartitions(spark, 8) {
-      FunnelStream.verdicts(ctx, stream.toDS(), out, tmp("q80b_ckpt"))
+      FunnelStream.verdicts(ctx, stream.toDS(), out, ckpt)
     }
     try {
       val chunk = math.max(1, math.ceil(delta.length.toDouble / nBatches).toInt)
       delta.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
     } finally q.stop()
-    spark.read.parquet(out)
+    // read the sink BACK INTO MEMORY before deleting the temp dirs:
+    // the state/sink/checkpoint trio is fresh-per-call by contract,
+    // and deleteOnExit never fires for non-empty dirs, so without
+    // explicit cleanup a long-lived session (bench loops, serving)
+    // accumulates one delta-sized trio per call. The sink is
+    // delta-sized (corpus/16 rows) — bounded by the same harness
+    // contract as the feed collect above.
+    val sunk = spark.read.parquet(out)
       .select("doc_id", "source", "n_pass", "is_bench",
         "is_exact_dup", "is_near_dup", "contaminated", "stage")
+    val rows = sunk.collect()
+    val schema = sunk.schema
+    Seq(ctx.statePath, out, ckpt).foreach { p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), schema)
       .orderBy("doc_id")
   }
 
