@@ -550,4 +550,23 @@ class StreamingSpec extends AnyFunSuite {
     val want = operators.Sessions.sessionStatsNative(spark, dir).collect()
     assert(a.sameElements(want), "stream rollup == batch q01c rollup, row for row")
   }
+
+  test("q80b/q83/q84/q85 harness: micro-batch slicing is semantics-free") {
+    // the other four driver-certified streaming entries get the same
+    // law as q80: the oracle certifies ONE slicing (the default), this
+    // pins that batch boundaries never leak into the result — a
+    // cross-batch state bug (a pair split across batches, a thread
+    // parent arriving a batch early, a seen-store race) would show up
+    // as a 2-vs-5 diff here even if the default slicing masked it
+    val dir = "/root/testdata/sf0.001"
+    def pin(name: String, run: Int => Array[org.apache.spark.sql.Row]): Unit = {
+      val a = run(2); val b = run(5)
+      assert(a.length == b.length && a.sameElements(b),
+        s"$name: result must be identical under different micro-batch slicings")
+    }
+    pin("q83", n => streaming.StreamHarness.streamDedup(spark, dir, nBatches = n).collect())
+    pin("q84", n => streaming.StreamHarness.streamDecontam(spark, dir, nBatches = n).collect())
+    pin("q85", n => streaming.StreamHarness.streamThreads(spark, dir, nBatches = n).collect())
+    pin("q80b", n => streaming.StreamHarness.streamFunnel(spark, dir, nBatches = n).collect())
+  }
 }
