@@ -168,6 +168,7 @@ object SparkEntry {
     // (+999) before the call — the entry is only EXACT if the dirty
     // slice actually re-derives (and clean users' stored rows pass
     // through untouched), so both paths are load-bearing
+    "q88_heatmap_intensity" -> ((s, d) => Sessions.heatmapIntensity(s, d)),
     "q87_resessionize"    -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, when}
       val events = Tables.events(s, d)
@@ -338,6 +339,31 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY dayofweek(ts), hour(ts)
+        |ORDER BY dow, hour_of_day""".stripMargin,
+    // q88: the quantile intensity mapping over the full 7x24 grid —
+    // quartiles of NON-ZERO cell counts (quantile_cont ≡ Spark's
+    // exact percentile, the q07 equivalence), class 0 for empty cells
+    "q88_heatmap_intensity" ->
+      """WITH cells AS (
+        |  SELECT dayofweek(ts) AS dow, hour(ts) AS hour_of_day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.dow, h.hour_of_day
+        |  FROM (SELECT unnest(generate_series(0, 6)) AS dow) d,
+        |       (SELECT unnest(generate_series(0, 23)) AS hour_of_day) h),
+        |q AS (
+        |  SELECT quantile_cont(n, 0.25) AS q25, quantile_cont(n, 0.5) AS q50,
+        |         quantile_cont(n, 0.75) AS q75
+        |  FROM cells WHERE n > 0)
+        |SELECT CAST(g.dow AS INT) AS dow, CAST(g.hour_of_day AS INT) AS hour_of_day,
+        |  COALESCE(c.n, 0) AS n_events,
+        |  CAST(CASE WHEN COALESCE(c.n, 0) = 0 THEN 0
+        |       WHEN c.n <= q.q25 THEN 1
+        |       WHEN c.n <= q.q50 THEN 2
+        |       WHEN c.n <= q.q75 THEN 3
+        |       ELSE 4 END AS INT) AS intensity
+        |FROM grid g LEFT JOIN cells c ON g.dow = c.dow AND g.hour_of_day = c.hour_of_day
+        |CROSS JOIN q
         |ORDER BY dow, hour_of_day""".stripMargin,
     "q06_user_stats" ->
       """SELECT user_id, COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_kinds,

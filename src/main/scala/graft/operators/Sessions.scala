@@ -242,6 +242,48 @@ object Sessions {
       .orderBy("dow", "hour_of_day")
   }
 
+  /** q88: heatmap INTENSITY classes — the quantile color mapping the
+    * reference renders the heatmap with (analyze_dialogues.py:774-807
+    * `_get_quantile_mapping`: quartiles of the NON-ZERO cell counts,
+    * then per cell 0 for empty, 1/2/3 for ≤q25/≤q50/≤q75, 4 above —
+    * the "Very High/High/Medium/Low" classes the TUI sorts clusters
+    * by). The full 7×24 grid is emitted (the reference's matrix has a
+    * cell for every dow×hour, zeros included), so empty cells carry
+    * class 0 exactly like matrix[i,j]==0.
+    *
+    * Scale shape: the quantile structure lives in the 168-row cell
+    * frame, never the corpus — one map-side-combined groupBy, a 1-row
+    * quartile aggregate over ≤168 values broadcast back as literals,
+    * and the static grid is a 168-row local relation. percentile()
+    * here bit-matches DuckDB's quantile_cont (the q07 equivalence,
+    * hash-EXACT at three scales since r01).
+    */
+  def heatmapIntensity(spark: SparkSession, dir: String): DataFrame = {
+    val tsCol = timestamp_micros(expr("ts DIV 1000"))
+    val cells = withTsMs(spark, dir)
+      .groupBy((dayofweek(tsCol) - 1).as("dow"), hour(tsCol).as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    val grid = spark.range(7).select(col("id").cast("int").as("dow"))
+      .crossJoin(spark.range(24).select(col("id").cast("int").as("hour_of_day")))
+    // matrix[matrix > 0]: groupBy cells are all non-zero by
+    // construction; the filter spells out the reference's rule
+    val q = cells.filter(col("n") > 0)
+      .agg(expr("percentile(n, 0.25)").as("q25"),
+        expr("percentile(n, 0.5)").as("q50"),
+        expr("percentile(n, 0.75)").as("q75"))
+    grid.join(cells, Seq("dow", "hour_of_day"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(q))
+      .withColumn("intensity",
+        when(col("n_events") === 0, 0)
+          .when(col("n_events") <= col("q25"), 1)
+          .when(col("n_events") <= col("q50"), 2)
+          .when(col("n_events") <= col("q75"), 3)
+          .otherwise(4))
+      .select("dow", "hour_of_day", "n_events", "intensity")
+      .orderBy("dow", "hour_of_day")
+  }
+
   /** q37: threshold heatmap — dow × hour counts restricted to
     * high-value events (analyze_dialogues.py:368-403
     * `create_threshold_heatmap`: same grid as the activity heatmap,
