@@ -169,6 +169,10 @@ object SparkEntry {
     // slice actually re-derives (and clean users' stored rows pass
     // through untouched), so both paths are load-bearing
     "q88_heatmap_intensity" -> ((s, d) => Sessions.heatmapIntensity(s, d)),
+    // the fourth (and last) MCP tool under the oracle: the seeded
+    // pick is plain BIGINT arithmetic, replayed verbatim in SQL
+    "q81d_mcp_random_cluster" -> ((s, d) =>
+      mcp.McpTools.randomLargeCluster(s, d, minSize = 3)),
     "q87_resessionize"    -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, when}
       val events = Tables.events(s, d)
@@ -1792,6 +1796,21 @@ object SparkEntry {
       s"""WITH $groupsCteClauses,
          |pick AS (SELECT source, group_id FROM grp GROUP BY source, group_id
          |         HAVING COUNT(*) >= 3 ORDER BY source, group_id LIMIT 1)
+         |SELECT g.doc_id, g.source, g.group_id, d.lang, d.text
+         |FROM grp g JOIN pick p ON g.source = p.source AND g.group_id = p.group_id
+         |JOIN documents d ON d.doc_id = g.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
+    // q81d: randomLargeCluster(minSize=3, seed=42) — the seeded pick
+    // (khash over group_id, ties by (source, group_id)) and the full
+    // membership + text join replayed verbatim (server.py:331-370)
+    "q81d_mcp_random_cluster" ->
+      s"""WITH $groupsCteClauses,
+         |sz AS (SELECT source, group_id FROM grp GROUP BY source, group_id
+         |       HAVING COUNT(*) >= 3),
+         |pick AS (SELECT source, group_id FROM (
+         |    SELECT source, group_id,
+         |      ((group_id * 2654435761 + 42) % 4294967296) AS hkey FROM sz) h
+         |  ORDER BY hkey, source, group_id LIMIT 1)
          |SELECT g.doc_id, g.source, g.group_id, d.lang, d.text
          |FROM grp g JOIN pick p ON g.source = p.source AND g.group_id = p.group_id
          |JOIN documents d ON d.doc_id = g.doc_id

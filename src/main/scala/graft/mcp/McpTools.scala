@@ -259,10 +259,14 @@ object McpTools {
       .head.getString(0)
 
   /** random_large_cluster (server.py:331-370): a "random" cluster of
-    * size ≥ minSize. Randomness is SEEDED here (the q59 multiplicative
-    * hash over the cluster key) — an engine that promises
-    * deterministic replays has no business calling rand() at serve
-    * time; vary `seed` for a different pick.
+    * size ≥ minSize. Randomness is SEEDED here (the q59/q82
+    * multiplicative-hash arithmetic over the cluster key) — an engine
+    * that promises deterministic replays has no business calling
+    * rand() at serve time; vary `seed` for a different pick. The
+    * arithmetic (BIGINT multiply + mod, ties broken by the full key)
+    * is deliberately SQL-expressible so the pick replays verbatim in
+    * the DuckDB oracle (q81d) — the earlier Murmur3 spelling was
+    * engine-private and kept this one tool outside the hard gate.
     */
   def randomLargeCluster(spark: SparkSession, dir: String,
                          minSize: Int = 10, seed: Long = 42L): DataFrame = {
@@ -271,7 +275,7 @@ object McpTools {
       .groupBy("source", "group_id").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSize)
     val pick = big
-      .withColumn("hkey", abs(hash(col("source"), col("group_id"), lit(seed))))
+      .withColumn("hkey", pmod(col("group_id") * lit(2654435761L) + lit(seed), lit(4294967296L)))
       .orderBy(col("hkey"), col("source"), col("group_id"))
       .limit(1)
       .select(col("source").as("p_source"), col("group_id").as("p_group"))
