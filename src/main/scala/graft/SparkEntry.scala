@@ -136,6 +136,12 @@ object SparkEntry {
     "q23_windowed_topn"   -> ((s, d) => Relational.windowedTopN(s, d)),
     "q24_order_priority"  -> ((s, d) => Relational.orderPriority(s, d)),
     "q80_stream_sessions" -> ((s, d) => streaming.StreamHarness.streamSessions(s, d)),
+    // the PRODUCTION state backend under the same oracle: identical
+    // plan and feed, state in RocksDB (off-heap, changelog
+    // checkpoints) instead of the default heap maps — the backend
+    // swap itself is what this row certifies
+    "q80c_sessions_rocks" -> ((s, d) => streaming.StreamHarness.streamSessions(s, d,
+      provider = Some(streaming.StateBackend.RocksDBProvider))),
     "q80b_stream_funnel"  -> ((s, d) => streaming.StreamHarness.streamFunnel(s, d)),
     // MCP serving surface under the oracle (below the encoder seam:
     // the query is corpus vector 3, which DuckDB can name too)
@@ -161,6 +167,7 @@ object SparkEntry {
     "q83_stream_dedup"    -> ((s, d) => streaming.StreamHarness.streamDedup(s, d)),
     "q84_stream_decontam" -> ((s, d) => streaming.StreamHarness.streamDecontam(s, d)),
     "q85_stream_threads"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d)),
+    "q89_stream_windowed" -> ((s, d) => streaming.StreamHarness.streamWindowed(s, d)),
     "q86_source_roundtrip" -> ((s, d) => sources.SourceHarness.jsonRoundTrip(s, d)),
     "q86b_source_html"    -> ((s, d) => sources.SourceHarness.htmlRoundTrip(s, d)),
     // incremental resessionization under q01's oracle: stored rows
@@ -258,10 +265,22 @@ object SparkEntry {
       // the online funnel shares q79's (ascending arrival order makes
       // ingest-time first-writer-wins agree with batch id order)
       "q80_stream_sessions" -> oracleSqlBase("q01c_sessions_native"),
+      // q80c: same oracle — the row certifies the RocksDB state
+      // backend produces the identical closed-session rollup
+      "q80c_sessions_rocks" -> oracleSqlBase("q01c_sessions_native"),
       "q80b_stream_funnel" -> oracleSqlBase("q79_funnel_delta"),
       "q83_stream_dedup" -> oracleSqlBase("q27b_minhash_planted"),
       "q84_stream_decontam" -> oracleSqlBase("q54_decontam"),
       "q85_stream_threads" -> oracleSqlBase("q56_reply_threads"),
+      // q89: append-mode tumbling windows ≡ the batch GROUP BY on
+      // epoch-floored 5-minute buckets (Spark's window() is epoch-
+      // aligned; DuckDB replays the same integer arithmetic)
+      "q89_stream_windowed" ->
+        """SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start_ms,
+          |  event_type AS kind, COUNT(*) AS n
+          |FROM events
+          |GROUP BY 1, 2
+          |ORDER BY win_start_ms, kind""".stripMargin,
       // q86: the parser round-trip must reproduce this projection of
       // `events` exactly (chat = user, min-messages as HAVING,
       // from_id prefix stripped back to the numeric id, date at

@@ -117,7 +117,13 @@ object SourceHarness {
           sb.append(s"""<div class="body">\n""")
             .append(s""" <div class="pull_right date details" title="$ts"></div>\n""")
             .append(s""" <div class="from_name">u${r.getLong(0)}</div>\n""")
-            .append(s""" <div class="text">${r.getString(3)}</div>\n""")
+            // null-guarded: interpolation would render a null props as
+            // the LITERAL string "null" — fabricated text content, the
+            // exact divergence class this harness exists to catch. The
+            // corpus has no null props today; if it ever does, an empty
+            // div (vs the oracle's NULL) fails the gate VISIBLY instead
+            // of smuggling four bogus characters past it
+            .append(s""" <div class="text">${Option(r.getString(3)).getOrElse("")}</div>\n""")
             .append("</div>\n")
         }
         sb.append("</body></html>")

@@ -50,6 +50,25 @@ object StreamHarness {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Pin a state-store PROVIDER for a stream started inside `body`
+    * (q80c runs the sessionizer on RocksDB): like the partition count,
+    * the provider is read once at query START and pinned in the
+    * checkpoint, so the session conf is restored as soon as `body`
+    * returns — no leak into later batch work or other streams.
+    */
+  private def withStateProvider[A](spark: SparkSession, provider: Option[String])(body: => A): A =
+    provider match {
+      case None => body
+      case Some(p) =>
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, p)
+        try body finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+    }
+
   /** q80: `events` fed through the EventTimeTimeout sessionizer in
     * ascending (ts, event_id) order over `nBatches` micro-batches;
     * the closed-session rollup equals batch q01c row-for-row (the
@@ -58,10 +77,17 @@ object StreamHarness {
     * every open session's timeout so the final sessions CLOSE and
     * emit — the streaming equivalent of end-of-input — and is then
     * filtered out of the result.
+    *
+    * `provider` pins the state-store backend for this one query —
+    * q80c passes StateBackend.RocksDBProvider so the DRIVER gate
+    * (not just RocksDBStateSpec) certifies the production backend:
+    * same oracle, state off-heap in RocksDB instead of the default
+    * HDFS-backed heap maps.
     */
   def streamSessions(spark: SparkSession, dir: String,
                      windowMs: Long = 30 * 60 * 1000L,
-                     nBatches: Int = 4): DataFrame = {
+                     nBatches: Int = 4,
+                     provider: Option[String] = None): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import SessionizeStream.{ClosedSession, Ev}
@@ -74,8 +100,10 @@ object StreamHarness {
     // watermark 0s: slices arrive in ascending event time, so nothing
     // is ever late — the watermark is purely the session-closing clock
     val q = withStatePartitions(spark, 8) {
-      SessionizeStream.closedSessions(spark, stream.toDS(), windowMs, "0 seconds")
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      withStateProvider(spark, provider) {
+        SessionizeStream.closedSessions(spark, stream.toDS(), windowMs, "0 seconds")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+      }
     }
     try {
       val chunk = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
@@ -156,7 +184,8 @@ object StreamHarness {
     */
   private def runToSink[T](spark: SparkSession, rows: Seq[T], nBatches: Int,
                            prefix: String,
-                           start: (MemoryStream[T], String) => org.apache.spark.sql.streaming.StreamingQuery)
+                           start: (MemoryStream[T], String) => org.apache.spark.sql.streaming.StreamingQuery,
+                           tailBatches: Seq[Seq[T]] = Nil)
                           (implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
     require(rows.nonEmpty, s"$prefix: empty input")
@@ -166,6 +195,10 @@ object StreamHarness {
     try {
       val chunk = math.max(1, math.ceil(rows.length.toDouble / nBatches).toInt)
       rows.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
+      // end-of-input sentinels (each its OWN micro-batch: the event-
+      // time watermark only advances at batch END, so a window/session
+      // closes one batch after the data that outruns it arrives)
+      tailBatches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
       val collected = spark.table(name).collect()
       spark.createDataFrame(spark.sparkContext.parallelize(collected.toSeq, 4),
         spark.table(name).schema)
@@ -219,6 +252,49 @@ object StreamHarness {
         .writeStream.format("memory").queryName(name).outputMode("append").start())
       .select("doc_id", "n_grams", "n_overlap", "rate", "contaminated")
       .orderBy("doc_id")
+  }
+
+  /** q89's feed row — (event kind, event-time) for the windowed
+    * aggregation; a case class so MemoryStream gets a product encoder.
+    */
+  final case class KEv(kind: String, ts: java.sql.Timestamp)
+
+  /** q89: ONLINE event-time windowed aggregation under the oracle —
+    * `events` streams through `WindowedCounts.perWindow` (5-minute
+    * tumbling windows per event_type, append mode: a window emits
+    * exactly once, when the watermark passes its end) in ascending
+    * (ts, event_id) order; watermark 0s because ascending arrival has
+    * no late data, so the watermark is purely the window-closing
+    * clock. Two sentinel batches on a reserved kind push the watermark
+    * past the last real window's end (the q80 end-of-input pattern),
+    * then the sentinel kind is filtered out. The emitted counts equal
+    * the batch GROUP BY floor(ts/5min) verbatim — Spark's epoch-
+    * aligned window() ≡ DuckDB's epoch_ms(ts)//300000 arithmetic.
+    *
+    * Scale shape: state is one (window, kind) count per OPEN window —
+    * the watermark retires each as it closes, so state is bounded by
+    * windows-in-flight × kinds, never the stream's length.
+    */
+  def streamWindowed(spark: SparkSession, dir: String,
+                     nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val winMs = 5 * 60 * 1000L
+    val sent = "sentinel"
+    val evs = Sessions.withTsMs(spark, dir)
+      .select(col("event_type"), col("ts_ms"), col("event_id"))
+      .collect().sortBy(r => (r.getLong(1), r.getLong(2)))
+      .map(r => KEv(r.getString(0), new java.sql.Timestamp(r.getLong(1))))
+    val maxTs = evs.last.ts.getTime
+    val tail = Seq(
+      Seq(KEv(sent, new java.sql.Timestamp(maxTs + winMs + 1000L))),
+      Seq(KEv(sent, new java.sql.Timestamp(maxTs + 2 * (winMs + 1000L)))))
+    runToSink[KEv](spark, evs.toSeq, nBatches, "q89_stream_windowed", (stream, name) =>
+      WindowedCounts.perWindow(stream.toDF(), "5 minutes", "0 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start(),
+      tailBatches = tail)
+      .filter(col("kind") =!= sent)
+      .select(unix_millis(col("win_start")).as("win_start_ms"), col("kind"), col("n"))
+      .orderBy("win_start_ms", "kind")
   }
 
   /** q85: ONLINE reply-thread resolution under the oracle — the q56

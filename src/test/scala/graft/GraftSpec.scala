@@ -568,5 +568,26 @@ class StreamingSpec extends AnyFunSuite {
     pin("q84", n => streaming.StreamHarness.streamDecontam(spark, dir, nBatches = n).collect())
     pin("q85", n => streaming.StreamHarness.streamThreads(spark, dir, nBatches = n).collect())
     pin("q80b", n => streaming.StreamHarness.streamFunnel(spark, dir, nBatches = n).collect())
+    pin("q89", n => streaming.StreamHarness.streamWindowed(spark, dir, nBatches = n).collect())
+  }
+
+  test("q80c harness: RocksDB state backend == default backend == batch, and no conf leak") {
+    // the driver's q80c row certifies RocksDB against the oracle at
+    // ONE slicing; this pins backend equivalence directly (rocks ==
+    // default == batch q01c) and that the provider conf is restored
+    // after the harness returns — a leaked provider would silently
+    // move every LATER stream in the session onto RocksDB
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val rocks = streaming.StreamHarness.streamSessions(spark, dir,
+      provider = Some(streaming.StateBackend.RocksDBProvider)).collect()
+    assert(spark.conf.getOption(key) == before,
+      "provider conf must be restored after the harness returns")
+    val default = streaming.StreamHarness.streamSessions(spark, dir).collect()
+    assert(rocks.length == default.length && rocks.sameElements(default),
+      "RocksDB and default backends must produce the identical rollup")
+    val want = operators.Sessions.sessionStatsNative(spark, dir).collect()
+    assert(rocks.sameElements(want), "RocksDB stream rollup == batch q01c rollup")
   }
 }
