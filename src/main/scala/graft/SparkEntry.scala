@@ -170,6 +170,7 @@ object SparkEntry {
     "q89_stream_windowed" -> ((s, d) => streaming.StreamHarness.streamWindowed(s, d)),
     "q86_source_roundtrip" -> ((s, d) => sources.SourceHarness.jsonRoundTrip(s, d)),
     "q86b_source_html"    -> ((s, d) => sources.SourceHarness.htmlRoundTrip(s, d)),
+    "q86c_source_pipeline" -> ((s, d) => sources.SourceHarness.pipelineRoundTrip(s, d)),
     // incremental resessionization under q01's oracle: stored rows
     // for dirty users (user_id % 5 == 0) are deliberately CORRUPTED
     // (+999) before the call — the entry is only EXACT if the dirty
@@ -306,7 +307,48 @@ object SparkEntry {
           |  'u' || user_id AS author, props AS text,
           |  'text' AS message_type
           |FROM events
-          |ORDER BY "timestamp", author, text""".stripMargin)
+          |ORDER BY "timestamp", author, text""".stripMargin,
+      // q86c: the COMPOSED ingest pipeline (serialize → parse →
+      // normalize → sessionize → author-run concat) replayed stage by
+      // stage: second-precision date parse (// 1000 * 1000), the
+      // 30-min session gap, run breaks on author change OR session
+      // break (the alternating-parity authors make both live), and
+      // the (ts, id)-ordered '. ' text join
+      "q86c_source_pipeline" ->
+        """WITH el AS (
+          |  SELECT user_id, event_id, props,
+          |    (epoch_ms(ts) // 1000) * 1000 AS ts_ms,
+          |    CASE WHEN event_id % 2 = 0 THEN user_id
+          |         ELSE user_id + 1000000000 END AS author,
+          |    CASE WHEN event_id % 2 = 0 THEN 'u' || user_id
+          |         ELSE 'v' || user_id END AS aname
+          |  FROM events),
+          |big AS (SELECT user_id FROM el GROUP BY user_id HAVING COUNT(*) >= 3),
+          |lagd AS (
+          |  SELECT e.*,
+          |    LAG(ts_ms) OVER w AS prev_ms,
+          |    LAG(author) OVER w AS prev_author
+          |  FROM el e JOIN big b ON e.user_id = b.user_id
+          |  WINDOW w AS (PARTITION BY e.user_id ORDER BY ts_ms, event_id)),
+          |sess AS (
+          |  SELECT *, CAST(SUM(CASE WHEN prev_ms IS NULL
+          |        OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+          |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          |  FROM lagd),
+          |runs AS (
+          |  SELECT *, CAST(SUM(CASE WHEN prev_ms IS NULL
+          |        OR ts_ms - prev_ms > 1800000
+          |        OR prev_author <> author THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+          |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+          |  FROM sess)
+          |SELECT user_id AS chat_id, run_id, MIN(session_id) AS session_id,
+          |  MIN(author) AS from_id, MIN(aname) AS from_name,
+          |  COUNT(*) AS n_messages, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+          |  STRING_AGG(props, '. ' ORDER BY ts_ms, event_id) AS text
+          |FROM runs GROUP BY user_id, run_id
+          |ORDER BY chat_id, run_id""".stripMargin)
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q01_temporal_sessions" ->

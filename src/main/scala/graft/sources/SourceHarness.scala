@@ -44,16 +44,15 @@ object SourceHarness {
     java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
       .format(isoFmt)
 
-  /** q86: serialize events → Telegram JSON export → readExport →
-    * project (chat identity, message id, stripped from_id, text,
-    * parsed epoch seconds). Oracle re-derives the same frame from
-    * `events` with the min-messages filter as a HAVING.
+  /** Serialize `events` as a Telegram JSON export — one personal chat
+    * per user, messages in id order. `authorOf(uid, eventId)` names
+    * each message's (from, from_id-suffix): q86 uses the chat owner
+    * for every message; q86c alternates two participants by event-id
+    * parity so the pipeline's author-RUN breaks are load-bearing.
     */
-  def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val rows = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"),
-        expr("ts DIV 1000000000").as("sec"), col("props"))
-      .collect()
+  private def writeExport(rows: Array[org.apache.spark.sql.Row],
+                          prefix: String,
+                          authorOf: (Long, Long) => (String, Long)): String = {
     val sb = new StringBuilder(rows.length * 96)
     sb.append("{\"chats\":{\"list\":[")
     var firstChat = true
@@ -65,20 +64,63 @@ object SourceHarness {
       ms.sortBy(_.getLong(1)).foreach { r =>
         if (!firstMsg) sb.append(',')
         firstMsg = false
+        val (aname, aid) = authorOf(uid, r.getLong(1))
         val text = if (r.isNullAt(3)) "null" else "\"" + esc(r.getString(3)) + "\""
         sb.append(s"""{"id":${r.getLong(1)},"type":"message","date":"${iso(r.getLong(2))}",""" +
-          s""""from":"u$uid","from_id":"user$uid","text":$text}""")
+          s""""from":"$aname","from_id":"user$aid","text":$text}""")
       }
       sb.append("]}")
     }
     sb.append("]}}")
-    val f = java.nio.file.Files.createTempFile("q86_export", ".json")
+    val f = java.nio.file.Files.createTempFile(prefix, ".json")
     f.toFile.deleteOnExit()
     java.nio.file.Files.writeString(f, sb.toString)
-    TelegramJson.readExport(spark, f.toString)
+    f.toString
+  }
+
+  private def eventRows(spark: SparkSession, dir: String): Array[org.apache.spark.sql.Row] =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000000000").as("sec"), col("props"))
+      .collect()
+
+  /** q86: serialize events → Telegram JSON export → readExport →
+    * project (chat identity, message id, stripped from_id, text,
+    * parsed epoch seconds). Oracle re-derives the same frame from
+    * `events` with the min-messages filter as a HAVING.
+    */
+  def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val f = writeExport(eventRows(spark, dir), "q86_export",
+      (uid, _) => (s"u$uid", uid))
+    TelegramJson.readExport(spark, f)
       .select(col("chat_id"), col("chat_name"), col("message_id"),
         col("from_id"), col("text"), unix_timestamp(col("date")).as("sec"))
       .orderBy("chat_id", "message_id")
+  }
+
+  /** q86c: the WHOLE ingest flow under the oracle — the same
+    * serialized export as q86, but with TWO participants per chat
+    * (alternating by event-id parity, like a real personal chat), fed
+    * through `TelegramPipeline.prepare`: readExport → normalized
+    * (markers + service/empty filters) → per-chat temporal
+    * sessionization → author-RUN concatenation. The oracle replays
+    * every stage from `events` directly — date parse at second
+    * precision, the 30-min session gap, the null-safe author/session
+    * run breaks, and the (ts, id)-ordered '. '-joined run text — so a
+    * defect anywhere in the composed pipeline (the reference's
+    * process_file flow, create_db_from_tg_json.py) breaks
+    * hash-equality. Alternating authors make the run-break logic
+    * load-bearing: with one author per chat every session would be
+    * one run and the concat stage could be wrong without failing.
+    */
+  def pipelineRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val f = writeExport(eventRows(spark, dir), "q86c_export",
+      (uid, eid) => if (eid % 2 == 0) (s"u$uid", uid) else (s"v$uid", uid + 1000000000L))
+    TelegramPipeline.prepare(spark, f)
+      .select(col("chat_id"), col("run_id"), col("session_id"),
+        col("from_id"), col("from_name"), col("n_messages"),
+        col("start_ms"), col("end_ms"), col("text"))
+      .orderBy("chat_id", "run_id")
   }
 
   private val htmlDateFmt = java.time.format.DateTimeFormatter
