@@ -120,6 +120,18 @@ object SparkEntry {
     "q62c_hard_negs_planted" -> ((s, d) => EmbeddingQuality.hardNegativesIvfPlanted(s, d)),
     "q56_reply_threads"     -> ((s, d) => ReplyChains.eventThreads(s, d)),
     "q56b_thread_stats"     -> ((s, d) => ReplyChains.eventThreadStats(s, d)),
+    // topForwardSources over a PLANTED forward frame (events carry no
+    // forwarded_from; the deterministic parity/mod plant is the q27b
+    // pattern): the REAL operator does the grouping, ranking and tie
+    // ordering — the plant only supplies the column
+    "q56c_forward_sources"  -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val msgs = Tables.events(s, d).select(
+        col("user_id").as("chat_id"),
+        when(col("event_id") % 7 === 0,
+          concat(lit("src"), (col("event_id") % 13).cast("string"))).as("forwarded_from"))
+      ReplyChains.topForwardSources(msgs)
+    }),
     "q30_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "q31_quality_score"     -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q32_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -171,6 +183,7 @@ object SparkEntry {
     "q86_source_roundtrip" -> ((s, d) => sources.SourceHarness.jsonRoundTrip(s, d)),
     "q86b_source_html"    -> ((s, d) => sources.SourceHarness.htmlRoundTrip(s, d)),
     "q86c_source_pipeline" -> ((s, d) => sources.SourceHarness.pipelineRoundTrip(s, d)),
+    "q86d_chat_summary"   -> ((s, d) => sources.SourceHarness.chatSummaryRoundTrip(s, d)),
     // incremental resessionization under q01's oracle: stored rows
     // for dirty users (user_id % 5 == 0) are deliberately CORRUPTED
     // (+999) before the call — the entry is only EXACT if the dirty
@@ -348,7 +361,34 @@ object SparkEntry {
           |  COUNT(*) AS n_messages, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
           |  STRING_AGG(props, '. ' ORDER BY ts_ms, event_id) AS text
           |FROM runs GROUP BY user_id, run_id
-          |ORDER BY chat_id, run_id""".stripMargin)
+          |ORDER BY chat_id, run_id""".stripMargin,
+      // q86d: chatSummary over the same two-participant export —
+      // count / distinct-author / time-range aggregation on the
+      // parsed frame, replayed from `events` with the parity authors
+      "q86d_chat_summary" ->
+        """WITH el AS (
+          |  SELECT user_id, event_id, (epoch_ms(ts) // 1000) * 1000 AS ts_ms,
+          |    CASE WHEN event_id % 2 = 0 THEN user_id
+          |         ELSE user_id + 1000000000 END AS author
+          |  FROM events),
+          |big AS (SELECT user_id FROM el GROUP BY user_id HAVING COUNT(*) >= 3)
+          |SELECT e.user_id AS chat_id, 'u' || e.user_id AS chat_name,
+          |  COUNT(*) AS n_messages, COUNT(DISTINCT author) AS n_authors,
+          |  MIN(ts_ms) AS first_ms, MAX(ts_ms) AS last_ms
+          |FROM el e JOIN big b ON e.user_id = b.user_id
+          |GROUP BY e.user_id
+          |ORDER BY chat_id""".stripMargin,
+      // q56c: the planted forward frame replayed, the operator's
+      // rank + tie order (n DESC, forwarded_from ASC) verbatim
+      "q56c_forward_sources" ->
+        """WITH f AS (
+          |  SELECT user_id AS chat_id, 'src' || (event_id % 13) AS forwarded_from
+          |  FROM events WHERE event_id % 7 = 0),
+          |g AS (SELECT chat_id, forwarded_from, COUNT(*) AS n FROM f GROUP BY 1, 2),
+          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chat_id
+          |        ORDER BY n DESC, forwarded_from) AS rk FROM g)
+          |SELECT chat_id, forwarded_from, n, rk FROM r WHERE rk <= 5
+          |ORDER BY chat_id, rk""".stripMargin)
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q01_temporal_sessions" ->

@@ -123,6 +123,25 @@ object SourceHarness {
       .orderBy("chat_id", "run_id")
   }
 
+  /** q86d: the post-load SUMMARY surface under the oracle —
+    * `TelegramJson.chatSummary` (the per-chat table process_file logs
+    * after ingest: message count, distinct authors, first/last
+    * message time) over the normalized two-participant export. The
+    * alternating authors make n_authors live (2 for chats with both
+    * parities present, 1 otherwise), and the min/max ride the parsed
+    * second-precision dates — so the row certifies count, distinct
+    * and time-range aggregation over the REAL parse output.
+    */
+  def chatSummaryRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val f = writeExport(eventRows(spark, dir), "q86d_export",
+      (uid, eid) => if (eid % 2 == 0) (s"u$uid", uid) else (s"v$uid", uid + 1000000000L))
+    TelegramJson.chatSummary(TelegramJson.normalized(spark, f))
+      .select(col("chat_id"), col("chat_name"), col("n_messages"), col("n_authors"),
+        unix_millis(col("first_message").cast("timestamp")).as("first_ms"),
+        unix_millis(col("last_message").cast("timestamp")).as("last_ms"))
+      .orderBy("chat_id")
+  }
+
   private val htmlDateFmt = java.time.format.DateTimeFormatter
     .ofPattern("dd.MM.yyyy HH:mm:ss")
 
