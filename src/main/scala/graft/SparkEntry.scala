@@ -154,6 +154,11 @@ object SparkEntry {
     // swap itself is what this row certifies
     "q80c_sessions_rocks" -> ((s, d) => streaming.StreamHarness.streamSessions(s, d,
       provider = Some(streaming.StateBackend.RocksDBProvider))),
+    // Spark's NATIVE session_window operator (a different physical
+    // path: SessionWindowStateStore exec nodes, merging-session
+    // state) under the identical oracle
+    "q80d_sessions_native" -> ((s, d) => streaming.StreamHarness.streamSessions(s, d,
+      native = true)),
     "q80b_stream_funnel"  -> ((s, d) => streaming.StreamHarness.streamFunnel(s, d)),
     // MCP serving surface under the oracle (below the encoder seam:
     // the query is corpus vector 3, which DuckDB can name too)
@@ -282,6 +287,8 @@ object SparkEntry {
       // q80c: same oracle — the row certifies the RocksDB state
       // backend produces the identical closed-session rollup
       "q80c_sessions_rocks" -> oracleSqlBase("q01c_sessions_native"),
+      // q80d: Spark's built-in session_window under the same oracle
+      "q80d_sessions_native" -> oracleSqlBase("q01c_sessions_native"),
       "q80b_stream_funnel" -> oracleSqlBase("q79_funnel_delta"),
       "q83_stream_dedup" -> oracleSqlBase("q27b_minhash_planted"),
       "q84_stream_decontam" -> oracleSqlBase("q54_decontam"),

@@ -83,11 +83,23 @@ object StreamHarness {
     * (not just RocksDBStateSpec) certifies the production backend:
     * same oracle, state off-heap in RocksDB instead of the default
     * HDFS-backed heap maps.
+    *
+    * `native = true` (q80d) swaps the hand-rolled
+    * flatMapGroupsWithState sessionizer for Spark's built-in
+    * `session_window` operator (closedSessionsNative) — a different
+    * physical execution path (SessionWindowStateStoreRestore/Save
+    * exec nodes) certified against the SAME oracle.
     */
+  private def closedSessionsDf(spark: SparkSession,
+                               stream: MemoryStream[SessionizeStream.Ev],
+                               windowMs: Long): DataFrame =
+    SessionizeStream.closedSessions(spark, stream.toDS(), windowMs, "0 seconds").toDF()
+
   def streamSessions(spark: SparkSession, dir: String,
                      windowMs: Long = 30 * 60 * 1000L,
                      nBatches: Int = 4,
-                     provider: Option[String] = None): DataFrame = {
+                     provider: Option[String] = None,
+                     native: Boolean = false): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import SessionizeStream.{ClosedSession, Ev}
@@ -101,8 +113,10 @@ object StreamHarness {
     // is ever late — the watermark is purely the session-closing clock
     val q = withStatePartitions(spark, 8) {
       withStateProvider(spark, provider) {
-        SessionizeStream.closedSessions(spark, stream.toDS(), windowMs, "0 seconds")
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        val plan =
+          if (native) SessionizeStream.closedSessionsNative(spark, stream.toDS(), windowMs, "0 seconds")
+          else closedSessionsDf(spark, stream, windowMs)
+        plan.writeStream.format("memory").queryName(name).outputMode("append").start()
       }
     }
     try {
