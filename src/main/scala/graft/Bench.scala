@@ -15,8 +15,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val warehouse = sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
-      new java.io.File("target/bench_warehouse").getAbsolutePath)
+    // Per-RUN temp warehouse (VERDICT r13 item 1): a shared fixed path
+    // let two overlapping bench JVMs race on the bucketed twins — the
+    // first JVM read parquet parts the second had just deleted and
+    // rewritten (q20–q24 FileNotFoundException in BENCH_r13). A fresh
+    // temp dir per process makes concurrent invocations disjoint by
+    // construction; it is removed on normal exit, and the JVM shutdown
+    // hook covers Ctrl-C so /tmp doesn't accumulate ~100MB per run.
+    val warehouseOverride = sys.env.get("SPARK_GRAFT_WAREHOUSE")
+    val warehouse = warehouseOverride.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_bench_wh_").toAbsolutePath.toString)
+    if (warehouseOverride.isEmpty) {
+      val whFile = new java.io.File(warehouse)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try { import scala.reflect.io.Directory; new Directory(whFile).deleteRecursively(); () }
+        catch { case _: Throwable => () }))
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

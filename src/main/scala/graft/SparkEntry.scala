@@ -177,8 +177,21 @@ object SparkEntry {
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
         .filter(org.apache.spark.sql.functions.col("n") >= 3)
-        .orderBy("source", "group_id").limit(1).head
-      mcp.McpTools.getCluster(s, d, pick.getString(0), pick.getLong(1))
+        .orderBy("source", "group_id").limit(1).collect().headOption
+      pick match {
+        case Some(p) => mcp.McpTools.getCluster(s, d, p.getString(0), p.getLong(1))
+        // degenerate corpus with no cluster of >= 3 members: the
+        // oracle's CTE yields zero rows, so the entry must return an
+        // EMPTY frame with getCluster's schema rather than throw
+        // NoSuchElementException and read as a failure (ADVICE r13)
+        case None =>
+          import org.apache.spark.sql.functions.{col, lit}
+          Vectors.semanticGroups(s, d)
+            .filter(lit(false))
+            .select("doc_id", "source", "group_id")
+            .join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+              "doc_id")
+      }
     }),
     "q82_pseudonymize"    -> ((s, d) => Curation.pseudonymize(s, d)),
     "q83_stream_dedup"    -> ((s, d) => streaming.StreamHarness.streamDedup(s, d)),
@@ -1917,7 +1930,7 @@ object SparkEntry {
          |       HAVING COUNT(*) >= 3),
          |pick AS (SELECT source, group_id FROM (
          |    SELECT source, group_id,
-         |      ((group_id * 2654435761 + 42) % 4294967296) AS hkey FROM sz) h
+         |      (((group_id % 2147483648) * 2654435761 + 42) % 4294967296) AS hkey FROM sz) h
          |  ORDER BY hkey, source, group_id LIMIT 1)
          |SELECT g.doc_id, g.source, g.group_id, d.lang, d.text
          |FROM grp g JOIN pick p ON g.source = p.source AND g.group_id = p.group_id
@@ -1929,7 +1942,7 @@ object SparkEntry {
     "q82_pseudonymize" -> {
       def lst(pool: Seq[String]): String =
         pool.map(s => "'" + s.replace("'", "''") + "'").mkString("[", ", ", "]")
-      def khashSql(c: String): String = s"(($c * 2654435761) % 4294967296)"
+      def khashSql(c: String): String = s"((($c % 2147483648) * 2654435761) % 4294967296)"
       def pickSql(pool: Seq[String]): String =
         s"${lst(pool)}[CAST(${khashSql("e.event_id")} % ${pool.size} AS INT) + 1]"
       import operators.Curation.Pseudonyms._

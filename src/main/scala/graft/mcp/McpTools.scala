@@ -275,7 +275,12 @@ object McpTools {
       .groupBy("source", "group_id").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSize)
     val pick = big
-      .withColumn("hkey", pmod(col("group_id") * lit(2654435761L) + lit(seed), lit(4294967296L)))
+      // group_id pre-masked to 2^31 so the BIGINT product can't
+      // overflow on EITHER engine (DuckDB errors rather than wraps;
+      // identity for all ids < 2^31) — see Curation.pseudonymize.khash
+      .withColumn("hkey",
+        pmod(pmod(col("group_id"), lit(2147483648L)) * lit(2654435761L) + lit(seed),
+          lit(4294967296L)))
       .orderBy(col("hkey"), col("source"), col("group_id"))
       .limit(1)
       .select(col("source").as("p_source"), col("group_id").as("p_group"))

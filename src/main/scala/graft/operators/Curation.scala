@@ -774,10 +774,16 @@ object Curation {
     import Pseudonyms._
     def pick(pool: Seq[String], idx: org.apache.spark.sql.Column) =
       element_at(array(pool.map(lit): _*), (idx % pool.size).cast("int") + 1)
-    // Knuth multiplicative hash, identical arithmetic on both engines
-    // (BIGINT multiply + mod — no overflow at testdata id ranges, and
-    // at 100TB ids a 64-bit wraparound is itself deterministic)
-    def khash(c: org.apache.spark.sql.Column) = pmod(c * lit(2654435761L), lit(4294967296L))
+    // Knuth multiplicative hash, identical arithmetic on both engines.
+    // The input is PRE-MASKED to 2^31 before the multiply so the BIGINT
+    // product stays under 2^63 for ANY id: DuckDB raises on BIGINT
+    // overflow (it does not wrap), so an unmasked multiply would make
+    // Spark (wrapping) and the oracle (error) diverge once ids reach
+    // ~3.47e9 (ADVICE r13). 2^31·2654435761 ≈ 5.7e18 < Long.Max, and
+    // the mask is the identity for every id below 2^31 — same
+    // pre-mod trick as tokenBudget's hkey (doc_id % 1048576).
+    def khash(c: org.apache.spark.sql.Column) =
+      pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
     val authors = Tables.events(spark, dir).select("user_id").distinct()
       .withColumn("base", (khash(col("user_id")) % basePool.size).cast("int"))
       .withColumn("ord", row_number().over(

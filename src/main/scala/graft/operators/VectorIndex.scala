@@ -295,9 +295,21 @@ object VectorIndex {
     // no groups to agree on.
     val nCoarse = Vectors.autoCoarse(lists)
     val assign =
-      if (nCoarse == 1)
+      if (nCoarse == 1) {
+        // A rebuild that crosses the two-level→flat boundary (explicit
+        // nLists change, or the corpus shrinking under autoCoarse's
+        // threshold) must not leave the PREVIOUS build's coarse
+        // structure on disk: the new watermark would read as fresh
+        // while storedCoarse still served the old build's groups, and
+        // hardNegativesIvf (useStored=true) would probe with stale
+        // centroid assignments (ADVICE r13, medium).
+        Seq(s"$path/coarse_groups", s"$path/coarse_fine").foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = fsFor(spark, d)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
         Vectors.assignCells(e.select("vec_id", "embedding"), cents, nProbe = 1, nCoarse = 1)
-      else {
+      } else {
         val (gc, fine) = Vectors.coarseStructure(cents, nCoarse)
         gc.write.mode("overwrite").parquet(s"$path/coarse_groups")
         fine.write.mode("overwrite").parquet(s"$path/coarse_fine")

