@@ -137,6 +137,11 @@ object SparkEntry {
     "q32_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),
     "q33_fingerprint"       -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q34_media_pipeline"    -> ((s, d) => Multimodal.mediaPipeline(s, d)),
+    // the GRID decode pair: real byte-parsing decode under the DuckDB
+    // oracle (q34b row path, q34c the same kernel through the Arrow
+    // columnar seam) — the multimodal family's driver-gate rows
+    "q34b_media_decode"     -> ((s, d) => Multimodal.mediaDecodeFeatures(s, d)),
+    "q34c_media_arrow"      -> ((s, d) => Multimodal.mediaDecodeFeaturesArrow(s, d)),
     "q49_text_encode"       -> ((s, d) => TextEncoder.encodePipeline(s, d)),
     "q35_bpe_tokens"        -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
     "q50_cluster_details"  -> ((s, d) => Analytics.clusterDetails(s, d)),
@@ -967,6 +972,44 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |WHERE d.doc_id % 16 = 0
         |ORDER BY d.doc_id""".stripMargin,
+    // q34b/q34c: the GRID decode planted twins. The Spark side decodes
+    // features FROM THE PAYLOAD BYTES (header parse + pixel scan); the
+    // oracle re-derives the same features from doc_id with integer
+    // arithmetic (pixel i = ((doc_id%256) + 7·i) % 256 over the
+    // w·h grid, w = 4 + doc_id%29, h = 4 + doc_id%23) — a decode bug
+    // anywhere (endianness, signed bytes, off-by-one pixel count)
+    // breaks the hash. range(0,832) covers the max grid (32·26);
+    // SUM cast to BIGINT (DuckDB sums integers into HUGEINT).
+    "q34b_media_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, d.source,
+        |         CAST(4 + (d.doc_id % 29) AS INT) AS width,
+        |         CAST(4 + (d.doc_id % 23) AS INT) AS height,
+        |         ((d.doc_id % 256) + 7 * r.i) % 256 AS pv
+        |  FROM documents d
+        |  JOIN range(0, 832) r(i)
+        |    ON r.i < (4 + (d.doc_id % 29)) * (4 + (d.doc_id % 23)))
+        |SELECT doc_id, source, MIN(width) AS width, MIN(height) AS height,
+        |       COUNT(*) AS n_pixels, CAST(SUM(pv) AS BIGINT) AS pixel_sum,
+        |       CAST(MIN(pv) AS INT) AS px_min, CAST(MAX(pv) AS INT) AS px_max
+        |FROM px
+        |GROUP BY doc_id, source
+        |ORDER BY doc_id""".stripMargin,
+    "q34c_media_arrow" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, d.source,
+        |         CAST(4 + (d.doc_id % 29) AS INT) AS width,
+        |         CAST(4 + (d.doc_id % 23) AS INT) AS height,
+        |         ((d.doc_id % 256) + 7 * r.i) % 256 AS pv
+        |  FROM documents d
+        |  JOIN range(0, 832) r(i)
+        |    ON r.i < (4 + (d.doc_id % 29)) * (4 + (d.doc_id % 23)))
+        |SELECT doc_id, source, MIN(width) AS width, MIN(height) AS height,
+        |       COUNT(*) AS n_pixels, CAST(SUM(pv) AS BIGINT) AS pixel_sum,
+        |       CAST(MIN(pv) AS INT) AS px_min, CAST(MAX(pv) AS INT) AS px_max
+        |FROM px
+        |GROUP BY doc_id, source
+        |ORDER BY doc_id""".stripMargin,
     // q33b: the oracle groups by TEXT — same structure the engine
     // derives from 64-bit fingerprints (collision-free on the gate
     // corpora, deterministic; planted copies recover with certainty).

@@ -214,6 +214,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2).n_frames == 1 && r(1).n_frames == 10)
   }
 
+  test("q34b: GRID encode/decode roundtrip — features match the closed-form arithmetic") {
+    import operators.Multimodal._
+    // encode and decode are disjoint code paths; this pins their
+    // agreement at the byte level including the edge ids the oracle's
+    // modular arithmetic exercises (0, the 256-wrap, the grid maxima)
+    for (id <- Seq(0L, 1L, 28L, 255L, 256L, 257L, 666L, 4999L, 123456789L)) {
+      val f = decodeGrid(id, "s", encodeGrid(id))
+      assert(f.width == 4 + (id % 29).toInt && f.height == 4 + (id % 23).toInt)
+      assert(f.n_pixels == f.width.toLong * f.height)
+      val expSum = (0L until f.n_pixels).map(i => ((id % 256) + 7 * i) % 256).sum
+      assert(f.pixel_sum == expSum, s"doc $id pixel_sum ${f.pixel_sum} != $expSum")
+      assert(f.px_min >= 0 && f.px_max <= 255 && f.px_min <= f.px_max)
+    }
+  }
+
+  test("q34b: GRID decode rejects malformed payloads strictly") {
+    import operators.Multimodal._
+    val good = encodeGrid(42L)
+    intercept[IllegalArgumentException](decodeGrid(1, "s", null))
+    intercept[IllegalArgumentException](decodeGrid(1, "s", good.take(5))) // truncated header
+    intercept[IllegalArgumentException](decodeGrid(1, "s", good.dropRight(1))) // short pixels
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](decodeGrid(1, "s", badMagic))
+    val badVer = good.clone(); badVer(2) = 9
+    intercept[IllegalArgumentException](decodeGrid(1, "s", badVer))
+  }
+
+  test("q34c: Arrow columnar GRID decode is row-identical to the row path") {
+    val row = operators.Multimodal.mediaDecodeFeatures(spark, dir)
+    val arrow = operators.Multimodal.mediaDecodeFeaturesArrow(spark, dir)
+    assert(row.exceptAll(arrow).count() == 0 && arrow.exceptAll(row).count() == 0,
+      "the VarBinaryVector seam must not change a single decoded value")
+    assert(row.count() == Tables.documents(spark, dir).count())
+  }
+
   test("bucketed tables co-locate the orders-lineitem join: zero shuffles in the plan") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
