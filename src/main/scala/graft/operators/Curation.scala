@@ -599,6 +599,7 @@ object Curation {
       spark.read.parquet(s"$path/shingles"),
       spark.read.parquet(s"$path/benchgrams"),
       benchMod, minPass, threshold, nBuckets)
+      .orderBy("doc_id")
   }
 
   /** The delta-funnel gate over EXPLICIT corpus frames — the shared
@@ -683,7 +684,11 @@ object Curation {
           .when(col("is_near_dup"), "near_dup")
           .when(col("contaminated"), "contaminated")
           .otherwise("admitted"))
-      .orderBy("doc_id")
+    // no orderBy here: the stream path (gateBatch) joins MORE columns
+    // onto this frame — a sort at this altitude is destroyed two
+    // operators later and re-paid per micro-batch. The batch entries
+    // that present ordered results (funnelDeltaIndexed) order at the
+    // call site instead.
   }
 
   private val emailPat = "[a-z0-9._]+@[a-z0-9.]+"

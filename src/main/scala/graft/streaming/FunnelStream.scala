@@ -151,7 +151,10 @@ object FunnelStream {
       .join(ann, Seq("doc_id"), "left")
       .withColumn("fuzzy_contaminated", coalesce(col("fuzzy_contaminated"), lit(false)))
       .withColumn("ann_dup", coalesce(col("ann_dup"), lit(false)))
-      .orderBy("doc_id")
+    // no orderBy: a batch's verdicts land in their own batch=<id> dir
+    // and every consumer (the harness, compaction, q79 comparisons)
+    // re-orders after reading — a global sort PER MICRO-BATCH was a
+    // range exchange bought for nothing (r14 harness-cost audit)
   }
 
   /** Absorb a batch into the seen-store: one md5 row and one shingle

@@ -40,9 +40,11 @@ object StreamHarness {
     * partition — at 32 partitions the fixed commit cost dwarfed the
     * work on every keyed-state harness entry (q80 measured 11.4s at
     * sf0.1 before the cap; results are keyed-state identical at any
-    * partition count). 8 keeps the harness parallel enough for sf0.1
-    * while cutting commits 4×. Only query START reads the conf, so
-    * the previous value is restored as soon as `body` returns.
+    * partition count). r13 capped at 8 (11.4→4.0s); r14 halves again
+    * to 4 — at sf0.1 each state partition still carries thousands of
+    * keys, so the harness stays parallel while commits drop another
+    * 2×. Only query START reads the conf, so the previous value is
+    * restored as soon as `body` returns.
     */
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -72,7 +74,7 @@ object StreamHarness {
   /** q80: `events` fed through the EventTimeTimeout sessionizer in
     * ascending (ts, event_id) order over `nBatches` micro-batches;
     * the closed-session rollup equals batch q01c row-for-row (the
-    * StreamingSpec law, now oracle-certified). A sentinel pair on a
+    * StreamingSpec law, now oracle-certified). One sentinel batch on a
     * reserved negative user advances the event-time watermark past
     * every open session's timeout so the final sessions CLOSE and
     * emit — the streaming equivalent of end-of-input — and is then
@@ -97,7 +99,7 @@ object StreamHarness {
 
   def streamSessions(spark: SparkSession, dir: String,
                      windowMs: Long = 30 * 60 * 1000L,
-                     nBatches: Int = 4,
+                     nBatches: Int = 2,
                      provider: Option[String] = None,
                      native: Boolean = false): DataFrame = {
     import spark.implicits._
@@ -110,32 +112,43 @@ object StreamHarness {
     val stream = MemoryStream[Ev]
     val name = s"q80_stream_sessions_${runId.incrementAndGet()}"
     // watermark 0s: slices arrive in ascending event time, so nothing
-    // is ever late — the watermark is purely the session-closing clock
-    val q = withStatePartitions(spark, 8) {
+    // is ever late — the watermark is purely the session-closing clock.
+    // The partition cap spans the WHOLE feed loop, not just start():
+    // micro-batch DAGs execute inside processAllAvailable, and any
+    // non-state shuffle in them reads the LIVE session conf — with the
+    // cap restored early, the bench (32 shuffle partitions) paid 32
+    // tiny tasks per exchange per batch (r14 harness-cost audit).
+    withStatePartitions(spark, 4) {
       withStateProvider(spark, provider) {
         val plan =
           if (native) SessionizeStream.closedSessionsNative(spark, stream.toDS(), windowMs, "0 seconds")
           else closedSessionsDf(spark, stream, windowMs)
-        plan.writeStream.format("memory").queryName(name).outputMode("append").start()
+        val q = plan.writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          val chunk = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
+          evs.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
+          val maxTs = evs.last.ts_ms
+          // ONE sentinel batch pushes max event time past every possible
+          // timeout (lastMs + windowMs). The watermark updates at batch
+          // END — what then fires the timeouts is Spark's NO-DATA
+          // micro-batch (spark.sql.streaming.noDataMicroBatches.enabled,
+          // on by default): a watermark advance with stateful operators
+          // schedules one extra batch to evict/emit state, and
+          // processAllAvailable waits for it. One sentinel batch replaces
+          // the former two (r14 harness-cost item; the second explicit
+          // sentinel re-paid a full feed round-trip for what the engine
+          // already does).
+          stream.addData(Ev(-1L, maxTs + windowMs + 1000L, -1L)); q.processAllAvailable()
+          val rows = spark.table(name).as[ClosedSession].collect()
+            .filter(_.user_id >= 0L)
+          spark.createDataset(rows.toSeq).toDF()
+            .select("user_id", "start_ms", "end_ms", "n_events")
+            .orderBy("user_id", "start_ms")
+        } finally {
+          q.stop()
+          spark.catalog.dropTempView(name)
+        }
       }
-    }
-    try {
-      val chunk = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
-      evs.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
-      val maxTs = evs.last.ts_ms
-      // sentinel batch 1 pushes max event time past every possible
-      // timeout (lastMs + windowMs); the watermark updates at batch
-      // END, so sentinel batch 2 is what actually fires the timeouts
-      stream.addData(Ev(-1L, maxTs + windowMs + 1000L, -1L)); q.processAllAvailable()
-      stream.addData(Ev(-1L, maxTs + 2 * (windowMs + 1000L), -2L)); q.processAllAvailable()
-      val rows = spark.table(name).as[ClosedSession].collect()
-        .filter(_.user_id >= 0L)
-      spark.createDataset(rows.toSeq).toDF()
-        .select("user_id", "start_ms", "end_ms", "n_events")
-        .orderBy("user_id", "start_ms")
-    } finally {
-      q.stop()
-      spark.catalog.dropTempView(name)
     }
   }
 
@@ -152,7 +165,7 @@ object StreamHarness {
     * corpus-side build q79b also reuses).
     */
   def streamFunnel(spark: SparkSession, dir: String,
-                   nBatches: Int = 3): DataFrame = {
+                   nBatches: Int = 2): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import FunnelStream.DocIn
@@ -166,13 +179,18 @@ object StreamHarness {
     val out = tmp("q80b_out")
     val ckpt = tmp("q80b_ckpt")
     val stream = MemoryStream[DocIn]
-    val q = withStatePartitions(spark, 8) {
-      FunnelStream.verdicts(ctx, stream.toDS(), out, ckpt)
+    // cap spans the feed loop: gateBatch's joins run INSIDE
+    // processAllAvailable via foreachBatch and read the live conf —
+    // this entry is where the early-restore cost was largest (a
+    // dozen exchanges per batch × 32 bench partitions for a
+    // 300-doc delta)
+    withStatePartitions(spark, 4) {
+      val q = FunnelStream.verdicts(ctx, stream.toDS(), out, ckpt)
+      try {
+        val chunk = math.max(1, math.ceil(delta.length.toDouble / nBatches).toInt)
+        delta.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
+      } finally q.stop()
     }
-    try {
-      val chunk = math.max(1, math.ceil(delta.length.toDouble / nBatches).toInt)
-      delta.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
-    } finally q.stop()
     // read the sink BACK INTO MEMORY before deleting the temp dirs:
     // the state/sink/checkpoint trio is fresh-per-call by contract,
     // and deleteOnExit never fires for non-empty dirs, so without
@@ -205,20 +223,24 @@ object StreamHarness {
     require(rows.nonEmpty, s"$prefix: empty input")
     val stream = MemoryStream[T]
     val name = s"${prefix}_${runId.incrementAndGet()}"
-    val q = withStatePartitions(spark, 8) { start(stream, name) }
-    try {
-      val chunk = math.max(1, math.ceil(rows.length.toDouble / nBatches).toInt)
-      rows.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
-      // end-of-input sentinels (each its OWN micro-batch: the event-
-      // time watermark only advances at batch END, so a window/session
-      // closes one batch after the data that outruns it arrives)
-      tailBatches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
-      val collected = spark.table(name).collect()
-      spark.createDataFrame(spark.sparkContext.parallelize(collected.toSeq, 4),
-        spark.table(name).schema)
-    } finally {
-      q.stop()
-      spark.catalog.dropTempView(name)
+    // cap spans the feed loop (see streamSessions): batch DAG
+    // shuffles read the live conf inside processAllAvailable
+    withStatePartitions(spark, 4) {
+      val q = start(stream, name)
+      try {
+        val chunk = math.max(1, math.ceil(rows.length.toDouble / nBatches).toInt)
+        rows.grouped(chunk).foreach { b => stream.addData(b.toSeq: _*); q.processAllAvailable() }
+        // end-of-input sentinel batches (a window/session closes via
+        // the no-data micro-batch the watermark advance schedules at
+        // batch end — see streamSessions)
+        tailBatches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+        val collected = spark.table(name).collect()
+        spark.createDataFrame(spark.sparkContext.parallelize(collected.toSeq, 4),
+          spark.table(name).schema)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
     }
   }
 
@@ -231,7 +253,7 @@ object StreamHarness {
     * DedupStreamSpec stream ≡ batch law, driver-certified.
     */
   def streamDedup(spark: SparkSession, dir: String,
-                  threshold: Double = 0.5, nBatches: Int = 3): DataFrame = {
+                  threshold: Double = 0.5, nBatches: Int = 2): DataFrame = {
     import spark.implicits._
     import DedupStream.DocIn
     val docs = graft.operators.Dedup.plantedDocs(spark, dir, every = 20, idOffset = 1000000L)
@@ -251,7 +273,7 @@ object StreamHarness {
     * driver-certified via q54's oracle verbatim).
     */
   def streamDecontam(spark: SparkSession, dir: String,
-                     nBatches: Int = 3): DataFrame = {
+                     nBatches: Int = 2): DataFrame = {
     import spark.implicits._
     import DedupStream.DocIn
     // idx.bench is registry-managed (one live copy; reloads reuse
@@ -290,7 +312,7 @@ object StreamHarness {
     * windows-in-flight × kinds, never the stream's length.
     */
   def streamWindowed(spark: SparkSession, dir: String,
-                     nBatches: Int = 3): DataFrame = {
+                     nBatches: Int = 2): DataFrame = {
     import spark.implicits._
     val winMs = 5 * 60 * 1000L
     val sent = "sentinel"
@@ -299,9 +321,10 @@ object StreamHarness {
       .collect().sortBy(r => (r.getLong(1), r.getLong(2)))
       .map(r => KEv(r.getString(0), new java.sql.Timestamp(r.getLong(1))))
     val maxTs = evs.last.ts.getTime
+    // one sentinel batch; the engine's no-data micro-batch emits the
+    // windows the advanced watermark closed (see streamSessions)
     val tail = Seq(
-      Seq(KEv(sent, new java.sql.Timestamp(maxTs + winMs + 1000L))),
-      Seq(KEv(sent, new java.sql.Timestamp(maxTs + 2 * (winMs + 1000L)))))
+      Seq(KEv(sent, new java.sql.Timestamp(maxTs + winMs + 1000L))))
     runToSink[KEv](spark, evs.toSeq, nBatches, "q89_stream_windowed", (stream, name) =>
       WindowedCounts.perWindow(stream.toDF(), "5 minutes", "0 seconds")
         .writeStream.format("memory").queryName(name).outputMode("append").start(),
@@ -320,7 +343,7 @@ object StreamHarness {
     * law), certified by q56's oracle verbatim.
     */
   def streamThreads(spark: SparkSession, dir: String,
-                    nBatches: Int = 4): DataFrame = {
+                    nBatches: Int = 2): DataFrame = {
     import spark.implicits._
     import ReplyChainStream.Msg
     val msgs = graft.operators.ReplyChains.eventReplyFrame(spark, dir)
