@@ -1730,6 +1730,42 @@ object SparkEntry {
         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / qs.n_brute AS recall
         |FROM qs LEFT JOIN hits h ON h.query_id = qs.query_id
         |ORDER BY qs.query_id""".stripMargin,
+    // q19: mean-centroid IVF, graduated from rows-only in r14. The
+    // oracle replays annIvf's exact arithmetic: per-(label,pos)
+    // DECIMAL(20,10) sums / count cast DOUBLE then FLOAT (both
+    // engines' casts are IEEE round-to-nearest over identical exact
+    // decimal values), and cosine on both engines is a SEQUENTIAL
+    // double accumulation over the array (graft's cosine_sim kernel;
+    // DuckDB's list_cosine_similarity) — bit-identical by
+    // construction, so even the UNROUNDED probe ranking agrees.
+    // Verified hash-EXACT at sf0.001/0.01 before wiring; the sweep
+    // gates sf0.1.
+    "q19_ann_ivf" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) AS pos FROM embeddings),
+        |cm AS (
+        |  SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(20,10))) / COUNT(*) AS DOUBLE) AS c
+        |  FROM ex GROUP BY label, pos),
+        |cents AS (
+        |  SELECT label, list(CAST(c AS FLOAT) ORDER BY pos) AS cvec FROM cm GROUP BY label),
+        |probes AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT q.vec_id AS query_id, s.label,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(s.cvec AS DOUBLE[])) DESC, s.label) AS crk
+        |    FROM embeddings q, cents s WHERE q.vec_id < 5) p
+        |  WHERE crk <= 3),
+        |cand AS (
+        |  SELECT p.query_id, e.vec_id, e.label,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qq.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM probes p
+        |  JOIN embeddings e ON e.label = p.label
+        |  JOIN embeddings qq ON qq.vec_id = p.query_id
+        |  WHERE e.vec_id <> p.query_id)
+        |SELECT query_id, vec_id, label, sim, CAST(rk AS INT) AS rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+        |  FROM cand) t
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     "q19b_ann_ivf_seeded" ->
       """WITH seeds AS (
         |  SELECT label, embedding FROM (

@@ -415,6 +415,36 @@ object PQ {
     VectorIndex.writeWatermark(spark, path, token + s"\nlists|$lists")
   }
 
+  /** The audited IVF-PQ probe tail, shared by ivfPqTopKIndexed (q67d)
+    * and ivfPqIncrTopK (q67f) so the next probe variant cannot drift
+    * from this shape (VERDICT r13 item 6): stored centroids rank
+    * nProbe cells per query; the probe set is collected ONCE — it is
+    * bounded by nQueries·nProbe rows, and BOTH its consumers want it
+    * static (the partition-pruning filter needs concrete cell values
+    * at plan time, and the scan-side join is cheapest as a broadcast
+    * local relation; the alternative re-runs the whole assignCells
+    * subtree — centroid ranking, windows — inside the probe query's
+    * DAG); `codesFor` maps the probed cell values to the caller's
+    * code store pruned to exactly those cells (one parquet store for
+    * q67d, base ∪ delta for q67f); stored codebooks feed the LUT and
+    * the ADC scan touches codes alone.
+    */
+  private def probeAdcTopK(spark: SparkSession, q: DataFrame, cents: DataFrame,
+                           books: DataFrame, lists: Int, nProbe: Int,
+                           m: Int, dims: Int, k: Int, kCodes: Int)
+                          (codesFor: Seq[Any] => DataFrame): DataFrame = {
+    val probeRows = Vectors.assignCells(q, cents, nProbe = nProbe,
+        nCoarse = Vectors.autoCoarse(lists))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val collected = probeRows.collect()
+    val probedCells = collected.map(_.get(1)).distinct.toSeq
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), probeRows.schema)
+    val coded = codesFor(probedCells)
+    val luts = lutsFor(q, books, m, dims)
+    adcTopK(coded.join(broadcast(probes), Seq("cell")).join(broadcast(luts), "query_id"), k, kCodes)
+  }
+
   /** q67d: probe the composed persisted IVF-PQ index — build if
     * stale (the nightly build), then the steady-state read: stored
     * centroids rank nProbe cells per query, partition pruning opens
@@ -452,23 +482,9 @@ object PQ {
         })
         .getOrElse(math.max(16, (e.count() / 125L).toInt))
     val q = e.filter(col("vec_id") < nQueries)
-    // the probe set is bounded by nQueries·nProbe rows, and BOTH its
-    // consumers want it static: the partition-pruning filter needs
-    // concrete cell values at plan time, and the scan-side join is
-    // cheapest as a broadcast local relation. One collect serves
-    // both — the alternative re-runs the whole assignCells subtree
-    // (centroid ranking, windows) inside the probe query's DAG.
-    val probeRows = Vectors.assignCells(q, cents, nProbe = nProbe,
-        nCoarse = Vectors.autoCoarse(lists))
-      .select(col("vec_id").as("query_id"), col("cell"))
-    val collected = probeRows.collect()
-    val probedCells = collected.map(_.get(1)).distinct.toSeq
-    val probes = spark.createDataFrame(
-      java.util.Arrays.asList(collected: _*), probeRows.schema)
-    val coded = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(probedCells: _*))
-    val luts = lutsFor(q, books, m, dims)
-    adcTopK(coded.join(broadcast(probes), Seq("cell")).join(broadcast(luts), "query_id"), k, kCodes)
+    probeAdcTopK(spark, q, cents, books, lists, nProbe, m, dims, k, kCodes) { cells =>
+      spark.read.parquet(s"$path/cells").filter(col("cell").isin(cells: _*))
+    }
   }
 
   /** q67e: INCREMENTAL PQ encode — the nightly WRITE path of the PQ
@@ -829,25 +845,18 @@ object PQ {
       spark.read.parquet(s"$path/centroids").count().toInt)
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val q = e.filter(col("vec_id") < nQueries)
-    val probeRows = Vectors.assignCells(q, cents, nProbe = nProbe,
-        nCoarse = Vectors.autoCoarse(lists))
-      .select(col("vec_id").as("query_id"), col("cell"))
-    val collected = probeRows.collect()
-    val probedCells = collected.map(_.get(1)).distinct.toSeq
-    val probes = spark.createDataFrame(
-      java.util.Arrays.asList(collected: _*), probeRows.schema)
-    // unionAll is positional — pin the column order on both stores
-    val cols = Seq(col("vec_id"), col("codes"), col("cell"))
-    val baseCodes = spark.read.parquet(s"$path/cells").select(cols: _*)
-    // _folded marker: the base already holds the delta (fold
-    // published, cleanup possibly unfinished) — unioning would
-    // double-count every delta vec_id in the ADC ranking
-    val coded = (if (!VectorIndex.hasMarker(spark, s"$path/cells") &&
-          fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")))
-        baseCodes.unionAll(spark.read.parquet(s"$path/codes_delta").select(cols: _*))
-      else baseCodes) // compacted: the folded base holds everything
-      .filter(col("cell").isin(probedCells: _*))
-    val luts = lutsFor(q, books, m, dims)
-    adcTopK(coded.join(broadcast(probes), Seq("cell")).join(broadcast(luts), "query_id"), k, kCodes)
+    probeAdcTopK(spark, q, cents, books, lists, nProbe, m, dims, k, kCodes) { cells =>
+      // unionAll is positional — pin the column order on both stores
+      val cols = Seq(col("vec_id"), col("codes"), col("cell"))
+      val baseCodes = spark.read.parquet(s"$path/cells").select(cols: _*)
+      // _folded marker: the base already holds the delta (fold
+      // published, cleanup possibly unfinished) — unioning would
+      // double-count every delta vec_id in the ADC ranking
+      (if (!VectorIndex.hasMarker(spark, s"$path/cells") &&
+            fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_delta/_SUCCESS")))
+          baseCodes.unionAll(spark.read.parquet(s"$path/codes_delta").select(cols: _*))
+        else baseCodes) // compacted: the folded base holds everything
+        .filter(col("cell").isin(cells: _*))
+    }
   }
 }
