@@ -1328,6 +1328,48 @@ object SparkEntry {
         |  SELECT anchor_id, anchor_label, vec_id, label, sim,
         |    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rk FROM sc) s
         |WHERE rk <= 5 ORDER BY anchor_id, rk""".stripMargin,
+    // q62b: the IVF-blocked mining probe, graduated from rows-only in
+    // r14 — like q29b, the oracle replays the engine's OWN blocking:
+    // min-vec_id-per-residue-class seed vectors (refinedCentroids at
+    // iters=0 stores the raw member vector, so no mean arithmetic at
+    // all on this path), top-1 list assignment and top-3 anchor
+    // probing by 6dp-rounded cosine with cell tie-break, cross-label
+    // filter, per-anchor top-5. Flat-path replay (lists ≤ 64 ⇔
+    // corpus ≤ 8125 vectors — all gate SFs).
+    "q62b_hard_negs_ivf" ->
+      """WITH p AS (SELECT GREATEST(16, CAST(COUNT(*) // 125 AS INT)) AS lists FROM embeddings),
+        |seeds AS (
+        |  SELECT cell, embedding AS svec FROM (
+        |    SELECT CAST(e.vec_id % p.lists AS INT) AS cell, e.embedding,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id % p.lists ORDER BY e.vec_id) AS rn
+        |    FROM embeddings e, p) s WHERE rn = 1),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, s.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(s.svec AS DOUBLE[])), 6) DESC, s.cell) AS rk
+        |    FROM embeddings e, seeds s) t WHERE rk = 1),
+        |cells AS (
+        |  SELECT a.cell, e.vec_id, e.label, e.embedding
+        |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
+        |anchors AS (
+        |  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS avec
+        |  FROM embeddings WHERE vec_id % 101 = 0),
+        |probes AS (
+        |  SELECT anchor_id, anchor_label, avec, cell FROM (
+        |    SELECT a.anchor_id, a.anchor_label, a.avec, s.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+        |        ORDER BY round(list_cosine_similarity(CAST(a.avec AS DOUBLE[]), CAST(s.svec AS DOUBLE[])), 6) DESC, s.cell) AS rk
+        |    FROM anchors a, seeds s) t WHERE rk <= 3),
+        |sc AS (
+        |  SELECT p.anchor_id, p.anchor_label, c.vec_id, c.label,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.avec AS DOUBLE[])), 6) AS sim
+        |  FROM cells c JOIN probes p ON c.cell = p.cell
+        |  WHERE c.label <> p.anchor_label)
+        |SELECT anchor_id, anchor_label, vec_id, label, sim, CAST(rk AS INT) AS rk FROM (
+        |  SELECT anchor_id, anchor_label, vec_id, label, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rk FROM sc) s
+        |WHERE rk <= 5 ORDER BY anchor_id, rk""".stripMargin,
     // q62c: brute-force cross-label top-1 over the PLANTED corpus —
     // the IVF path recovers each anchor's verbatim twin with
     // certainty (assignment purity), so IVF top-1 ≡ exact top-1
@@ -1732,19 +1774,25 @@ object SparkEntry {
         |ORDER BY qs.query_id""".stripMargin,
     // q19: mean-centroid IVF, graduated from rows-only in r14. The
     // oracle replays annIvf's exact arithmetic: per-(label,pos)
-    // DECIMAL(20,10) sums / count cast DOUBLE then FLOAT (both
-    // engines' casts are IEEE round-to-nearest over identical exact
-    // decimal values), and cosine on both engines is a SEQUENTIAL
-    // double accumulation over the array (graft's cosine_sim kernel;
-    // DuckDB's list_cosine_similarity) — bit-identical by
-    // construction, so even the UNROUNDED probe ranking agrees.
-    // Verified hash-EXACT at sf0.001/0.01 before wiring; the sweep
-    // gates sf0.1.
+    // DECIMAL(20,10) sums cast to DOUBLE (correctly rounded on both
+    // engines — the unscaled sum stays under 2^53) then ONE IEEE
+    // double division and a FLOAT cast, and cosine on both engines is
+    // a SEQUENTIAL double accumulation over the array (graft's
+    // cosine_sim kernel; DuckDB's list_cosine_similarity) —
+    // bit-identical by construction, so even the UNROUNDED probe
+    // ranking agrees. (Decimal÷bigint division is deliberately NOT
+    // used on either side: its result scale and rounding point are
+    // engine-specific — the 5-row csim drift the q41 replay exposed.
+    // The inner CAST(v AS DOUBLE) matters too: DuckDB's direct
+    // FLOAT→DECIMAL cast multiplies in float32 and loses ~7 digits,
+    // while Spark promotes through double — CAST(CAST(v AS DOUBLE)
+    // AS DECIMAL(20,10)) reproduces Spark's cast bit-for-bit,
+    // verified value-by-value.)
     "q19_ann_ivf" ->
       """WITH ex AS (
         |  SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) AS pos FROM embeddings),
         |cm AS (
-        |  SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(20,10))) / COUNT(*) AS DOUBLE) AS c
+        |  SELECT label, pos, CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
         |  FROM ex GROUP BY label, pos),
         |cents AS (
         |  SELECT label, list(CAST(c AS FLOAT) ORDER BY pos) AS cvec FROM cm GROUP BY label),
@@ -1804,6 +1852,68 @@ object SparkEntry {
     // BLOCKING differs (IVF cells vs sign-LSH bands), and planted
     // recovery is certain for both (identical vectors ⇒ identical
     // probe cells / identical sign bits).
+    // q29b/q29c: the weak-threshold IVF-blocked dedup, graduated from
+    // rows-only in r14 — the oracle REPLAYS the engine's own blocking
+    // rather than trying to out-recall it: residue-seeded cells,
+    // decimal-mean centroids (double-promoted cast, see q19), top-2
+    // multi-probe assignment by 6dp-rounded cosine with cell
+    // tie-break, pairs sharing any probed cell, exact-cosine ≥ 0.3
+    // verify. Every step is the engine-portable arithmetic the
+    // q19/q41 graduation established. Valid for the FLAT assignment
+    // path (lists ≤ 64 ⇔ corpus ≤ 8125 vectors — all gate SFs; the
+    // two-level path at larger corpora is covered by the planted twin
+    // q29d and the equivalence specs). q29c shares this verbatim: the
+    // persisted index is value-identical by spec.
+    "q29b_dedup_emb_ivf" ->
+      """WITH p AS (SELECT GREATEST(16, CAST(COUNT(*) // 125 AS INT)) AS lists FROM embeddings),
+        |ex AS (
+        |  SELECT CAST(e.vec_id % p.lists AS INT) AS cell, unnest(e.embedding) AS v,
+        |         unnest(range(len(e.embedding))) AS pos
+        |  FROM embeddings e, p),
+        |cm AS (SELECT cell, pos, CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+        |       FROM ex GROUP BY cell, pos),
+        |cents AS (SELECT cell, list(CAST(c AS FLOAT) ORDER BY pos) AS cvec FROM cm GROUP BY cell),
+        |probes AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) AS rk
+        |    FROM embeddings e, cents c) t WHERE rk <= 2),
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, sim FROM (
+        |  SELECT c.vec_a, c.vec_b,
+        |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM cands c
+        |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = c.vec_b) t
+        |WHERE sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    "q29c_dedup_ivf_indexed" ->
+      """WITH p AS (SELECT GREATEST(16, CAST(COUNT(*) // 125 AS INT)) AS lists FROM embeddings),
+        |ex AS (
+        |  SELECT CAST(e.vec_id % p.lists AS INT) AS cell, unnest(e.embedding) AS v,
+        |         unnest(range(len(e.embedding))) AS pos
+        |  FROM embeddings e, p),
+        |cm AS (SELECT cell, pos, CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+        |       FROM ex GROUP BY cell, pos),
+        |cents AS (SELECT cell, list(CAST(c AS FLOAT) ORDER BY pos) AS cvec FROM cm GROUP BY cell),
+        |probes AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) AS rk
+        |    FROM embeddings e, cents c) t WHERE rk <= 2),
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, sim FROM (
+        |  SELECT c.vec_a, c.vec_b,
+        |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM cands c
+        |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = c.vec_b) t
+        |WHERE sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
     "q29d_dedup_ivf_planted" ->
       """WITH u AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -1814,6 +1924,36 @@ object SparkEntry {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // q41: the Lloyd loop replayed verbatim — graduated from
+    // rows-only in r14 alongside q19 (same portability argument:
+    // exact decimal sums → one double division → float centroids →
+    // sequential-double cosine, every step bit-identical across
+    // engines). Two unrolled iterations: label-seeded cells →
+    // decimal-mean centroids → top-1 by 6dp-rounded cosine with cell
+    // tie-break, twice; output is the final (cell, csim) per vector.
+    "q41_kmeans_ivf" ->
+      """WITH a0 AS (SELECT vec_id, embedding, label AS cell FROM embeddings),
+        |ex1 AS (SELECT cell, unnest(embedding) AS v, unnest(range(len(embedding))) AS pos FROM a0),
+        |cm1 AS (SELECT cell, pos, CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+        |        FROM ex1 GROUP BY cell, pos),
+        |c1 AS (SELECT cell, list(CAST(c AS FLOAT) ORDER BY pos) AS cvec FROM cm1 GROUP BY cell),
+        |a1 AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) AS rk
+        |    FROM embeddings e, c1 c) t WHERE rk = 1),
+        |ex2 AS (SELECT cell, unnest(embedding) AS v, unnest(range(len(embedding))) AS pos FROM a1),
+        |cm2 AS (SELECT cell, pos, CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+        |        FROM ex2 GROUP BY cell, pos),
+        |c2 AS (SELECT cell, list(CAST(c AS FLOAT) ORDER BY pos) AS cvec FROM cm2 GROUP BY cell)
+        |SELECT vec_id, cell, csim FROM (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) AS rk
+        |  FROM embeddings e, c2 c) t
+        |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     // q41b: assignment purity — a verbatim copy (same label, same
     // embedding) can never diverge from its original through the
     // Lloyd loop, so every planted pair co-assigns with certainty and

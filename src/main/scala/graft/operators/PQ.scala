@@ -76,9 +76,12 @@ object PQ {
       val a = assign(subs, books)
       val refined = subs.join(a, Seq("vec_id", "s"))
         .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        // sum-then-cast-then-divide: the engine-portable mean
+        // (see Vectors.centroidsOf — decimal÷bigint rounding rules
+        // are engine-specific, IEEE double division is not)
         .groupBy("s", "code", "pos")
-        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(20, 10))) / count(lit(1)))
-          .cast("double").as("c"))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(20, 10))).cast("double")
+          / count(lit(1))).as("c"))
         .groupBy("s", "code")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           x => x.getField("c")).cast("array<float>").as("cvec"))
@@ -181,7 +184,7 @@ object PQ {
     VectorIndex.defaultPath(spark, dir) + "_pq"
 
   def indexParams(m: Int, kCodes: Int, iters: Int): String =
-    s"pq:m=$m,k=$kCodes,iters=$iters"
+    s"pq:m=$m,k=$kCodes,iters=$iters,arith=d2"
 
   def indexFresh(spark: SparkSession, dir: String, path: String,
                  m: Int, kCodes: Int, iters: Int): Boolean = {
@@ -511,7 +514,7 @@ object PQ {
     indexPath(spark, dir) + s"_incr$deltaMod"
 
   def incrParams(m: Int, kCodes: Int, iters: Int, deltaMod: Int): String =
-    s"pqincr:m=$m,k=$kCodes,iters=$iters,deltaMod=$deltaMod"
+    s"pqincr:m=$m,k=$kCodes,iters=$iters,deltaMod=$deltaMod,arith=d2"
 
   private def incrToken(spark: SparkSession, dir: String,
                         m: Int, kCodes: Int, iters: Int, deltaMod: Int): String =

@@ -335,11 +335,11 @@ object VectorIndex {
     * N — treat them as distinct rather than re-deriving N here).
     */
   def miningParams(nLists: Int, refineIters: Int): String =
-    s"mining:nLists=$nLists,refine=$refineIters"
+    s"mining:nLists=$nLists,refine=$refineIters,arith=d2"
 
   /** The dedup index's identity params (same contract). */
   def dedupParams(nLists: Int, nProbe: Int): String =
-    s"dedup:nLists=$nLists,nProbe=$nProbe"
+    s"dedup:nLists=$nLists,nProbe=$nProbe,arith=d2"
 
   def centroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/centroids")

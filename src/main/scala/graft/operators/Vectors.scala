@@ -85,10 +85,17 @@ object Vectors {
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       // DECIMAL sum, not avg(double): float accumulation order depends
       // on partitioning, so a plain avg makes the centroids — and any
-      // borderline probe ranking — differ run to run
+      // borderline probe ranking — differ run to run. The sum is cast
+      // to double BEFORE the divide (r14): decimal÷bigint semantics
+      // (result scale, HALF_UP point) are engine-specific, while
+      // "correctly-rounded decimal→double, then one IEEE division" is
+      // bit-identical on any engine — the sum's unscaled value stays
+      // under 2^53 at gate scales, so the cast is exact-rounded on
+      // both sides. This is what lets q19's oracle replay the mean
+      // centroids verbatim in DuckDB.
       .groupBy("label", "pos")
-      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(20, 10))) / count(lit(1)))
-        .cast("double").as("c"))
+      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(20, 10))).cast("double")
+        / count(lit(1))).as("c"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).cast("array<float>").as("cvec"))
@@ -247,12 +254,17 @@ object Vectors {
     cents
   }
 
-  /** Exact decimal-mean centroids of an assignment (cell, cvec). */
+  /** Exact decimal-mean centroids of an assignment (cell, cvec).
+    * Sum-then-cast-then-divide, not decimal division — see annIvf's
+    * centroid note: the IEEE double division is engine-portable where
+    * decimal÷bigint scale/rounding rules are not (what lets q41's
+    * Lloyd loop replay verbatim in the DuckDB oracle).
+    */
   private[graft] def centroidsOf(assign: DataFrame): DataFrame =
     assign.select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cell", "pos")
-      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(20, 10))) / count(lit(1)))
-        .cast("double").as("c"))
+      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(20, 10))).cast("double")
+        / count(lit(1))).as("c"))
       .groupBy("cell")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).cast("array<float>").as("cvec"))

@@ -53,8 +53,10 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("q03: runs never mix event types and concatenation is non-empty") {
     val df = operators.Sessions.concatRuns(spark, dir).cache()
-    assert(df.count() > 0)
-    assert(df.filter(length(col("joined_props")) === 0).count() == 0)
+    try {
+      assert(df.count() > 0)
+      assert(df.filter(length(col("joined_props")) === 0).count() == 0)
+    } finally df.unpersist() // the plan-shape test below must see a cache-free plan
   }
 
   test("q05: heatmap covers only valid dow/hour cells") {
