@@ -2149,7 +2149,7 @@ object SparkEntry {
          |       HAVING COUNT(*) >= 3),
          |pick AS (SELECT source, group_id FROM (
          |    SELECT source, group_id,
-         |      (((group_id % 2147483648) * 2654435761 + 42) % 4294967296) AS hkey FROM sz) h
+         |      ((((group_id % 2147483648 + 2147483648) % 2147483648) * 2654435761 + 42) % 4294967296) AS hkey FROM sz) h
          |  ORDER BY hkey, source, group_id LIMIT 1)
          |SELECT g.doc_id, g.source, g.group_id, d.lang, d.text
          |FROM grp g JOIN pick p ON g.source = p.source AND g.group_id = p.group_id
@@ -2161,7 +2161,11 @@ object SparkEntry {
     "q82_pseudonymize" -> {
       def lst(pool: Seq[String]): String =
         pool.map(s => "'" + s.replace("'", "''") + "'").mkString("[", ", ", "]")
-      def khashSql(c: String): String = s"((($c % 2147483648) * 2654435761) % 4294967296)"
+      // DuckDB's % is SIGNED (Spark side uses pmod) — the double-mod
+      // makes the pre-mask non-negative for ANY id, so engine-identity
+      // holds unconditionally, not just for ids >= 0 (ADVICE r14).
+      def khashSql(c: String): String =
+        s"(((($c % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296)"
       def pickSql(pool: Seq[String]): String =
         s"${lst(pool)}[CAST(${khashSql("e.event_id")} % ${pool.size} AS INT) + 1]"
       import operators.Curation.Pseudonyms._

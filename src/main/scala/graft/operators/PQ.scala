@@ -352,7 +352,7 @@ object PQ {
     VectorIndex.defaultPath(spark, dir) + "_ivfpq"
 
   def ivfPqParams(m: Int, kCodes: Int, iters: Int, nLists: Int): String =
-    s"ivfpq:m=$m,k=$kCodes,iters=$iters,nLists=$nLists"
+    s"ivfpq:m=$m,k=$kCodes,iters=$iters,nLists=$nLists,arith=d2"
 
   private def ivfPqToken(spark: SparkSession, dir: String,
                          m: Int, kCodes: Int, iters: Int, nLists: Int): String =
@@ -685,7 +685,7 @@ object PQ {
     ivfPqIndexPath(spark, dir) + s"_incr$deltaMod"
 
   def ivfPqIncrParams(m: Int, kCodes: Int, iters: Int, nLists: Int, deltaMod: Int): String =
-    s"ivfpqincr:m=$m,k=$kCodes,iters=$iters,nLists=$nLists,deltaMod=$deltaMod"
+    s"ivfpqincr:m=$m,k=$kCodes,iters=$iters,nLists=$nLists,deltaMod=$deltaMod,arith=d2"
 
   private def ivfPqIncrToken(spark: SparkSession, dir: String, m: Int, kCodes: Int,
                              iters: Int, nLists: Int, deltaMod: Int): String =

@@ -48,8 +48,23 @@ object StreamHarness {
     */
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // The single-sentinel end-of-input pattern REQUIRES the engine's
+    // no-data micro-batch (the watermark advance at batch end schedules
+    // one extra batch that evicts/emits closed state). It is on by
+    // default, but a session that disabled it would make final
+    // sessions/windows silently never emit — pin it for the harness
+    // scope and restore after (ADVICE r14 item 2).
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.getOption(ndKey)
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.conf.set(ndKey, "true")
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      ndPrev match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None    => spark.conf.unset(ndKey)
+      }
+    }
   }
 
   /** Pin a state-store PROVIDER for a stream started inside `body`
