@@ -262,6 +262,177 @@ object SparkEntry {
     """list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))""".stripMargin
 
+  // ── q67-family replay oracles (r15 graduation — the q19/q41 replay
+  // argument extended to the full IVF-PQ pipeline: codebooks → codes →
+  // LUT → ADC ranking). Every arithmetic step is engine-portable:
+  //   · l2_sq (PqExpressions.L2Squared) is a SEQUENTIAL double fold
+  //     over dsub=8 elements — replayed as a left-associated SQL sum of
+  //     exact float→double element differences (SQL `+` parses
+  //     left-associative, which IS the kernel's loop order, and IEEE
+  //     double addition is deterministic given an order);
+  //   · codebook refinement is q41's Lloyd arithmetic verbatim: decimal
+  //     sums with the double-promoted float cast, ONE IEEE division, a
+  //     float cast — plus the grid/sentinel/starvation structure of
+  //     PQ.codebooks (never-seeded codes carry the Float.MaxValue
+  //     far-point, starved codewords keep their previous-round
+  //     centroid);
+  //   · the ADC lookup-sum (PqExpressions.PqAdcScore) is the same
+  //     left-fold over m=8 LUT reads, replayed by pivoting the m
+  //     per-subspace distances to columns and summing left-associated;
+  //   · the coarse quantizer at gate scales is the FLAT path (lists =
+  //     max(16, n/125) ≤ 64 ⇔ corpus ≤ 8125 vectors — all gate SFs):
+  //     member seeds (refinedCentroids at iters=0 — the seeds ARE the
+  //     centroids) + rounded-cosine top-N with cell tie-break, the
+  //     proven q19b pattern.
+  // Valid at the wired defaults (m=8, kCodes=16, dsub=8, iters=1) and
+  // the flat assignment path; beyond that the planted twin q67g and the
+  // PqSpec value-identity laws remain the algorithm-independent anchors
+  // (the q29b/q29d layering, documented in VERDICT r14 item 4). ────────
+
+  /** L2Squared replay: left-fold of (a[i]-b[i])² over the dsub=8
+    * elements, promoting each float through double exactly as the
+    * kernel's getFloat(i).toDouble does.
+    */
+  private def pqL2Sql(a: String, b: String): String =
+    (1 to 8).map(i =>
+      s"((CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE)) * (CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE)))")
+      .reduce((x, y) => s"($x + $y)")
+
+  /** PQ.codebooks' FAR-POINT sentinel: Float.MaxValue components
+    * (3.4028234663852886e38 is Float.MaxValue's shortest decimal —
+    * the float cast recovers it exactly on both engines).
+    */
+  private val pqSentinelSql: String =
+    Seq.fill(8)("CAST(3.4028234663852886e38 AS FLOAT)").mkString("[", ", ", "]")
+
+  /** The PQ training + encode + LUT pipeline as WITH-clauses:
+    * subvectors → residue seeds on the training corpus (`trainWhere`
+    * filters it; empty = full corpus) → one Lloyd round of decimal
+    * means with grid/sentinel/starvation fallback → final books →
+    * `enc` (per-(vec,s) code over the FULL corpus — encoding is a pure
+    * per-vector function of the frozen books, so encoding everything
+    * and filtering later equals the engine's delta-only encode) and
+    * `ld` (per-query LUT distances).
+    */
+  private def pqCtesSql(trainWhere: String): String =
+    s"""subs AS (
+       |  SELECT e.vec_id, CAST(t.s AS INT) AS s,
+       |    list_slice(e.embedding, CAST(t.s*8+1 AS INT), CAST(t.s*8+8 AS INT)) AS sv
+       |  FROM embeddings e, (SELECT unnest(range(8)) AS s) t),
+       |tsubs AS (SELECT * FROM subs $trainWhere),
+       |grid AS (SELECT CAST(a.s AS INT) AS s, CAST(b.code AS INT) AS code
+       |         FROM (SELECT unnest(range(8)) AS s) a, (SELECT unnest(range(16)) AS code) b),
+       |seeds AS (
+       |  SELECT s, CAST(code AS INT) AS code, sv AS cvec FROM (
+       |    SELECT s, vec_id % 16 AS code, sv,
+       |      ROW_NUMBER() OVER (PARTITION BY s, vec_id % 16 ORDER BY vec_id) AS rn
+       |    FROM tsubs) t WHERE rn = 1),
+       |b0 AS (
+       |  SELECT g.s, g.code, COALESCE(sd.cvec, $pqSentinelSql) AS cvec
+       |  FROM grid g LEFT JOIN seeds sd ON sd.s = g.s AND sd.code = g.code),
+       |a1 AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT u.vec_id, u.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.s ORDER BY ${pqL2Sql("u.sv", "b.cvec")}, b.code) AS rk
+       |    FROM tsubs u JOIN b0 b ON b.s = u.s) t WHERE rk = 1),
+       |rx AS (
+       |  SELECT a.s, a.code, unnest(u.sv) AS v, unnest(range(len(u.sv))) AS pos
+       |  FROM a1 a JOIN tsubs u ON u.vec_id = a.vec_id AND u.s = a.s),
+       |rm AS (
+       |  SELECT s, code, pos,
+       |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM rx GROUP BY s, code, pos),
+       |rl AS (SELECT s, code, list(CAST(c AS FLOAT) ORDER BY pos) AS cvec FROM rm GROUP BY s, code),
+       |books AS (
+       |  SELECT g.s, g.code, COALESCE(r.cvec, p.cvec) AS cvec
+       |  FROM grid g LEFT JOIN rl r ON r.s = g.s AND r.code = g.code
+       |  LEFT JOIN b0 p ON p.s = g.s AND p.code = g.code),
+       |enc AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT u.vec_id, u.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.s ORDER BY ${pqL2Sql("u.sv", "b.cvec")}, b.code) AS rk
+       |    FROM subs u JOIN books b ON b.s = u.s) t WHERE rk = 1),
+       |ld AS (
+       |  SELECT u.vec_id AS query_id, u.s, b.code, ${pqL2Sql("u.sv", "b.cvec")} AS d
+       |  FROM subs u JOIN books b ON b.s = u.s WHERE u.vec_id < 5)""".stripMargin
+
+  /** The IVF half of q67b/q67f: member-seeded cells over `temb` (the
+    * structure-training corpus, supplied as a CTE by the caller),
+    * top-1 assignment of the FULL corpus to the frozen cells, top-3
+    * query probes, and the cell-pruned candidate `pairs`.
+    */
+  private val pqIvfCtesSql: String =
+    """p0 AS (SELECT GREATEST(16, CAST(COUNT(*) // 125 AS INT)) AS lists FROM temb),
+      |cseeds AS (
+      |  SELECT cell, cvec FROM (
+      |    SELECT CAST(e.vec_id % p.lists AS INT) AS cell, e.embedding AS cvec,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id % p.lists ORDER BY e.vec_id) AS rn
+      |    FROM temb e, p0 p) t WHERE rn = 1),
+      |vcell AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) AS rk
+      |    FROM embeddings e, cseeds c) t WHERE rk = 1),
+      |qprobe AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) AS rk
+      |    FROM embeddings e, cseeds c WHERE e.vec_id < 5) t WHERE rk <= 3),
+      |pairs AS (
+      |  SELECT qp.query_id, vc.vec_id
+      |  FROM qprobe qp JOIN vcell vc ON vc.cell = qp.cell
+      |  WHERE vc.vec_id <> qp.query_id)""".stripMargin
+
+  /** PqAdcScore replay over the candidate `pairs`: join each pair's m
+    * per-subspace LUT distances, pivot to columns, sum left-associated
+    * (the kernel's s=0..7 accumulation order), round to 6dp, rank.
+    */
+  private val pqAdcTailSql: String = {
+    val seqSum = (0 until 8).map(s => s"MAX(CASE WHEN s = $s THEN d END)")
+      .reduce((a, b) => s"($a + $b)")
+    s"""pd AS (
+       |  SELECT p.query_id, p.vec_id, e.s, l.d
+       |  FROM pairs p JOIN enc e ON e.vec_id = p.vec_id
+       |  JOIN ld l ON l.query_id = p.query_id AND l.s = e.s AND l.code = e.code),
+       |adc AS (
+       |  SELECT query_id, vec_id, round($seqSum, 6) AS adc
+       |  FROM pd GROUP BY query_id, vec_id)
+       |SELECT query_id, vec_id, adc, CAST(rk AS INT) AS rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM adc) t
+       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** q67/q67c: full-corpus PQ scan — every (query, corpus) pair. */
+  private def pqTopKSql: String =
+    s"""WITH ${pqCtesSql("")},
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id
+       |  FROM embeddings q, embeddings e
+       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |$pqAdcTailSql""".stripMargin
+
+  /** q67b/q67d (trainWhere = ""): structure + books over the full
+    * corpus. q67f (trainWhere = the base filter): structure + books
+    * frozen on the base corpus, all vectors assigned/encoded under
+    * them — increments commute, so base ∪ delta equals the full
+    * frozen-structure scan the engine's probe performs.
+    */
+  private def pqIvfTopKSql(trainWhere: String): String =
+    s"""WITH ${pqCtesSql(trainWhere)},
+       |temb AS (SELECT vec_id, embedding FROM embeddings $trainWhere),
+       |$pqIvfCtesSql,
+       |$pqAdcTailSql""".stripMargin
+
+  /** q67e: the delta's codes under base-frozen books, printed exactly
+    * as the Spark side's to_json(ARRAY<INT>).
+    */
+  private def pqEncodeIncrSql: String =
+    s"""WITH ${pqCtesSql("WHERE vec_id % 16 <> 0")}
+       |SELECT vec_id, '[' || string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) || ']' AS codes_csv
+       |FROM enc WHERE vec_id % 16 = 0 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
@@ -1968,6 +2139,20 @@ object SparkEntry {
     "q67g_ivfpq_planted" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS vec_id, 1 AS rk
         |FROM embeddings WHERE vec_id < 5 ORDER BY 1""".stripMargin,
+    // q67 family: graduated from rows-only in r15 — the full PQ/IVF-PQ
+    // pipeline replayed in DuckDB (see the pqCtesSql block's portability
+    // argument). q67c/q67d share q67/q67b's oracle verbatim: the
+    // persisted index is value-identical by spec (PqSpec), persistence
+    // changes where bytes live, never what they are. q67f's oracle
+    // trains structure + books on the base corpus (vec_id % 16 <> 0) and
+    // scans the frozen-structure union — exactly the engine's
+    // base ∪ delta probe by the increments-commute law.
+    "q67_pq_topk" -> pqTopKSql,
+    "q67c_pq_indexed" -> pqTopKSql,
+    "q67b_ivfpq_topk" -> pqIvfTopKSql(""),
+    "q67d_ivfpq_indexed" -> pqIvfTopKSql(""),
+    "q67f_ivfpq_incr" -> pqIvfTopKSql("WHERE vec_id % 16 <> 0"),
+    "q67e_pq_encode_incr" -> pqEncodeIncrSql,
     "q48_ivf_persisted" ->
       """WITH seeds AS (
         |  SELECT label, embedding FROM (
