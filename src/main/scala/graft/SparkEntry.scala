@@ -142,6 +142,9 @@ object SparkEntry {
     // columnar seam) — the multimodal family's driver-gate rows
     "q34b_media_decode"     -> ((s, d) => Multimodal.mediaDecodeFeatures(s, d)),
     "q34c_media_arrow"      -> ((s, d) => Multimodal.mediaDecodeFeaturesArrow(s, d)),
+    // q34d: the decoded media column as a JOIN DIMENSION — GRID
+    // decode → brightness band → join with q31 text quality
+    "q34d_media_quality"    -> ((s, d) => Multimodal.mediaQualityJoin(s, d)),
     "q49_text_encode"       -> ((s, d) => TextEncoder.encodePipeline(s, d)),
     "q35_bpe_tokens"        -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
     "q50_cluster_details"  -> ((s, d) => Analytics.clusterDetails(s, d)),
@@ -1181,6 +1184,37 @@ object SparkEntry {
         |FROM px
         |GROUP BY doc_id, source
         |ORDER BY doc_id""".stripMargin,
+    // q34d: the composed multimodal pipeline — pixel features
+    // re-derived from doc_id (q34b's planting discipline), quality
+    // from text (q31's formula), joined on doc_id and aggregated per
+    // (brightness band, lang). Integer division via DuckDB's `//`
+    // matches the Spark side's Long division (all values ≥ 0);
+    // avg_px is one IEEE division over two exact integer sums.
+    "q34d_media_quality" ->
+      s"""WITH px AS (
+         |  SELECT d.doc_id,
+         |         CAST(SUM(((d.doc_id % 256) + 7 * r.i) % 256) AS BIGINT) AS pixel_sum,
+         |         COUNT(*) AS n_pixels
+         |  FROM documents d
+         |  JOIN range(0, 832) r(i)
+         |    ON r.i < (4 + (d.doc_id % 29)) * (4 + (d.doc_id % 23))
+         |  GROUP BY d.doc_id),
+         |q AS (
+         |  SELECT doc_id, lang, wc,
+         |         round(CAST(n_stop AS DOUBLE) / wc * 0.5
+         |               + LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) * 0.5, 6) AS quality
+         |  FROM (SELECT doc_id, lang, text, $wcSql AS wc,
+         |          len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS n_stop
+         |        FROM documents) t)
+         |SELECT CAST((px.pixel_sum // px.n_pixels) // 64 AS INT) AS band, q.lang,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(px.n_pixels) AS BIGINT) AS total_pixels,
+         |       CAST(SUM(px.pixel_sum) AS DOUBLE) / SUM(px.n_pixels) AS avg_px,
+         |       CAST(SUM(CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_q,
+         |       CAST(SUM(q.wc) AS BIGINT) AS total_wc
+         |FROM px JOIN q ON px.doc_id = q.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
     // q33b: the oracle groups by TEXT — same structure the engine
     // derives from 64-bit fingerprints (collision-free on the gate
     // corpora, deterministic; planted copies recover with certainty).

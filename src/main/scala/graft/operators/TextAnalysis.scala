@@ -56,23 +56,32 @@ object TextAnalysis {
         (sum("wc").cast("double") / count(lit(1))).as("avg_tokens_per_doc"))
       .orderBy("lang")
 
-  /** q31: per-doc quality score — stopword ratio + length score,
-    * the length/punct/stopword heuristic family used for pretraining
-    * data filtering. Fixed-order double arithmetic.
+  /** Per-doc quality WITHOUT the presentation sort — the join-ready
+    * internal shape shared by q31 (which only adds the ORDER BY) and
+    * the multimodal quality join (q34d), which must not pay a global
+    * sort on its build side. Carries `lang` so downstream dims don't
+    * need a second `documents` scan.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityPerDoc(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), wordCount.as("wc"), nStop.as("n_stop"))
+      .select(col("doc_id"), col("lang"), col("text"), wordCount.as("wc"), nStop.as("n_stop"))
       // try_divide: a zero-word doc must yield NULL (DuckDB's double/0
       // semantics), not an ANSI DIVIDE_BY_ZERO abort of the whole job
       .withColumn("stop_ratio", try_divide(col("n_stop").cast("double"), col("wc")))
       .withColumn("len_score", least(lit(1.0), length(col("text")).cast("double") / 500.0))
       .withColumn("quality", round(col("stop_ratio") * 0.5 + col("len_score") * 0.5, 6))
+  }
+
+  /** q31: per-doc quality score — stopword ratio + length score,
+    * the length/punct/stopword heuristic family used for pretraining
+    * data filtering. Fixed-order double arithmetic.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityPerDoc(spark, dir)
       .select("doc_id", "wc", "n_stop", "stop_ratio", "len_score", "quality")
       .orderBy("doc_id")
-  }
 
   /** q32: n-gram-heuristic language ID vs the labeled `lang` —
     * stopword-hit voting with a deterministic tie order, reported as

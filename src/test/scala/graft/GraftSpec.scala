@@ -251,6 +251,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.count() == Tables.documents(spark, dir).count())
   }
 
+  test("q34d: media quality join keeps every doc and derives bands from decoded pixels") {
+    val df = operators.Multimodal.mediaQualityJoin(spark, dir).cache()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(df.agg(sum("n_docs")).head.getLong(0) == nDocs,
+      "the decoded-media dimension must join 1:1 against every document")
+    assert(df.filter(col("band") < 0 || col("band") > 3).count() == 0,
+      "mean pixel in 0..255 -> band in 0..3")
+    // each group's avg_px must sit inside its own band's value range
+    assert(df.filter(col("avg_px") < col("band") * 64 - 1 ||
+                     col("avg_px") >= (col("band") + 1) * 64 + 64).count() == 0,
+      "group avg must be near its band (bands partition per-doc means, group avg stays within one band width)")
+    // the join must not drop or duplicate quality mass: total_wc equals
+    // the quality side's direct sum
+    val direct = operators.TextAnalysis.qualityPerDoc(spark, dir).agg(sum("wc")).head.getLong(0)
+    assert(df.agg(sum("total_wc")).head.getLong(0) == direct)
+  }
+
   test("bucketed tables co-locate the orders-lineitem join: zero shuffles in the plan") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
