@@ -38,11 +38,18 @@ object Curation {
     * instead of stacking them until memory eviction. Stopped
     * sessions evicted on touch (Tables' leak-bounding rule).
     */
+  // Keyed by SparkContext, not SparkSession: CacheManager (the thing
+  // the registry fronts) lives in the session's sharedState, which
+  // Structured Streaming's per-query session CLONES share with their
+  // parent. Keying by session object let a foreachBatch clone
+  // register a same-plan entry under its own key, which then kept a
+  // stale CacheManager entry "still served" across an index fold's
+  // invalidation (r15: the q80b lifecycle spec caught exactly this).
   private val persistRegistry =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), DataFrame]()
 
   private[graft] def registerPersist(spark: SparkSession, key: String, df: DataFrame): DataFrame = {
-    persistRegistry.keySet.removeIf(_._1.sparkContext.isStopped)
+    persistRegistry.keySet.removeIf(_._1.isStopped)
     // Cache identity is PLAN-based (CacheManager keys on canonicalized
     // plans, not DataFrame objects), which made the original
     // persist-then-unpersist-previous sequence self-defeating: a
@@ -60,7 +67,7 @@ object Curation {
     // DataFrame (different plan → sameResult false → re-persist);
     // files mutating under an unchanged path mid-session are already
     // stale territory for Spark's own FileIndex snapshot.
-    val prev = Option(persistRegistry.get((spark, key)))
+    val prev = Option(persistRegistry.get((spark.sparkContext, key)))
     prev match {
       // the CacheManager probe guards against EXTERNAL eviction
       // (clearCache in a test, memory-pressure unpersist by an
@@ -72,7 +79,7 @@ object Curation {
                p.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isDefined => p
       case _ =>
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        Option(persistRegistry.put((spark, key), p)).foreach { old =>
+        Option(persistRegistry.put((spark.sparkContext, key), p)).foreach { old =>
           val oldPlan = old.queryExecution.analyzed
           val stillServed = persistRegistry.values.stream()
             .anyMatch(v => v.queryExecution.analyzed.sameResult(oldPlan))
@@ -81,6 +88,32 @@ object Curation {
         p
     }
   }
+
+  /** Registry lookup WITHOUT constructing a candidate plan: returns
+    * the live cached frame for `key`, or None if absent or externally
+    * evicted. The cheap path for per-micro-batch consumers — a map
+    * probe instead of a fresh `spark.read` (whose file listing is the
+    * cost the cache exists to avoid).
+    */
+  private[graft] def persistLookup(spark: SparkSession, key: String): Option[DataFrame] =
+    Option(persistRegistry.get((spark.sparkContext, key))).filter(p =>
+      spark.sharedState.cacheManager.lookupCachedData(
+        p.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isDefined)
+
+  /** Drop a registry entry and unpersist its data unless another key
+    * still serves the same plan. Needed by index lifecycles that
+    * REWRITE files under an unchanged path (FunnelIndex build/fold):
+    * a cached read-plan would otherwise serve the pre-rewrite rows —
+    * CacheManager keys on the canonicalized plan, which does not see
+    * the new file listing.
+    */
+  private[graft] def invalidatePersist(spark: SparkSession, key: String): Unit =
+    Option(persistRegistry.remove((spark.sparkContext, key))).foreach { old =>
+      val oldPlan = old.queryExecution.analyzed
+      val stillServed = persistRegistry.values.stream()
+        .anyMatch(v => v.queryExecution.analyzed.sameResult(oldPlan))
+      if (!stillServed) old.unpersist(false)
+    }
 
   private[graft] def grams3(docs: DataFrame): DataFrame = {
     val toks = col("toks")
@@ -463,6 +496,52 @@ object Curation {
     def params(deltaMod: Int, benchMod: Int, nBuckets: Int): String =
       s"funnel:deltaMod=$deltaMod,benchMod=$benchMod,nBuckets=$nBuckets"
 
+    private def cacheKeys(dir: String): Seq[String] =
+      Seq(s"funnelIndex.hashes|$dir", s"funnelIndex.shingles|$dir")
+
+    /** Registry-persisted reads of the index's frozen components —
+      * a stream gates every micro-batch against these, and the bare
+      * per-batch `spark.read.parquet` re-paid file listing + footer
+      * reads each time (r14 q80b job audit: a 60-path listing job per
+      * batch). One live cached copy per dir; `build` and `foldStore`
+      * invalidate it, because both rewrite files under the SAME path
+      * and a plan-keyed cache would otherwise serve pre-rewrite rows.
+      */
+    def loadCached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      val p = path(spark, dir)
+      val Seq(hk, sk) = cacheKeys(dir)
+      // coalesce before persist: the on-disk layouts optimize for
+      // PRUNED reads (hashes: one file per build shuffle partition;
+      // shingles: one dir per pblk bucket → ~60-90 splits), but a
+      // cached frame is scanned IN FULL by every micro-batch, where
+      // 60+ tiny cache partitions cost a task launch each per gate
+      // leg. 8 partitions keeps the scan parallel without the
+      // per-task overhead dominating index-sized (not corpus-sized)
+      // frames.
+      (registerPersist(spark, hk, spark.read.parquet(s"$p/hashes").coalesce(8)),
+       registerPersist(spark, sk, spark.read.parquet(s"$p/shingles")
+         .select("doc_id", "sh", "blk", "pblk").coalesce(8)))
+    }
+
+    /** The per-micro-batch accessor: the registry's CURRENT frames
+      * via a map probe when live, a lazy reload otherwise. Callers
+      * must fetch per batch (not freeze frames in a long-lived
+      * context): `compact`/`build` invalidate the entries when they
+      * rewrite files, and the next fetch re-lists — a frozen frame
+      * would keep serving the pre-rewrite FileIndex snapshot
+      * (CompactionSpec gates on an old ctx across a fold).
+      */
+    def cached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      val Seq(hk, sk) = cacheKeys(dir)
+      (persistLookup(spark, hk), persistLookup(spark, sk)) match {
+        case (Some(h), Some(s)) => (h, s)
+        case _ => loadCached(spark, dir)
+      }
+    }
+
+    private def invalidateCached(spark: SparkSession, dir: String): Unit =
+      cacheKeys(dir).foreach(invalidatePersist(spark, _))
+
     private def watermark(spark: SparkSession, dir: String,
                           deltaMod: Int, benchMod: Int, nBuckets: Int): String =
       Tables.sourceToken(spark, dir, "documents") + "\nparams|" +
@@ -483,6 +562,7 @@ object Curation {
     def build(spark: SparkSession, dir: String, path: String,
               deltaMod: Int, benchMod: Int, nBuckets: Int): Unit = {
       graft.functions.GraftFunctions.register(spark)
+      invalidateCached(spark, dir)
       // snapshot BEFORE reading (VectorIndex.build's ordering: a
       // source rewrite DURING the build leaves the index stale-marked)
       val token = watermark(spark, dir, deltaMod, benchMod, nBuckets)
@@ -526,6 +606,7 @@ object Curation {
       */
     def foldStore(spark: SparkSession, dir: String, statePath: String,
                   nBuckets: Int): Unit = {
+      invalidateCached(spark, dir)
       val path = FunnelIndex.path(spark, dir)
       val fs = VectorIndex.fsFor(spark, path)
       val sHashes = new org.apache.hadoop.fs.Path(s"$statePath/hashes")
@@ -615,7 +696,8 @@ object Curation {
                                 corpusHashes: DataFrame, corpusShingles: DataFrame,
                                 benchGrams: DataFrame, benchMod: Int,
                                 minPass: Int, threshold: Double,
-                                nBuckets: Int): DataFrame = {
+                                nBuckets: Int,
+                                pruneBuckets: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val scored = TextAnalysis.gopherScored(
         delta.select("doc_id", "source", "text"), Seq("doc_id", "source"))
@@ -633,12 +715,20 @@ object Curation {
     val deltaSh = Dedup.docShinglesOn(spark, delta)
       .withColumn("blk", element_at(col("sh"), 1))
     // bounded driver collect: ≤ nBuckets bucket ids decide which
-    // index partitions the probe reads — partition pruning, not a scan
-    val pblks = deltaSh
-      .select(pmod(xxhash64(col("blk")), lit(nBuckets)).cast("int").as("pblk"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val corpusSh = corpusShingles
-      .filter(col("pblk").isin(pblks: _*)).select("doc_id", "sh", "blk")
+    // index partitions the probe reads — partition pruning, not a
+    // scan. `pruneBuckets = false` skips the collect entirely: the
+    // filter is an IO-only optimization (pblk is a function of blk,
+    // so pruned rows can never match the blk-keyed join), and against
+    // a CACHED corpus side (the stream's per-batch gate) the pruning
+    // job costs more than the filter saves — a micro-batch delta
+    // touches most buckets anyway.
+    val corpusSh =
+      if (pruneBuckets) {
+        val pblks = deltaSh
+          .select(pmod(xxhash64(col("blk")), lit(nBuckets)).cast("int").as("pblk"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        corpusShingles.filter(col("pblk").isin(pblks: _*)).select("doc_id", "sh", "blk")
+      } else corpusShingles.select("doc_id", "sh", "blk")
     val dprobe = deltaSh
       .select(col("blk"), col("doc_id").as("d"), col("sh").as("dsh"))
     val oldNear = corpusSh.join(dprobe, "blk")
@@ -646,25 +736,47 @@ object Curation {
       .filter(col("doc_id") < col("d"))
     val nearDup = oldNear.select(col("d"), col("sh"), col("dsh"))
       .unionByName(deltaNear.select(col("d"), col("sh"), col("dsh")))
+      // Jaccard length filter (PPJoin's size bound, q40's discipline):
+      // jac(A,B) ≤ min/max, so jac ≥ t requires min(|A|,|B|) ≥
+      // t·max(|A|,|B|) — a codegen'd two-size compare that drops the
+      // bulk of the hot-block candidate pairs (first-shingle blocks
+      // collide heavily: ~230 pairs/delta doc at sf0.1) before the
+      // O(|A|+|B|) string-merge intersect pays for them. The 0.5
+      // slack keeps the bound strictly conservative under the gate's
+      // 6dp-rounded comparison (a pair whose exact jac sits just
+      // below t can round UP to t; sizes are integers, so half a
+      // shingle of slack covers any representable rounding gap).
+      .filter(least(size(col("sh")), size(col("dsh"))).cast("double") >=
+        lit(threshold) * greatest(size(col("sh")), size(col("dsh"))) - lit(0.5))
       .withColumn("c", expr("intersect_count_sorted(sh, dsh)"))
       .withColumn("jac", round(col("c").cast("double") /
         (size(col("sh")) + size(col("dsh")) - col("c")), 6))
       .filter(col("jac") >= threshold)
       .select(col("d").as("doc_id")).distinct()
       .withColumn("is_near_dup", lit(true))
+    // membership in (benchGrams ∪ benchNew) tested as TWO broadcast
+    // left joins instead of union+distinct+join: the old spelling
+    // re-shuffled the FULL bench gram set per call to dedup the union,
+    // which a streaming caller pays per micro-batch. g ∈ A∪B ⟺
+    // (g ∈ A) ∨ (g ∈ B), and with both right sides gram-distinct a
+    // left join cannot multiply rows, so count(coalesce(h1,h2)) is
+    // exactly the old count(hit). PRECONDITION: benchGrams arrives
+    // distinct — both callers guarantee it (FunnelIndex.build and
+    // DecontamStream.benchFrame end in .distinct()); benchNew is
+    // delta-sized, deduped here.
     val benchNew = grams3(
         delta.filter(col("doc_id") % benchMod === 0).select("doc_id", "text"))
-      .select(explode(col("g3")).as("g"))
-    val benchSet = benchGrams.union(benchNew).distinct()
+      .select(explode(col("g3")).as("g")).distinct()
     // 0.3 = decontaminate's default threshold (the gate funnelDelta
     // composes); funnelDelta's `threshold` param is the NEAR-DUP knob
     val contam = grams3(
         delta.filter(col("doc_id") % benchMod =!= 0).select("doc_id", "text"))
       .select(col("doc_id"), size(col("g3")).as("n_grams"),
         explode_outer(col("g3")).as("g"))
-      .join(broadcast(benchSet.withColumn("hit", lit(1))), Seq("g"), "left")
+      .join(broadcast(benchGrams.withColumn("h1", lit(1))), Seq("g"), "left")
+      .join(broadcast(benchNew.withColumn("h2", lit(1))), Seq("g"), "left")
       .groupBy("doc_id", "n_grams")
-      .agg(count(col("hit")).as("n_overlap"))
+      .agg(count(coalesce(col("h1"), col("h2"))).as("n_overlap"))
       .withColumn("rate", try_divide(col("n_overlap").cast("double"), col("n_grams")))
       .select(col("doc_id"),
         coalesce(col("rate") >= lit(0.3), lit(false)).as("contaminated"))

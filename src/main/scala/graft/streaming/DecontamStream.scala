@@ -93,8 +93,31 @@ object DecontamStream {
   private[streaming] def bandCols(k: Int, bands: Int) =
     graft.operators.Dedup.bandCols(k, bands)
 
+  /** One live FuzzyBenchIndex per (session, source-state, params):
+    * the index is a pure function of the documents source, and the
+    * build's driver collect was re-paid on every FunnelStream.load /
+    * bench pass. Keyed by Tables.sourceToken so a source override or
+    * file rewrite rebuilds instead of serving stale bench shingles;
+    * stopped sessions evicted on touch (the persist registry's rule).
+    */
+  private val fuzzyCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, FuzzyBenchIndex)]()
+
   def loadBenchFuzzy(spark: SparkSession, dir: String, benchMod: Int = 97,
                      k: Int = 32, bands: Int = 8): FuzzyBenchIndex = {
+    val token = graft.Tables.sourceToken(spark, dir, "documents")
+    fuzzyCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    // one live entry per params key; a token change REPLACES it (the
+    // one-live-copy rule — stale entries must not accumulate)
+    fuzzyCache.compute((spark, s"$dir|$benchMod|$k|$bands"), (_, prev) =>
+      prev match {
+        case (t, _) if t == token => prev
+        case _ => (token, buildBenchFuzzy(spark, dir, benchMod, k, bands))
+      })._2
+  }
+
+  private def buildBenchFuzzy(spark: SparkSession, dir: String, benchMod: Int,
+                              k: Int, bands: Int): FuzzyBenchIndex = {
     require(bands > 0 && k % bands == 0, s"k ($k) must be a positive multiple of bands ($bands)")
     GraftFunctions.register(spark)
     val bench = graft.Tables.documents(spark, dir)

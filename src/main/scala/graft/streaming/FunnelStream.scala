@@ -79,6 +79,12 @@ object FunnelStream {
     if (!Curation.FunnelIndex.fresh(spark, dir, path, deltaMod, benchMod, nBuckets))
       Curation.FunnelIndex.build(spark, dir, path, deltaMod, benchMod, nBuckets)
     val bench = DecontamStream.benchFrame(spark, dir, benchMod)
+    // warm the index-side cache: gateBatch fetches the registry's
+    // CURRENT copy per batch (FunnelIndex.cached), so micro-batches
+    // pay a map probe instead of a file listing, while build/fold —
+    // which rewrite files under the same path — invalidate and the
+    // next batch re-lists (a ctx outliving a compact stays correct)
+    Curation.FunnelIndex.loadCached(spark, dir)
     Ctx(dir, statePath, benchMod, minPass, threshold, nBuckets, bench,
       DecontamStream.loadBenchFuzzy(spark, dir, benchMod),
       if (withAnn) Some(PqStream.loadIndex(spark, dir)) else None,
@@ -123,15 +129,19 @@ object FunnelStream {
   def gateBatch(ctx: Ctx, batch: DataFrame,
                 beforeBatch: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
-    val ipath = Curation.FunnelIndex.path(spark, ctx.dir)
-    val hashes = spark.read.parquet(s"$ipath/hashes")
+    val (corpusHashes, corpusShingles) = Curation.FunnelIndex.cached(spark, ctx.dir)
+    val hashes = corpusHashes
       .unionByName(storeRead(spark, s"${ctx.statePath}/hashes", "h STRING", beforeBatch))
-    val shingles = spark.read.parquet(s"$ipath/shingles")
+    val shingles = corpusShingles
       .unionByName(storeRead(spark, s"${ctx.statePath}/shingles",
         "doc_id BIGINT, sh ARRAY<STRING> NOT NULL, blk STRING, pblk INT", beforeBatch))
+    // pruneBuckets = false: the corpus side is CACHED (Ctx), so the
+    // bucket-prune's per-batch collect job costs more than its filter
+    // saves — see funnelGate's parameter doc
     val verdicts = Curation.funnelGate(spark, batch.select("doc_id", "source", "text"),
       hashes, shingles, ctx.benchGrams,
-      ctx.benchMod, ctx.minPass, ctx.threshold, ctx.nBuckets)
+      ctx.benchMod, ctx.minPass, ctx.threshold, ctx.nBuckets,
+      pruneBuckets = false)
     val fuzzy = DecontamStream.gateFuzzy(ctx.fuzzy, batch.select("doc_id", "text")).toDF()
       .select(col("doc_id"), col("contaminated").as("fuzzy_contaminated"))
     val ann = ctx.ann match {

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Curation, Dedup, Messages, PQ, Sessions, VectorIndex, Vectors}
+import graft.operators.{Curation, Dedup, Messages, Multimodal, PQ, Sessions, VectorIndex, Vectors}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -49,7 +49,11 @@ object ScaleProbe {
       f(dir).write.format("noop").mode("overwrite").save()
       println(f"$name @ $dir: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    Seq(src, dst).foreach { d =>
+    // `r15` arg: skip the long-established 10× section and run only
+    // the r15 additions (GRID decode / media join / IVF replay at
+    // 10×, plus the 100× dedup-core spot check below)
+    val only15 = args.contains("r15")
+    if (!only15) Seq(src, dst).foreach { d =>
       time("q01 sessionize ", d)(Sessions.temporalSessions(spark, _))
       time("q01b chunked   ", d)(Sessions.sessionizedChunked(spark, _))
       time("q26 ngram dedup", d)(Dedup.dedupNgram(spark, _))
@@ -105,15 +109,50 @@ object ScaleProbe {
     // the bands (same total nBits budget family) restores bounded
     // buckets, exactly like growing nLists for IVF cells. Measure
     // the cliff and the remedy at 10x.
-    time("q44 4x8bit     ", src)(Dedup.dedupEmbeddingLshPlanted(spark, _))
-    time("q44 4x8bit     ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _))
-    time("q44 4x12bit    ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _, nBits = 48, bands = 4))
-    // q12's 10x slope is dominated by its OUTPUT semantics: the
-    // synthesized copies share (day, k) buckets, so co-user lists
-    // grow 10x for 10x the users — ~100x output cells (measured 25x
-    // wall). The maxBucket cap is the production knob for exactly
-    // this blowup:
-    time("q12 capped @200", dst)(Messages.recipients(spark, _, maxBucket = 200))
+    if (!only15) {
+      time("q44 4x8bit     ", src)(Dedup.dedupEmbeddingLshPlanted(spark, _))
+      time("q44 4x8bit     ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _))
+      time("q44 4x12bit    ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _, nBits = 48, bands = 4))
+      // q12's 10x slope is dominated by its OUTPUT semantics: the
+      // synthesized copies share (day, k) buckets, so co-user lists
+      // grow 10x for 10x the users — ~100x output cells (measured 25x
+      // wall). The maxBucket cap is the production knob for exactly
+      // this blowup:
+      time("q12 capped @200", dst)(Messages.recipients(spark, _, maxBucket = 200))
+    }
+
+    // ---- r15 additions (VERDICT r14 item 6) ----
+    // GRID decode + the composed media-quality join: decode is a
+    // per-row byte scan (embarrassingly parallel, must be ~linear in
+    // docs with a task-wave floor); q34d adds a doc_id hash join +
+    // bounded agg on top — slope must track the decode, not the join.
+    // q19's IVF ANN (the r14 replay-graduated Spark side): probe cost
+    // is bounded by nQueries·nProbe cells, so 10× corpus with
+    // nLists ∝ N must stay ~flat after the assignment pass.
+    Seq(src, dst).foreach { d =>
+      time("q34b grid decode", d)(Multimodal.mediaDecodeFeatures(spark, _))
+      time("q34d media joinQ", d)(Multimodal.mediaQualityJoin(spark, _))
+      time("q19 ivf ann     ", d)(Vectors.annIvf(spark, _))
+    }
+
+    // 100× dedup-core spot check (documents only): turns the 10×
+    // "sub-linear" claim into a two-decade slope for the exact-hash,
+    // banded-minhash and PPJoin all-pairs paths. Copies perturb
+    // tokens per copy (as above) so cross-copy rows are NOT dups and
+    // the workload's duplicate density stays comparable.
+    val dst100 = "/tmp/graft_scale100"
+    val copies100 = spark.range(100).select(col("id").cast("int").as("copy"))
+    docs.crossJoin(copies100)
+      .select((col("doc_id") + col("copy") * 1000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, col("copy").cast("string"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dst100/documents.parquet")
+    Seq(src, dst, dst100).foreach { d =>
+      time("q25 exact dedup", d)(Dedup.dedupExact(spark, _))
+      time("q27b minhash pl", d)(Dedup.dedupMinHashPlanted(spark, _))
+      time("q40 allpairs   ", d)(Dedup.dedupAllPairs(spark, _))
+    }
     spark.stop()
   }
 }
