@@ -265,6 +265,19 @@ object SparkEntry {
     """list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))""".stripMargin
 
+  /** Wrapping unsigned-64 multiply-by-constant in DuckDB SQL (UBIGINT
+    * in, UBIGINT out) — the q28/q33 hash-replay primitive. A full
+    * 64×64 product overflows signed HUGEINT (max ~1.7e38 < 2^127 ≤
+    * some 2^128 products), so the constant is split hi/lo 32 bits and
+    * recombined mod 2^64: ((a·hi mod 2^32)·2^32 + a·lo) mod 2^64 —
+    * every intermediate stays below 2^97. Exact for any a < 2^64.
+    */
+  private def umulSql(a: String, c: Long): String = {
+    val hi = java.lang.Long.toUnsignedString(c >>> 32)
+    val lo = java.lang.Long.toUnsignedString(c & 0xffffffffL)
+    s"CAST((CAST($a AS HUGEINT) * $hi % 4294967296 * 4294967296 + CAST($a AS HUGEINT) * $lo) % 18446744073709551616 AS UBIGINT)"
+  }
+
   // ── q67-family replay oracles (r15 graduation — the q19/q41 replay
   // argument extended to the full IVF-PQ pipeline: codebooks → codes →
   // LUT → ADC ranking). Every arithmetic step is engine-portable:
@@ -722,6 +735,64 @@ object SparkEntry {
          |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) AS jac
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q27: GRADUATED r15 — brute-force all-pairs Jaccard at the same
+    // 0.5 threshold (q27b's proven oracle minus the planted union).
+    // Stronger than a hash replay: it is ALGORITHM-INDEPENDENT truth —
+    // passing certifies the 8×4 MinHash banding recovered EVERY
+    // qualifying pair on the gate corpora. Recall there is
+    // deterministic (fixed texts + fixed hashes → fixed outcome,
+    // verified bit-exactly per SF, not assumed): the corpus's near-dup
+    // pairs all sit at jac ≥ 0.909, where the a-priori band-miss
+    // probability is ~1e-4 per pair, and an actual miss would surface
+    // as a row-count FAIL here, never silently.
+    "q27_dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, list_sort($shinglesSql) AS sh FROM documents),
+         |s AS (SELECT doc_id, sh, len(sh) AS n FROM t WHERE len(sh) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) AS jac
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q28: GRADUATED r15 — the 64-bit SimHash sketch REPLAYED in
+    // DuckDB SQL (the q19/q41/q67 replay argument applied to hash
+    // bits, which q28's output exposes as `hamming`): FNV-1a per
+    // shingle as a list_reduce byte fold, the splitmix64 finalizer as
+    // three umulSql steps, 64 per-bit votes, sign → sig; pairs = any
+    // of the four 16-bit bands equal AND bit_count(xor) ≤ 16 — the
+    // operator's own candidate/verify rule stated on the replayed
+    // sigs. Integer-only end to end (wrapping multiplies via umulSql),
+    // so cross-engine agreement is exact, not approximate.
+    // PRECONDITION (documented like khash's non-negative ids):
+    // ord(char) == utf8 byte requires ASCII text — verified true of
+    // every gate corpus at all three SFs; non-ASCII input would FAIL
+    // loudly as a signature mismatch, never pass silently.
+    "q28_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |sh AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE len(sh) > 0),
+         |fnv AS (
+         |  SELECT doc_id, list_reduce(
+         |      list_prepend(14695981039346656037::UBIGINT,
+         |        list_transform(range(1, length(s)+1), i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS UBIGINT))),
+         |      (h, b) -> ${umulSql("xor(h, b)", 0x100000001b3L)}) AS h0
+         |  FROM sh),
+         |m1 AS (SELECT doc_id, CAST((CAST(h0 AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS x1 FROM fnv),
+         |m2 AS (SELECT doc_id, ${umulSql("xor(x1, x1 >> 30)", 0xbf58476d1ce4e5b9L)} AS x2 FROM m1),
+         |m3 AS (SELECT doc_id, ${umulSql("xor(x2, x2 >> 27)", 0x94d049bb133111ebL)} AS x3 FROM m2),
+         |mx AS (SELECT doc_id, xor(x3, x3 >> 31) AS h FROM m3),
+         |votes AS (
+         |  SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM mx, range(0, 64) r(b) GROUP BY doc_id, b),
+         |sig AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(1::UBIGINT << CAST(b AS INT) AS HUGEINT) ELSE 0 END) AS UBIGINT) AS u
+         |  FROM votes GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.u, b.u)) <= 16
+         |  AND ((a.u & 65535) = (b.u & 65535)
+         |    OR ((a.u >> 16) & 65535) = ((b.u >> 16) & 65535)
+         |    OR ((a.u >> 32) & 65535) = ((b.u >> 32) & 65535)
+         |    OR ((a.u >> 48) & 65535) = ((b.u >> 48) & 65535))
          |ORDER BY doc_a, doc_b""".stripMargin,
     // q27b/q28b: LSH over documents + planted verbatim copies. The
     // oracles are hash-free (brute-force Jaccard / shingle-set
@@ -1215,6 +1286,26 @@ object SparkEntry {
          |FROM px JOIN q ON px.doc_id = q.doc_id
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+    // q33: GRADUATED r15 — fingerprint64 (h = h·31 + byte from seed
+    // 1125899906842597, wrapping signed 64-bit) replayed as a HUGEINT
+    // list_reduce byte fold mod 2^64, re-signed into BIGINT at the
+    // end. h·31 + b peaks below 2^69 so plain HUGEINT arithmetic
+    // suffices (no umulSql split needed). Same ASCII precondition as
+    // q28's replay — verified at all three gate SFs, fails loudly
+    // otherwise.
+    "q33_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS fp
+        |  FROM (
+        |    SELECT doc_id, list_reduce(
+        |        list_prepend(1125899906842597::HUGEINT,
+        |          list_transform(range(1, length(text)+1), i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+        |        (h, b) -> (h * 31 + b) % 18446744073709551616::HUGEINT) AS u
+        |    FROM documents)),
+        |g AS (SELECT fp, min(doc_id) AS group_min, count(*) AS group_n FROM fp GROUP BY fp)
+        |SELECT f.doc_id, f.fp, g.group_min, g.group_n
+        |FROM fp f JOIN g USING (fp)
+        |ORDER BY f.doc_id""".stripMargin,
     // q33b: the oracle groups by TEXT — same structure the engine
     // derives from 64-bit fingerprints (collision-free on the gate
     // corpora, deterministic; planted copies recover with certainty).
@@ -2215,6 +2306,48 @@ object SparkEntry {
         |  CAST(MIN(len(embedding)) AS INT) AS dim,
         |  MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
         |FROM embeddings GROUP BY label ORDER BY cell""".stripMargin,
+    // q49: GRADUATED r15 — the stub encoder replayed end to end. The
+    // stub is integer-hash-derived (Java String.hashCode → splitmix64
+    // per component) with float normalize; the replay does the
+    // hashCode as a signed-32 wrapping fold, the splitmix64 chains via
+    // umulSql, and EVERY binary32 op as DOUBLE-compute-then-REAL-cast —
+    // exact by the double-rounding theorem (for +,-,*,/ and sqrt on
+    // p-bit inputs, computing in 2p+2-bit precision then rounding to
+    // p bits equals direct p-bit rounding; 2·24+2 = 50 ≤ 53). The
+    // probe columns v0/comp_sum expose the vector content, so this
+    // certifies the seed→component→normalize arithmetic per row, not
+    // just the unit-norm invariant. Same ASCII precondition as q28's
+    // replay (ord == UTF-16 unit == byte — gate-verified at all SFs).
+    // When a real model lands in encodeBatch this entry reverts to
+    // rows-only by design.
+    "q49_text_encode" ->
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |jh AS (
+         |  SELECT doc_id, list_reduce(
+         |      list_prepend(0::HUGEINT,
+         |        list_transform(range(1, length(text)+1), i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+         |      (h, c) -> ((h * 31 + c + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648) AS jh
+         |  FROM d),
+         |s0 AS (SELECT doc_id, CAST(((CAST(xor(CAST(jh AS BIGINT), 32423) AS HUGEINT) % 18446744073709551616) + 18446744073709551616) % 18446744073709551616 AS UBIGINT) AS u FROM jh),
+         |s1 AS (SELECT doc_id, CAST((CAST(u AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS x1 FROM s0),
+         |s2 AS (SELECT doc_id, ${umulSql("xor(x1, x1 >> 30)", 0xbf58476d1ce4e5b9L)} AS x2 FROM s1),
+         |s3 AS (SELECT doc_id, ${umulSql("xor(x2, x2 >> 27)", 0x94d049bb133111ebL)} AS x3 FROM s2),
+         |sd AS (SELECT doc_id, xor(x3, x3 >> 31) AS seed FROM s3),
+         |gi AS (SELECT doc_id, CAST((CAST(xor(seed, CAST(r.b AS UBIGINT)) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS x1, r.b AS i FROM sd, range(0, 64) r(b)),
+         |h2 AS (SELECT doc_id, i, ${umulSql("xor(x1, x1 >> 30)", 0xbf58476d1ce4e5b9L)} AS x2 FROM gi),
+         |h3 AS (SELECT doc_id, i, ${umulSql("xor(x2, x2 >> 27)", 0x94d049bb133111ebL)} AS x3 FROM h2),
+         |raw AS (SELECT doc_id, i, CAST(CAST(xor(x3, x3 >> 31) >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 AS REAL) AS rf FROM h3),
+         |rl AS (SELECT doc_id, list(rf ORDER BY i) AS rs FROM raw GROUP BY doc_id),
+         |nm AS (SELECT doc_id, rs,
+         |  CAST(sqrt(list_reduce(list_prepend(0.0, list_transform(rs, x -> CAST(x AS DOUBLE))), (a, x) -> a + x * x)) AS REAL) AS nf FROM rl),
+         |vv AS (SELECT doc_id,
+         |  list_transform(rs, x -> CASE WHEN nf = CAST(0.0 AS REAL) THEN CAST(0.0 AS REAL) ELSE CAST(CAST(x AS DOUBLE) / CAST(nf AS DOUBLE) AS REAL) END) AS vs FROM nm)
+         |SELECT doc_id, CAST(64 AS INT) AS dim,
+         |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(vs, x -> CAST(x AS DOUBLE))), (a, x) -> a + x * x)), 6) AS l2_norm,
+         |  CAST(vs[1] AS DOUBLE) AS v0,
+         |  list_reduce(list_prepend(0.0, list_transform(vs, x -> CAST(x AS DOUBLE))), (a, x) -> a + x) AS comp_sum
+         |FROM vv
+         |ORDER BY doc_id""".stripMargin,
     "q42_embedding_stats" ->
       """SELECT label, COUNT(*) AS n_vecs,
         |  CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm,

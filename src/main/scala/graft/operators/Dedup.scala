@@ -128,8 +128,12 @@ object Dedup {
     * rows: docs sharing any band bucket become candidates, then exact
     * Jaccard ≥ threshold verifies (no false positives survive; band
     * recall at j=0.5 is 1-(1-0.5^4)^8 ≈ 0.4, j=0.9 ≈ 0.998 — tuned
-    * for "catch true near-dups"). Engine-internal hashes ⇒ rows-only
-    * oracle; q26 cross-checks the Jaccard math.
+    * for "catch true near-dups"). GRADUATED to ORACLE-EXACT in r15:
+    * the DuckDB oracle is the brute-force all-pairs Jaccard at the
+    * same threshold (algorithm-independent truth) — passing certifies
+    * total banding recall on the gate corpora, where every true pair
+    * sits at j ≥ 0.909 and recovery is deterministic; a missed pair
+    * would FAIL the row-count compare, never pass silently.
     */
   private[operators] case class BandedDoc(doc_id: Long, sh: Array[String], band: Int, bucket: String)
   private[operators] case class BandRow(doc_id: Long, band: Int, bucket: String)
@@ -307,7 +311,12 @@ object Dedup {
   /** q28: SimHash near-dup pairs — 64-bit sketch, candidates blocked
     * on any of four 16-bit bands (two docs within Hamming ≤ 3 must
     * agree on ≥1 band), verified by exact Hamming ≤ maxDist.
-    * Rows-only oracle (hash bits are engine-internal).
+    * GRADUATED to ORACLE-EXACT in r15: the output exposes hash bits
+    * (`hamming`), so the oracle REPLAYS the sketch in DuckDB SQL —
+    * FNV-1a byte fold + splitmix64 finalizer in wrapping unsigned-64
+    * arithmetic, 64 per-bit votes, then the same band/verify rule on
+    * the replayed signatures (SparkEntry's q28 oracle; integer-only,
+    * cross-engine exact).
     */
   private[operators] case class SimBanded(doc_id: Long, sig: Long, band: Int, bucket: Long)
   private[operators] case class SimPair(doc_a: Long, doc_b: Long, hamming: Int)

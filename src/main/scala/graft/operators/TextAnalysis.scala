@@ -346,8 +346,12 @@ object TextAnalysis {
   }
 
   /** q33: content fingerprinting via the one-pass rolling-hash
-    * expression; dup-group id = min doc_id per fingerprint. Hash bits
-    * are engine-internal ⇒ rows-only oracle.
+    * expression; dup-group id = min doc_id per fingerprint.
+    * GRADUATED to ORACLE-EXACT in r15: fingerprint64 is a pure
+    * integer recurrence (h = h·31 + byte, wrapping 64-bit), replayed
+    * verbatim in DuckDB as a HUGEINT byte fold mod 2^64 — the fp
+    * column itself is oracle-checked, not just the group structure
+    * (which q33b already anchored).
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)

@@ -67,9 +67,20 @@ object TextEncoder {
 
   /** q49: the encode pipeline as a driver entry — documents → batched
     * encode → per-vector health row (id, dim, 6dp L2 norm — ≈1 by the
-    * normalize contract). Stub-derived floats are engine-internal ⇒
-    * rows-only oracle; TextEncoderSpec pins batching, row
-    * preservation, determinism, and unit norms.
+    * normalize contract) plus two PROBE columns that expose the
+    * vector content itself: `v0` (first component, exact float→double
+    * widening) and `comp_sum` (index-ordered double fold of all
+    * components). GRADUATED to ORACLE-EXACT in r15: the stub encoder
+    * is integer-hash-derived (String.hashCode → splitmix64 per
+    * component) with float normalize, and every step replays in
+    * DuckDB — the wrapping-integer chain via the q28 umulSql
+    * machinery, the binary32 ops as DOUBLE-compute-then-REAL-cast
+    * (exact by the 2p+2≤53 double-rounding theorem for +,-,*,/,sqrt
+    * on binary32 inputs). A real model replaces encodeBatch and the
+    * entry reverts to rows-only; until then the whole seam —
+    * batching, row preservation, NORMALIZATION ARITHMETIC — is
+    * cross-engine certified, not just spec-pinned.
+    * TextEncoderSpec additionally pins batch shape and determinism.
     */
   def encodePipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -78,7 +89,10 @@ object TextEncoder {
     encode(spark, texts)
       .select(col("doc_id"), size(col("embedding")).as("dim"),
         round(sqrt(aggregate(transform(col("embedding"), v => v.cast("double") * v),
-          lit(0.0), (a, x) => a + x)), 6).as("l2_norm"))
+          lit(0.0), (a, x) => a + x)), 6).as("l2_norm"),
+        element_at(col("embedding"), 1).cast("double").as("v0"),
+        aggregate(transform(col("embedding"), v => v.cast("double")),
+          lit(0.0), (a, x) => a + x).as("comp_sum"))
       .orderBy("doc_id")
   }
 }
