@@ -37,6 +37,23 @@ class TextEncoderSpec extends AnyFunSuite {
       s"calls=${calls.value} outside [$lo, $hi] for n=$n parts=$parts")
   }
 
+  test("probe columns pin the stub arithmetic (cross-engine bit-model values)") {
+    // Expected values computed by an INDEPENDENT bit-model of the stub
+    // (integer hashCode fold → splitmix64 → binary32 normalize, in
+    // Python) and triple-checked against the DuckDB replay oracle at
+    // sf0.001/0.01/0.1 when q49 graduated (r15). If the stub's seed,
+    // mix, or float order ever drifts, this fails HERE, not at the
+    // round's correctness gate.
+    val rows = TextEncoder.encodePipeline(spark, dir)
+      .filter("doc_id IN (0, 1)").collect().sortBy(_.getLong(0))
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(3) == 0.07842801511287689, "doc 0 v0")
+    assert(rows(0).getDouble(4) == -0.35320352017879486, "doc 0 comp_sum")
+    assert(rows(1).getDouble(3) == 0.14974389970302582, "doc 1 v0")
+    assert(rows(1).getDouble(4) == -2.068898485507816, "doc 1 comp_sum")
+    assert(rows.forall(_.getDouble(2) == 1.0), "6dp norms on these docs")
+  }
+
   test("deterministic and normalized: two runs identical, unit L2 norms") {
     val a = TextEncoder.encodePipeline(spark, dir).collect()
     val b = TextEncoder.encodePipeline(spark, dir).collect()

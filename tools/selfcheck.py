@@ -121,9 +121,18 @@ def main():
         "total_sec": round(sum(timing.values()), 3),
         "queries": timing,
     }
-    with open("ORACLE_TIMING.json", "w") as f:
+    # The repo-root ORACLE_TIMING.json is the HEADLINE artifact — the
+    # sf0.1 numbers the bench gate is judged against. Only an sf0.1
+    # run may touch it (an sf0.01 selfcheck once clobbered a completed
+    # 35-minute sf0.1 pass); every run also drops a copy in outdir.
+    dest = f"{outdir}/ORACLE_TIMING.json"
+    with open(dest, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print(f"\noracle total {out['total_sec']}s over {out['n_queries']} queries -> ORACLE_TIMING.json")
+    if sfdir.rstrip("/").endswith("sf0.1"):
+        dest = "ORACLE_TIMING.json"
+        with open(dest, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    print(f"\noracle total {out['total_sec']}s over {out['n_queries']} queries -> {dest}")
     print(f"{len(oracles) - len(failed)}/{len(oracles)} passed")
     sys.exit(1 if failed else 0)
 
