@@ -7,8 +7,9 @@
 # be EXACT at every scale; any FAIL exits non-zero immediately.
 #
 # Usage: tools/sweep.sh   (env: SPARK_GRAFT_CPUS, default 8)
-# NB: the sf0.1 DuckDB pass is the slow half (~20 min — brute-force
-# oracle shapes like q40/q27b dominate); run under nohup for rounds.
+# NB: the sf0.1 DuckDB pass is the slow half (~37 min since r15 —
+# brute-force oracle shapes q27/q27b/q40/q83 are ~8 min EACH); run
+# under nohup for rounds.
 set -e -o pipefail
 cd "$(dirname "$0")/.."
 CPUS=${SPARK_GRAFT_CPUS:-8}
