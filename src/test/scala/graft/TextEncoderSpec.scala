@@ -44,8 +44,11 @@ class TextEncoderSpec extends AnyFunSuite {
     // sf0.001/0.01/0.1 when q49 graduated (r15). If the stub's seed,
     // mix, or float order ever drifts, this fails HERE, not at the
     // round's correctness gate.
-    val rows = TextEncoder.encodePipeline(spark, dir)
-      .filter("doc_id IN (0, 1)").collect().sortBy(_.getLong(0))
+    val df = TextEncoder.encodePipeline(spark, dir)
+    // the DuckDB compare sorts columns BY NAME before hashing — a
+    // rename breaks the oracle even with identical values
+    assert(df.columns.toSeq == Seq("doc_id", "dim", "l2_norm", "v0", "comp_sum"))
+    val rows = df.filter("doc_id IN (0, 1)").collect().sortBy(_.getLong(0))
     assert(rows.length == 2)
     assert(rows(0).getDouble(3) == 0.07842801511287689, "doc 0 v0")
     assert(rows(0).getDouble(4) == -0.35320352017879486, "doc 0 comp_sum")
