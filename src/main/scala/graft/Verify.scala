@@ -25,6 +25,18 @@ object Verify {
     // errors must surface as an err row in the correctness report, not
     // silently vanish from it (22 queries did exactly that).
     val status = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Pre-flight (ADVICE r15): when any graduated-replay gate query is
+    // in the requested set, verify the corpus invariants its oracle
+    // stands on, so a datagen drift fails with a TARGETED message in
+    // the log instead of only an opaque hash/row mismatch. Loud but
+    // non-fatal — the per-query gates below still render the verdict.
+    if (SparkEntry.queries.keys.exists(k =>
+        GateInvariants.gateQueries(k) && only.forall(_.contains(k))))
+      try GateInvariants.check(spark, sfDir)
+        .foreach(m => System.err.println(s"[verify] $m"))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] gate-invariant pre-flight failed: ${e.getMessage}")
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

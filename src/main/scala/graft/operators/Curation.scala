@@ -496,8 +496,14 @@ object Curation {
     def params(deltaMod: Int, benchMod: Int, nBuckets: Int): String =
       s"funnel:deltaMod=$deltaMod,benchMod=$benchMod,nBuckets=$nBuckets"
 
-    private def cacheKeys(dir: String): Seq[String] =
-      Seq(s"funnelIndex.hashes|$dir", s"funnelIndex.shingles|$dir")
+    // Keyed on the RESOLVED index path, not the corpus dir: the path
+    // routes through session conf spark.graft.index.root, so two
+    // sessions (or one session after a conf change) can map the same
+    // dir to different on-disk indexes — a dir-keyed entry would
+    // silently serve frames belonging to the other path.
+    private def cacheKeys(resolvedPath: String): Seq[String] =
+      Seq(s"funnelIndex.hashes|$resolvedPath",
+          s"funnelIndex.shingles|$resolvedPath")
 
     /** Registry-persisted reads of the index's frozen components —
       * a stream gates every micro-batch against these, and the bare
@@ -509,7 +515,7 @@ object Curation {
       */
     def loadCached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
       val p = path(spark, dir)
-      val Seq(hk, sk) = cacheKeys(dir)
+      val Seq(hk, sk) = cacheKeys(p)
       // coalesce before persist: the on-disk layouts optimize for
       // PRUNED reads (hashes: one file per build shuffle partition;
       // shingles: one dir per pblk bucket → ~60-90 splits), but a
@@ -532,7 +538,7 @@ object Curation {
       * (CompactionSpec gates on an old ctx across a fold).
       */
     def cached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-      val Seq(hk, sk) = cacheKeys(dir)
+      val Seq(hk, sk) = cacheKeys(path(spark, dir))
       (persistLookup(spark, hk), persistLookup(spark, sk)) match {
         case (Some(h), Some(s)) => (h, s)
         case _ => loadCached(spark, dir)
@@ -540,7 +546,7 @@ object Curation {
     }
 
     private def invalidateCached(spark: SparkSession, dir: String): Unit =
-      cacheKeys(dir).foreach(invalidatePersist(spark, _))
+      cacheKeys(path(spark, dir)).foreach(invalidatePersist(spark, _))
 
     private def watermark(spark: SparkSession, dir: String,
                           deltaMod: Int, benchMod: Int, nBuckets: Int): String =

@@ -51,8 +51,8 @@ object DecontamStream {
     * between spellings. Persisted: every micro-batch's broadcast
     * reads it.
     */
-  private[streaming] def benchFrame(spark: SparkSession, dir: String,
-                                    benchMod: Int): DataFrame = {
+  private[graft] def benchFrame(spark: SparkSession, dir: String,
+                                benchMod: Int): DataFrame = {
     GraftFunctions.register(spark)
     // registry-managed (one live copy per (dir, mod); same-plan
     // reloads reuse it) — the bare per-call persist stacked a cached
@@ -93,23 +93,27 @@ object DecontamStream {
   private[streaming] def bandCols(k: Int, bands: Int) =
     graft.operators.Dedup.bandCols(k, bands)
 
-  /** One live FuzzyBenchIndex per (session, source-state, params):
+  /** One live FuzzyBenchIndex per (context, source-state, params):
     * the index is a pure function of the documents source, and the
     * build's driver collect was re-paid on every FunnelStream.load /
-    * bench pass. Keyed by Tables.sourceToken so a source override or
-    * file rewrite rebuilds instead of serving stale bench shingles;
-    * stopped sessions evicted on touch (the persist registry's rule).
+    * bench pass. Keyed by SparkCONTEXT, not session — foreachBatch
+    * hands each batch a clone session sharing the context, and a
+    * session-keyed entry would rebuild the collected index per clone
+    * and only evict when the whole context stops. Keyed by
+    * Tables.sourceToken so a source override or file rewrite rebuilds
+    * instead of serving stale bench shingles; stopped contexts
+    * evicted on touch (the persist registry's rule).
     */
   private val fuzzyCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, FuzzyBenchIndex)]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), (String, FuzzyBenchIndex)]()
 
   def loadBenchFuzzy(spark: SparkSession, dir: String, benchMod: Int = 97,
                      k: Int = 32, bands: Int = 8): FuzzyBenchIndex = {
     val token = graft.Tables.sourceToken(spark, dir, "documents")
-    fuzzyCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    fuzzyCache.keySet.removeIf(_._1.isStopped)
     // one live entry per params key; a token change REPLACES it (the
     // one-live-copy rule — stale entries must not accumulate)
-    fuzzyCache.compute((spark, s"$dir|$benchMod|$k|$bands"), (_, prev) =>
+    fuzzyCache.compute((spark.sparkContext, s"$dir|$benchMod|$k|$bands"), (_, prev) =>
       prev match {
         case (t, _) if t == token => prev
         case _ => (token, buildBenchFuzzy(spark, dir, benchMod, k, bands))
