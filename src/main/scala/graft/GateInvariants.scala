@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *     pair in the 0.5 ≤ jac < 0.9 band would fail the gate as an
   *     opaque row-count mismatch even though the operator behaves
   *     as designed.
-  *  2. q28/q33/q49's DuckDB replays hash ord(codepoint) per character
+  *  2. q28/q33/q34/q49's DuckDB replays hash ord(codepoint) per character
   *     while the Scala side hashes UTF-8 bytes (q28 FNV, q33
-  *     fingerprint) or UTF-16 units (q49 hashCode); the spellings
+  *     fingerprint, q34 byte-statistics decode) or UTF-16 units (q49 hashCode); the spellings
   *     agree iff the text is pure ASCII. A non-ASCII document would
   *     surface as an opaque signature mismatch.
   *
@@ -32,9 +32,9 @@ object GateInvariants {
   /** Queries whose oracles depend on these corpus invariants. */
   val gateQueries: Set[String] =
     Set("q27_dedup_minhash", "q28_dedup_simhash", "q33_fingerprint",
-        "q49_text_encode")
+        "q34_media_pipeline", "q49_text_encode")
 
-  /** Non-ASCII documents break the q28/q33/q49 byte-vs-codepoint
+  /** Non-ASCII documents break the q28/q33/q34/q49 byte-vs-codepoint
     * replay equivalence. ASCII ⟺ octet_length == char_length. */
   def nonAsciiDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -55,7 +55,7 @@ object GateInvariants {
     val nonAscii = nonAsciiDocs(spark, dir).limit(5).collect().map(_.getLong(0))
     if (nonAscii.nonEmpty)
       msgs += s"GATE INVARIANT VIOLATED: non-ASCII text in documents ($dir), " +
-        s"e.g. doc_id ${nonAscii.mkString(",")} — the q28/q33/q49 replay " +
+        s"e.g. doc_id ${nonAscii.mkString(",")} — the q28/q33/q34/q49 replay " +
         "oracles hash codepoints while the engine hashes UTF-8/UTF-16 " +
         "units; expect signature mismatches on those gates (datagen " +
         "drift, not an operator bug)."

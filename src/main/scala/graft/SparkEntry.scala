@@ -1217,6 +1217,42 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |WHERE d.doc_id % 16 = 0
         |ORDER BY d.doc_id""".stripMargin,
+    // q34: GRADUATED r16 — the stub decode is deterministic byte
+    // statistics over the UTF-8 text bytes (width/height from the
+    // byte sum, resize via integer aspect math, frames via integer
+    // stride), so the whole pipeline replays in DuckDB exactly like
+    // q28/q33: ord(codepoint) == utf8 byte under the ASCII corpus
+    // precondition (GateInvariants — verified at all three gate SFs,
+    // fails loudly otherwise). NULL text decodes like empty payload
+    // (coalesce 0 both engines); avg_* are single IEEE divisions
+    // over exact integer sums.
+    "q34_media_pipeline" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    COALESCE(list_sum(list_transform(range(1, length(text)+1), i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS s,
+        |    COALESCE(octet_length(encode(text)), 0) AS nb
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, nb,
+        |    CAST(s % 640 AS INT) + 1 AS w,
+        |    CAST(s % 480 AS INT) + 1 AS h
+        |  FROM b),
+        |r AS (
+        |  SELECT source, nb, w, h,
+        |    CASE WHEN greatest(w, h) <= 256 THEN w
+        |         ELSE greatest(1, (w * 256) // greatest(w, h)) END AS ow,
+        |    CASE WHEN greatest(w, h) <= 256 THEN h
+        |         ELSE greatest(1, (h * 256) // greatest(w, h)) END AS oh,
+        |    greatest(1, nb // 100) AS nf
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_media,
+        |  CAST(SUM(nb) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(w) AS DOUBLE) / COUNT(*) AS avg_width,
+        |  CAST(SUM(h) AS DOUBLE) / COUNT(*) AS avg_height,
+        |  CAST(SUM(ow) AS DOUBLE) / COUNT(*) AS avg_out_w,
+        |  CAST(SUM(oh) AS DOUBLE) / COUNT(*) AS avg_out_h,
+        |  CAST(SUM(nf) AS BIGINT) AS total_frames
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // q34b/q34c: the GRID decode planted twins. The Spark side decodes
     // features FROM THE PAYLOAD BYTES (header parse + pixel scan); the
     // oracle re-derives the same features from doc_id with integer
