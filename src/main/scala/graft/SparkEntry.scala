@@ -203,8 +203,15 @@ object SparkEntry {
     }),
     "q82_pseudonymize"    -> ((s, d) => Curation.pseudonymize(s, d)),
     "q83_stream_dedup"    -> ((s, d) => streaming.StreamHarness.streamDedup(s, d)),
+    // the dedup-signature state on the PRODUCTION backend (q80c's
+    // pattern): same plan, feed and oracle, state in RocksDB
+    "q83b_dedup_rocks"    -> ((s, d) => streaming.StreamHarness.streamDedup(s, d,
+      provider = Some(streaming.StateBackend.RocksDBProvider))),
     "q84_stream_decontam" -> ((s, d) => streaming.StreamHarness.streamDecontam(s, d)),
     "q85_stream_threads"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d)),
+    // the thread-root map on RocksDB, under q56's oracle verbatim
+    "q85b_threads_rocks"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d,
+      provider = Some(streaming.StateBackend.RocksDBProvider))),
     "q89_stream_windowed" -> ((s, d) => streaming.StreamHarness.streamWindowed(s, d)),
     "q86_source_roundtrip" -> ((s, d) => sources.SourceHarness.jsonRoundTrip(s, d)),
     "q86b_source_html"    -> ((s, d) => sources.SourceHarness.htmlRoundTrip(s, d)),
@@ -496,8 +503,13 @@ object SparkEntry {
       "q80d_sessions_native" -> oracleSqlBase("q01c_sessions_native"),
       "q80b_stream_funnel" -> oracleSqlBase("q79_funnel_delta"),
       "q83_stream_dedup" -> oracleSqlBase("q27b_minhash_planted"),
+      // q83b/q85b: same oracles — the rows certify the RocksDB
+      // backend under the dedup-signature and thread-root state maps
+      // (the two large keyed maps SURVEY §G routes off-heap)
+      "q83b_dedup_rocks" -> oracleSqlBase("q27b_minhash_planted"),
       "q84_stream_decontam" -> oracleSqlBase("q54_decontam"),
       "q85_stream_threads" -> oracleSqlBase("q56_reply_threads"),
+      "q85b_threads_rocks" -> oracleSqlBase("q56_reply_threads"),
       // q89: append-mode tumbling windows ≡ the batch GROUP BY on
       // epoch-floored 5-minute buckets (Spark's window() is epoch-
       // aligned; DuckDB replays the same integer arithmetic)

@@ -268,14 +268,21 @@ object StreamHarness {
     * DedupStreamSpec stream ≡ batch law, driver-certified.
     */
   def streamDedup(spark: SparkSession, dir: String,
-                  threshold: Double = 0.5, nBatches: Int = 2): DataFrame = {
+                  threshold: Double = 0.5, nBatches: Int = 2,
+                  provider: Option[String] = None): DataFrame = {
     import spark.implicits._
     import DedupStream.DocIn
     val docs = graft.operators.Dedup.plantedDocs(spark, dir, every = 20, idOffset = 1000000L)
       .select("doc_id", "text").as[DocIn].collect().sortBy(_.doc_id).toSeq
-    runToSink[DocIn](spark, docs, nBatches, "q83_stream_dedup", (stream, name) =>
-      DedupStream.pairs(spark, stream.toDS(), threshold)
-        .writeStream.format("memory").queryName(name).outputMode("append").start())
+    // `provider` pins the backend for this one query — q83b passes
+    // RocksDB: the per-bucket shingle map is exactly the large keyed
+    // state SURVEY §G routes off-heap at 100 TB, so the DRIVER gate
+    // (not just RocksDBStateSpec) certifies it under q27b's oracle
+    withStateProvider(spark, provider) {
+      runToSink[DocIn](spark, docs, nBatches, "q83_stream_dedup", (stream, name) =>
+        DedupStream.pairs(spark, stream.toDS(), threshold)
+          .writeStream.format("memory").queryName(name).outputMode("append").start())
+    }
       .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")
@@ -358,16 +365,22 @@ object StreamHarness {
     * law), certified by q56's oracle verbatim.
     */
   def streamThreads(spark: SparkSession, dir: String,
-                    nBatches: Int = 2): DataFrame = {
+                    nBatches: Int = 2,
+                    provider: Option[String] = None): DataFrame = {
     import spark.implicits._
     import ReplyChainStream.Msg
     val msgs = graft.operators.ReplyChains.eventReplyFrame(spark, dir)
       .collect().map(r => Msg(r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2))))
       .sortBy(_.message_id).toSeq
-    runToSink[Msg](spark, msgs, nBatches, "q85_stream_threads", (stream, name) =>
-      ReplyChainStream.resolve(spark, stream.toDS())
-        .writeStream.format("memory").queryName(name).outputMode("append").start())
+    // q85b pins RocksDB here: the thread-root map (one entry per
+    // message id) is the other unbounded keyed state SURVEY §G says
+    // belongs off-heap — driver-certified under q56's oracle
+    withStateProvider(spark, provider) {
+      runToSink[Msg](spark, msgs, nBatches, "q85_stream_threads", (stream, name) =>
+        ReplyChainStream.resolve(spark, stream.toDS())
+          .writeStream.format("memory").queryName(name).outputMode("append").start())
+    }
       .select(col("message_id").as("event_id"), col("root_id"), col("depth"))
       .orderBy("event_id")
   }
