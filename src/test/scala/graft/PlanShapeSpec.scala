@@ -160,6 +160,46 @@ class PlanShapeSpec extends AnyFunSuite {
       "after clearCache the registry must re-persist, not reuse the evicted handle")
   }
 
+  test("top-10 bench entries keep their plan shape (VERDICT r15 item 6)") {
+    // The ten most expensive batch entries, pinned against the shapes
+    // measured when each was perf-audited, so a refactor can't
+    // regress a shape the bench noise band would hide. Polarity:
+    // upper bounds on the shapes regressions ADD (cartesians, global
+    // windows, sort-merge joins, shuffles), lower bounds on the ones
+    // they DROP (broadcasts). Counts are stable at the fixed spec SF.
+    //            name                 maxSmj maxBnlj maxHashEx minBcast
+    val pins = Seq(
+      ("q12_recipients",       1, 0,  9, 2), // 1 SMJ: the FullOuter pair-merge (no broadcast variant exists)
+      ("q53_dup_clusters",     0, 0,  2, 1), // lineage-cut CC: rounds materialize, final plan near-flat
+      ("q75_cluster_reps",     1, 0,  3, 2),
+      ("q77_curation_funnel",  0, 0,  6, 5), // every gate leg broadcasts; a corpus-sized SMJ is a regression
+      ("q73_boilerplate_spans",0, 0,  3, 2),
+      ("q29b_dedup_emb_ivf",   0, 1,  5, 3), // BNLJ only vs the broadcast centroid catalog
+      ("q67b_ivfpq_topk",      2, 2, 10, 4),
+      ("q40_dedup_allpairs",   0, 0,  3, 0),
+      ("q26_dedup_ngram",      0, 0,  2, 0),
+      ("q86c_source_pipeline", 0, 0,  1, 0))
+    val report = pins.flatMap { case (name, maxSmj, maxBnlj, maxHashEx, minBcast) =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      spark.sharedState.cacheManager.clearCache()
+      val p = df.queryExecution.executedPlan.toString
+      val globalWins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+      }.size
+      val checks = Seq(
+        ("cartesian", count(p, "CartesianProduct"), 0),
+        ("globalWindow", globalWins, 0),
+        ("sortMergeJoin", count(p, "SortMergeJoin"), maxSmj),
+        ("nestedLoopJoin", count(p, "BroadcastNestedLoopJoin"), maxBnlj),
+        ("hashExchange", count(p, "Exchange hashpartitioning"), maxHashEx))
+        .collect { case (what, got, max) if got > max => s"$name: $what $got > $max" } ++
+        (if (count(p, "BroadcastExchange") < minBcast)
+           Seq(s"$name: broadcasts ${count(p, "BroadcastExchange")} < $minBcast") else Nil)
+      checks
+    }
+    assert(report.isEmpty, report.mkString("\n"))
+  }
+
   test("q75's canonical pick is a struct max, not a per-cluster window sort") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = operators.DupGraph.clusterReps(spark, dir)
