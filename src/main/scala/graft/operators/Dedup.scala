@@ -139,8 +139,9 @@ object Dedup {
   private[operators] case class BandRow(doc_id: Long, band: Int, bucket: String)
 
   def dedupMinHash(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                   k: Int = 32, bands: Int = 8): DataFrame =
-    dedupMinHashOn(spark, docShingles(spark, dir), threshold, k, bands)
+                   k: Int = 32, bands: Int = 8,
+                   maxBucket: Int = Int.MaxValue): DataFrame =
+    dedupMinHashOn(spark, docShingles(spark, dir), threshold, k, bands, maxBucket)
 
   /** q27b: the ORACLE-EXACT twin of q27 (the q44 graduation pattern).
     * Input is `documents` plus planted verbatim copies, same 8×4
@@ -163,10 +164,29 @@ object Dedup {
     dedupMinHashOn(spark, docShinglesOn(spark, plantedDocs(spark, dir, every, idOffset)),
       threshold, k = 32, bands = 8)
 
+  /** `maxBucket` — the DEGENERATE-BAND guard (VERDICT r15 item 4):
+    * under massive verbatim duplication (20k copies of one doc) every
+    * band bucket holding the clique emits C(20k,2) ≈ 2·10⁸ candidate
+    * pairs — quadratic work AND quadratic output, in one group. A
+    * bucket larger than maxBucket emits a STAR to its min-id anchor
+    * (ids.length−1 pairs) instead of all pairs. Connectivity — what
+    * q53/q75's clustering consumes — is preserved whenever the
+    * oversized bucket is one near-dup clique containing the anchor
+    * (the mega-duplication case by construction: verbatim copies
+    * share every band); the full pair LISTING contract is knowingly
+    * narrowed, so the default (MaxValue) leaves every oracle path
+    * untouched. The primary prescription stays composition order —
+    * exact-dedup (q25) BEFORE near-dup — which removes the clique
+    * before banding ever sees it; the guard is the belt for corpora
+    * where exact collapse can't run first (measured: ScaleProbe r16
+    * mega-dup rows in SURVEY §4).
+    */
   private[graft] def dedupMinHashOn(spark: SparkSession, docs: DataFrame,
-                                    threshold: Double, k: Int, bands: Int): DataFrame = {
+                                    threshold: Double, k: Int, bands: Int,
+                                    maxBucket: Int = Int.MaxValue): DataFrame = {
     require(bands > 0 && k % bands == 0, s"k ($k) must be a positive multiple of bands ($bands)")
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0, 1]: $threshold")
+    require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
     import spark.implicits._
     GraftFunctions.register(spark)
     // Candidates WITHOUT arrays, then join-verify: band rows carry
@@ -190,10 +210,15 @@ object Dedup {
     val cands = banded.groupByKey(d => (d.band, d.bucket))
       .flatMapGroups { (_, it) =>
         val ids = it.map(_.doc_id).toArray.sorted
-        for {
-          i <- ids.indices.iterator
-          j <- (i + 1 until ids.length).iterator
-        } yield (ids(i), ids(j))
+        if (ids.length > maxBucket)
+          // degenerate-band star (see maxBucket doc): linear pairs to
+          // the min-id anchor instead of the quadratic full listing
+          ids.iterator.drop(1).map(b => (ids(0), b))
+        else
+          for {
+            i <- ids.indices.iterator
+            j <- (i + 1 until ids.length).iterator
+          } yield (ids(i), ids(j))
       }
       .toDF("doc_a", "doc_b").distinct()
     cands

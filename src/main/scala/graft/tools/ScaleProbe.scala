@@ -51,9 +51,12 @@ object ScaleProbe {
     }
     // `r15` arg: skip the long-established 10× section and run only
     // the r15 additions (GRID decode / media join / IVF replay at
-    // 10×, plus the 100× dedup-core spot check below)
+    // 10×, plus the 100× dedup-core spot check below).
+    // `r16` arg: run only the r16 additions (two-decade CC/funnel
+    // spine + mega-duplication stress).
     val only15 = args.contains("r15")
-    if (!only15) Seq(src, dst).foreach { d =>
+    val only16 = args.contains("r16")
+    if (!only15 && !only16) Seq(src, dst).foreach { d =>
       time("q01 sessionize ", d)(Sessions.temporalSessions(spark, _))
       time("q01b chunked   ", d)(Sessions.sessionizedChunked(spark, _))
       time("q26 ngram dedup", d)(Dedup.dedupNgram(spark, _))
@@ -109,7 +112,7 @@ object ScaleProbe {
     // the bands (same total nBits budget family) restores bounded
     // buckets, exactly like growing nLists for IVF cells. Measure
     // the cliff and the remedy at 10x.
-    if (!only15) {
+    if (!only15 && !only16) {
       time("q44 4x8bit     ", src)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x8bit     ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x12bit    ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _, nBits = 48, bands = 4))
@@ -129,7 +132,7 @@ object ScaleProbe {
     // q19's IVF ANN (the r14 replay-graduated Spark side): probe cost
     // is bounded by nQueries·nProbe cells, so 10× corpus with
     // nLists ∝ N must stay ~flat after the assignment pass.
-    Seq(src, dst).foreach { d =>
+    if (!only16) Seq(src, dst).foreach { d =>
       time("q34b grid decode", d)(Multimodal.mediaDecodeFeatures(spark, _))
       time("q34d media joinQ", d)(Multimodal.mediaQualityJoin(spark, _))
       time("q19 ivf ann     ", d)(Vectors.annIvf(spark, _))
@@ -148,10 +151,71 @@ object ScaleProbe {
           w => concat(w, col("copy").cast("string"))), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$dst100/documents.parquet")
-    Seq(src, dst, dst100).foreach { d =>
+    if (!only16) Seq(src, dst, dst100).foreach { d =>
       time("q25 exact dedup", d)(Dedup.dedupExact(spark, _))
       time("q27b minhash pl", d)(Dedup.dedupMinHashPlanted(spark, _))
       time("q40 allpairs   ", d)(Dedup.dedupAllPairs(spark, _))
+    }
+
+    // ---- r16 additions (VERDICT r15 items 1 & 4) ----
+    if (!only15) {
+      // (1) Two-decade slope for the graph/funnel spine: CC round
+      // count grows with component DIAMETER, which copy-scaling holds
+      // constant while component COUNT grows 100x -- the claim these
+      // rows test is that pointer-jumping work is linear in edges at
+      // fixed diameter, and that q79b's steady-state probe keeps
+      // tracking the delta (N/16 docs against pruned index buckets),
+      // never corpus text. Warm pass builds the per-corpus
+      // FunnelIndex, so the timed q79b pass is the nightly
+      // steady-state read.
+      Seq(src, dst, dst100).foreach { d =>
+        time("q53 dup clusters", d)(graft.operators.DupGraph.dupClusters(spark, _))
+        time("q75 cluster reps", d)(graft.operators.DupGraph.clusterReps(spark, _))
+        time("q79b funnel idx ", d)(Curation.funnelDeltaIndexed(spark, _))
+      }
+      // (2) Mega-duplication stress: SURVEY section 4 prescribes
+      // composition order (q25 exact collapse BEFORE near-dup)
+      // because pair output is quadratic under massive verbatim
+      // duplication. Plant the degenerate corpus and give the
+      // prescription numbers: sf0.1 plus C verbatim copies of doc 0.
+      // The RAW minhash point is measured at C=2000 (C(2k,2) = 2e6
+      // pairs per band bucket -- minutes); at C=20000 it would be
+      // 2e8 pairs in ONE group, so only the guarded and composed
+      // spellings run there -- that asymmetry IS the finding.
+      def megadup(nCopies: Int): String = {
+        val d = s"/tmp/graft_mega$nCopies"
+        val base = docs.select("doc_id", "text", "lang", "source", "n_chars")
+        val one = docs.orderBy("doc_id").limit(1)
+          .select(col("text"), col("lang"), col("source"), col("n_chars"))
+        base.unionByName(
+            spark.range(nCopies).select((col("id") + 2000000L).as("doc_id"))
+              .crossJoin(one))
+          .write.mode("overwrite").parquet(s"$d/documents.parquet")
+        d
+      }
+      val mega2k = megadup(2000)
+      val mega20k = megadup(20000)
+      // q25 on the worst corpus: the hash groupBy collapses the
+      // clique map-side -- must stay at the sf0.1 decade
+      time("q25 mega20k     ", mega20k)(Dedup.dedupExact(spark, _))
+      // raw banding at C=2000: the measured quadratic point
+      time("q27 mega2k RAW  ", mega2k)(Dedup.dedupMinHash(spark, _))
+      // the guard at C=20000: oversized buckets emit anchor stars
+      time("q27 mega20k CAP ", mega20k)(Dedup.dedupMinHash(spark, _, maxBucket = 1000))
+      // the prescription at C=20000: exact collapse, then banding
+      // over survivors only
+      time("q25->q27 mega20k", mega20k) { dd =>
+        val surv = spark.read.parquet(s"$dd/documents.parquet")
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+          .select("doc_id", "text")
+        Dedup.dedupMinHashOn(spark, Dedup.docShinglesOn(spark, surv), 0.5, 32, 8)
+      }
+      // q39/q53 ride dedupNgram on the FULL corpus, so they carry the
+      // same quadratic block at C=2000 -- the end-to-end numbers the
+      // composition prescription is priced against
+      time("q39 mega2k      ", mega2k)(graft.operators.TextAnalysis.corpusPrep(spark, _))
+      time("q53 mega2k      ", mega2k)(graft.operators.DupGraph.dupClusters(spark, _))
     }
     spark.stop()
   }

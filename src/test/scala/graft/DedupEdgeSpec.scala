@@ -59,6 +59,32 @@ class DedupEdgeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("minhash maxBucket guard: star pairs on a verbatim clique, connectivity preserved") {
+    import spark.implicits._
+    // a degenerate corpus: 12 verbatim copies of one doc (every band
+    // bucket holds the whole clique) plus one unrelated doc
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docsDf = ((0 until 12).map(i => (i.toLong, base)) :+
+      (100L, "totally unrelated words fill this other document completely"))
+      .toDF("doc_id", "text")
+    val sh = operators.Dedup.docShinglesOn(spark, docsDf)
+    val full = operators.Dedup.dedupMinHashOn(spark, sh, 0.5, 32, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size == 12 * 11 / 2, s"uncapped: the full clique listing, got ${full.size}")
+    val capped = operators.Dedup.dedupMinHashOn(spark, sh, 0.5, 32, 8, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the star: linear in clique size, anchored at the min id
+    assert(capped == (1 until 12).map(i => (0L, i.toLong)).toSet,
+      s"capped listing must be the min-id star, got $capped")
+    // what q53/q75 consume is CONNECTIVITY — identical under the cap
+    def comps(pairs: Set[(Long, Long)]) =
+      operators.DupGraph.connectedComponents(
+        pairs.toSeq.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comps(capped) == comps(full),
+      "the star must reproduce the uncapped components exactly")
+  }
+
   test("simhash dedup survives degenerate docs") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
