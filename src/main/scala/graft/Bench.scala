@@ -159,26 +159,23 @@ object Bench {
         System.err.println(s"WARN: could not write $detailPath: $t")
         "unwritable"
     }
-    // BENCH_detail.json is overwritten per run, so a crashed later
-    // round would clobber the only per-query record (VERDICT r08).
-    // Keep a per-round copy (round inferred from the committed
-    // BENCH_rNN.json artifacts: the CURRENT round is max+1) and an
-    // append-only history line; best-effort — never fatal to the run.
+    // Append-only history line per run (the durable per-run record;
+    // VERDICT r08). The ROUND-suffixed artifact (BENCH_detail_rNN
+    // .json) is deliberately NOT written here any more: every Bench
+    // invocation used to write it, so the driver's own end-of-round
+    // (often unsettled) run overwrote the settled pair's record
+    // (VERDICT r15 "what's wrong" 1). tools/settled_bench.sh is now
+    // the ONLY writer of the round artifact, and it refuses to record
+    // settled=false — the artifact of record can't regress by
+    // accident. Best-effort — never fatal to the run.
     try {
       val dir = new java.io.File(detailPath).getAbsoluteFile.getParentFile
-      val re = "BENCH_r(\\d+)\\.json".r
-      val prior = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      val round = "r%02d".format(if (prior.isEmpty) 0 else prior.max + 1)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(new java.io.File(dir, s"BENCH_detail_$round.json").getPath),
-        (detailLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(new java.io.File(dir, "BENCH_detail_history.jsonl").getPath),
         (detailLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     } catch {
-      case t: Throwable => System.err.println(s"WARN: could not write round-suffixed detail: $t")
+      case t: Throwable => System.err.println(s"WARN: could not write history line: $t")
     }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
