@@ -112,9 +112,16 @@ object StreamHarness {
                                windowMs: Long): DataFrame =
     SessionizeStream.closedSessions(spark, stream.toDS(), windowMs, "0 seconds").toDF()
 
+  // nBatches default 1 (r16 floor shave): the certification cost is
+  // ~linear in micro-batch count (state commits + per-batch planning
+  // + sink round-trip per batch), the oracle law is slicing-invariant
+  // (pinned by the 1==5==batch invariance specs), and every feed
+  // still crosses batch boundaries — the sentinel batch plus the
+  // engine's no-data batch exercise cross-batch state on every entry;
+  // the multi-slice laws stay spec-anchored at 1 vs 5.
   def streamSessions(spark: SparkSession, dir: String,
                      windowMs: Long = 30 * 60 * 1000L,
-                     nBatches: Int = 2,
+                     nBatches: Int = 1,
                      provider: Option[String] = None,
                      native: Boolean = false): DataFrame = {
     import spark.implicits._
@@ -180,7 +187,7 @@ object StreamHarness {
     * corpus-side build q79b also reuses).
     */
   def streamFunnel(spark: SparkSession, dir: String,
-                   nBatches: Int = 2): DataFrame = {
+                   nBatches: Int = 1): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import FunnelStream.DocIn
@@ -268,7 +275,7 @@ object StreamHarness {
     * DedupStreamSpec stream ≡ batch law, driver-certified.
     */
   def streamDedup(spark: SparkSession, dir: String,
-                  threshold: Double = 0.5, nBatches: Int = 2,
+                  threshold: Double = 0.5, nBatches: Int = 1,
                   provider: Option[String] = None): DataFrame = {
     import spark.implicits._
     import DedupStream.DocIn
@@ -295,7 +302,7 @@ object StreamHarness {
     * driver-certified via q54's oracle verbatim).
     */
   def streamDecontam(spark: SparkSession, dir: String,
-                     nBatches: Int = 2): DataFrame = {
+                     nBatches: Int = 1): DataFrame = {
     import spark.implicits._
     import DedupStream.DocIn
     // idx.bench is registry-managed (one live copy; reloads reuse
@@ -334,7 +341,7 @@ object StreamHarness {
     * windows-in-flight × kinds, never the stream's length.
     */
   def streamWindowed(spark: SparkSession, dir: String,
-                     nBatches: Int = 2): DataFrame = {
+                     nBatches: Int = 1): DataFrame = {
     import spark.implicits._
     val winMs = 5 * 60 * 1000L
     val sent = "sentinel"
@@ -365,7 +372,7 @@ object StreamHarness {
     * law), certified by q56's oracle verbatim.
     */
   def streamThreads(spark: SparkSession, dir: String,
-                    nBatches: Int = 2,
+                    nBatches: Int = 1,
                     provider: Option[String] = None): DataFrame = {
     import spark.implicits._
     import ReplyChainStream.Msg

@@ -613,13 +613,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(5) == got(4) + 1, "5s gap must open a new session for user 1")
   }
 
-  test("q80 harness: micro-batch slicing is semantics-free (2 batches == 5 batches == q01c)") {
+  test("q80 harness: micro-batch slicing is semantics-free (1 batch == 5 batches == q01c)") {
     // the driver certifies q80 against q01c's oracle at the default
     // slicing; this pins that the RESULT never depends on where the
     // batch boundaries fall (ascending feed => no stragglers, so the
     // bounded-state sessionizer is exact at any batch count)
     val dir = "/root/testdata/sf0.001"
-    val a = streaming.StreamHarness.streamSessions(spark, dir, nBatches = 2).collect()
+    val a = streaming.StreamHarness.streamSessions(spark, dir, nBatches = 1).collect()
     val b = streaming.StreamHarness.streamSessions(spark, dir, nBatches = 5).collect()
     assert(a.length == b.length && a.sameElements(b),
       "closed-session rollup must be identical under different micro-batch slicings")
@@ -633,10 +633,10 @@ class StreamingSpec extends AnyFunSuite {
     // pins that batch boundaries never leak into the result — a
     // cross-batch state bug (a pair split across batches, a thread
     // parent arriving a batch early, a seen-store race) would show up
-    // as a 2-vs-5 diff here even if the default slicing masked it
+    // as a 1-vs-5 diff here even if the default slicing masked it
     val dir = "/root/testdata/sf0.001"
     def pin(name: String, run: Int => Array[org.apache.spark.sql.Row]): Unit = {
-      val a = run(2); val b = run(5)
+      val a = run(1); val b = run(5)
       assert(a.length == b.length && a.sameElements(b),
         s"$name: result must be identical under different micro-batch slicings")
     }
