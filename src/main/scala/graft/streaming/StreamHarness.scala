@@ -40,11 +40,12 @@ object StreamHarness {
     * partition — at 32 partitions the fixed commit cost dwarfed the
     * work on every keyed-state harness entry (q80 measured 11.4s at
     * sf0.1 before the cap; results are keyed-state identical at any
-    * partition count). r13 capped at 8 (11.4→4.0s); r14 halves again
-    * to 4 — at sf0.1 each state partition still carries thousands of
-    * keys, so the harness stays parallel while commits drop another
-    * 2×. Only query START reads the conf, so the previous value is
-    * restored as soon as `body` returns.
+    * partition count). r13 capped at 8 (11.4→4.0s); r14 halved to 4;
+    * r16 halves again to 2 (q80 isolated 2.25→1.97s) — at sf0.1 each
+    * state partition still carries tens of thousands of keys, so the
+    * harness stays parallel while commits drop another 2×. Only query
+    * START reads the conf, so the previous value is restored as soon
+    * as `body` returns.
     */
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -140,7 +141,7 @@ object StreamHarness {
     // non-state shuffle in them reads the LIVE session conf — with the
     // cap restored early, the bench (32 shuffle partitions) paid 32
     // tiny tasks per exchange per batch (r14 harness-cost audit).
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, 2) {
       withStateProvider(spark, provider) {
         val plan =
           if (native) SessionizeStream.closedSessionsNative(spark, stream.toDS(), windowMs, "0 seconds")
@@ -206,7 +207,7 @@ object StreamHarness {
     // this entry is where the early-restore cost was largest (a
     // dozen exchanges per batch × 32 bench partitions for a
     // 300-doc delta)
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, 2) {
       val q = FunnelStream.verdicts(ctx, stream.toDS(), out, ckpt)
       try {
         val chunk = math.max(1, math.ceil(delta.length.toDouble / nBatches).toInt)
@@ -247,7 +248,7 @@ object StreamHarness {
     val name = s"${prefix}_${runId.incrementAndGet()}"
     // cap spans the feed loop (see streamSessions): batch DAG
     // shuffles read the live conf inside processAllAvailable
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, 2) {
       val q = start(stream, name)
       try {
         val chunk = math.max(1, math.ceil(rows.length.toDouble / nBatches).toInt)
