@@ -53,6 +53,10 @@ object SparkEntry {
     "q37_threshold_heatmap" -> ((s, d) => Sessions.thresholdHeatmap(s, d)),
     "q38_doc_chunks"        -> ((s, d) => TextAnalysis.docChunks(s, d)),
     "q39_corpus_prep"       -> ((s, d) => TextAnalysis.corpusPrep(s, d)),
+    // the SCALE composition order as a certified operator: near-dup
+    // over exact-dedup survivors (identical output, quadratic-proof
+    // under mega-duplication — SURVEY §4 r16 mega-dup rows)
+    "q39b_prep_dedup_first" -> ((s, d) => TextAnalysis.corpusPrepDedupFirst(s, d)),
     "q07_word_quantiles"    -> ((s, d) => TextAnalysis.wordQuantiles(s, d)),
     "q25_dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "q26_dedup_ngram"       -> ((s, d) => Dedup.dedupNgram(s, d)),
@@ -1776,6 +1780,34 @@ object SparkEntry {
          |neardrop AS (
          |  SELECT DISTINCT doc_b AS doc_id FROM (
          |    WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |    b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM t)
+         |    SELECT c.doc_id AS doc_b
+         |    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+         |    WHERE round(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))), 6) >= 0.5) p)
+         |SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(q.wc) AS BIGINT) AS total_tokens
+         |FROM documents d
+         |JOIN quality q ON d.doc_id = q.doc_id
+         |JOIN survivors s ON d.doc_id = s.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM neardrop)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // q39b: the near-dup CTE runs over exact survivors (min doc_id
+    // per text hash) — the scale composition order, same final rows
+    // as q39 (see corpusPrepDedupFirst's equivalence argument)
+    "q39b_prep_dedup_first" ->
+      s"""WITH quality AS (
+         |  SELECT doc_id, wc FROM (
+         |    SELECT doc_id, $wcSql AS wc,
+         |      round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+         |            / ($wcSql) * 0.5
+         |            + LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) * 0.5, 6) AS quality
+         |    FROM documents) x WHERE quality >= 0.3),
+         |survivors AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |neardrop AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM (
+         |    WITH t AS (
+         |      SELECT d.doc_id, $shinglesSql AS sh
+         |      FROM documents d JOIN survivors s ON d.doc_id = s.doc_id),
          |    b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM t)
          |    SELECT c.doc_id AS doc_b
          |    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id

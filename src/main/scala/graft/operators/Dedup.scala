@@ -82,14 +82,23 @@ object Dedup {
   private[operators] case class DocShingles(doc_id: Long, sh: Array[String], blk: String)
   private[operators] case class NgramPair(doc_a: Long, doc_b: Long, jac: Double)
 
-  def dedupNgram(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def dedupNgram(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    dedupNgramOn(spark, docShingles(spark, dir), threshold)
+
+  /** dedupNgram over a caller-supplied (doc_id, sh) shingle frame —
+    * q39b passes exact-dedup SURVIVORS here (the composition order §4
+    * prescribes and the r16 mega-dup probe prices), so the blocking
+    * never sees a verbatim clique.
+    */
+  private[graft] def dedupNgramOn(spark: SparkSession, shingled: DataFrame,
+                                  threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     // Each doc's shingle array shuffles ONCE to its block and all
     // candidate pairs form in-memory per block — a self-join instead
     // duplicates every array into every candidate pair row (observed
     // ~126x shuffle amplification at sf0.1). Blocks are bounded (docs
     // sharing one min-shingle); the linear merge keeps a pair O(|sh|).
-    val sh = docShingles(spark, dir)
+    val sh = shingled
       .withColumn("blk", element_at(col("sh"), 1)) // min shingle of a sorted array
       .as[DocShingles]
     sh.groupByKey(_.blk)

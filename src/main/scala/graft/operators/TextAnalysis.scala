@@ -190,6 +190,44 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q39b: corpus prep in the SCALE composition order (VERDICT r15
+    * item 4 made the prescription a measured rule; this makes it a
+    * certified operator): the near-dup leg runs over EXACT-DEDUP
+    * SURVIVORS instead of the full corpus, so min-shingle blocking
+    * never sees a verbatim clique — the r16 mega-dup probe measured
+    * the difference as Θ(C²) vs no-op (8.1s at +2k copies raw vs
+    * 0.63s composed at +20k; SURVEY §4).
+    *
+    * Output ≡ q39 exactly, by this argument: a doc d's exact-group
+    * minimum d0 carries IDENTICAL shingles (same text ⇒ same blocks,
+    * same Jaccard), and d0 < d ≤ any doc d collides with — so for
+    * every full-corpus pair (d, s) that drops a SURVIVOR s, the
+    * survivor pair (d0, s) exists with the same block and jac and
+    * drops s too, while non-survivor doc_bs were already dropped by
+    * the exact gate. Pinned by spec AND by its own DuckDB oracle
+    * (the near-dup CTE written over survivors).
+    */
+  def corpusPrepDedupFirst(spark: SparkSession, dir: String,
+                           minQuality: Double = 0.3): DataFrame = {
+    val quality = qualityScore(spark, dir)
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"), col("wc"))
+    val exactSurvivors = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"), first(col("text")).as("text"))
+      .select("doc_id", "text")
+    val nearDupDrop = Dedup.dedupNgramOn(spark,
+        Dedup.docShinglesOn(spark, exactSurvivors))
+      .select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(spark, dir).select("doc_id", "lang")
+      .join(quality, "doc_id")
+      .join(exactSurvivors.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(nearDupDrop, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("wc").as("total_tokens"))
+      .orderBy("lang")
+  }
+
   /** q60: intra-document repetition signals — the Gopher/C4-family
     * quality rules that catch boilerplate and degenerate generation:
     * duplicate-word fraction, duplicate-bigram fraction, and the

@@ -161,6 +161,32 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("q39b dedup-first corpus prep == q39 (incl. on a planted verbatim clique)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] = df.collect().toSeq
+    // on the degenerate-doc corpus above
+    assert(rows(operators.TextAnalysis.corpusPrepDedupFirst(spark, dir)) ==
+      rows(operators.TextAnalysis.corpusPrep(spark, dir)))
+    // and on real testdata
+    val td = TestSpark.dir
+    assert(rows(operators.TextAnalysis.corpusPrepDedupFirst(spark, td)) ==
+      rows(operators.TextAnalysis.corpusPrep(spark, td)))
+    // and on a planted verbatim clique — the corpus the composition
+    // order exists for (30 copies: big enough to catch an ordering
+    // bug, small enough that the RAW q39 twin still runs in a spec)
+    val fake = "/fake/prep_megadup"
+    val clique = (0 until 30).map(i =>
+      (1000L + i, "the quick brown fox jumps over the lazy dog every single morning here", "en", "s1", 70L))
+    val extra = Seq(
+      (1L, "completely different words appear in this other document about databases", "en", "s0", 72L),
+      (2L, "the quick brown fox leaps over the lazy dog every single morning here", "en", "s1", 70L))
+    Tables.registerOverride(spark, fake, "documents",
+      (clique ++ extra).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    assert(rows(operators.TextAnalysis.corpusPrepDedupFirst(spark, fake)) ==
+      rows(operators.TextAnalysis.corpusPrep(spark, fake)))
+  }
+
   test("substringDup computes exact span coverage on planted shared passages") {
     import spark.implicits._
     val sdir = "/fake/substring_dup"
