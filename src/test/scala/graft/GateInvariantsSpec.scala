@@ -50,6 +50,17 @@ class GateInvariantsSpec extends AnyFunSuite {
     assert(msgs.exists(_.contains("[0.5,0.9)")), msgs.mkString("\n"))
   }
 
+  test("sf0.1 danger-band pairs are recovered by the banding (q27's oracle precondition)") {
+    // the sf0.1 corpus holds true pairs in [0.5, 0.9) (j=0.889 and
+    // j=0.818 as of r16) — q27's oracle only stays exact there while
+    // the fixed 8x4 banding recovers them. check() verifies recovery
+    // directly; a datagen regeneration that flips it fails HERE with
+    // the missed pairs named, a round before the driver gate reads
+    // as an opaque row-count mismatch.
+    val msgs = GateInvariants.check(spark, "/root/testdata/sf0.1")
+    assert(msgs.isEmpty, msgs.mkString("\n"))
+  }
+
   test("bench-gram seams are gram-distinct (funnelGate's broadcast-join precondition)") {
     // funnelGate counts A-union-B membership as two broadcast LEFT
     // joins; a duplicate gram on either right side would multiply
