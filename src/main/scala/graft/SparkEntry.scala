@@ -757,11 +757,13 @@ object SparkEntry {
     // Stronger than a hash replay: it is ALGORITHM-INDEPENDENT truth —
     // passing certifies the 8×4 MinHash banding recovered EVERY
     // qualifying pair on the gate corpora. Recall there is
-    // deterministic (fixed texts + fixed hashes → fixed outcome,
-    // verified bit-exactly per SF, not assumed): the corpus's near-dup
-    // pairs all sit at jac ≥ 0.909, where the a-priori band-miss
-    // probability is ~1e-4 per pair, and an actual miss would surface
-    // as a row-count FAIL here, never silently.
+    // deterministic (fixed texts + fixed hashes → fixed outcome), but
+    // NOT implied by the jac levels alone: the sf0.1 corpus holds two
+    // true pairs in the [0.5,0.9) danger band (j=0.889/0.818, r16
+    // finding) that the banding happens to recover — so recovery is
+    // verified DIRECTLY per corpus by the GateInvariants pre-flight
+    // (Verify) and spec-pinned at sf0.1; a datagen flip fails there
+    // with the missed pairs named, never silently here.
     "q27_dedup_minhash" ->
       s"""WITH t AS (SELECT doc_id, list_sort($shinglesSql) AS sh FROM documents),
          |s AS (SELECT doc_id, sh, len(sh) AS n FROM t WHERE len(sh) > 0)
