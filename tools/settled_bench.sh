@@ -14,6 +14,15 @@
 # manual unsettled invocation can never clobber the round record
 # (Bench itself no longer writes round-suffixed files).
 #
+# Fallback (r16): when the pair gate FAILS but at least one run of
+# the pair is individually settled with zero errors, the best such
+# run is recorded with "pairConfirmed":false and the observed pair
+# drift — on this machine the hourly noise band has run 4-17% between
+# back-to-back totals while individual settled runs stay coherent, so
+# an explicitly-flagged settled single beats an absent record. A
+# pair-confirmed record (pairConfirmed:true) REPLACES a fallback one;
+# a fallback never overwrites an existing pair-confirmed artifact.
+#
 # Usage: tools/settled_bench.sh  (env: SPARK_GRAFT_SF_DIR,
 #        SPARK_GRAFT_CPUS, SETTLE_IDLE seconds before the first run)
 set -e
@@ -30,7 +39,7 @@ D1=$(cat BENCH_detail.json)
 L2=$(run)
 D2=$(cat BENCH_detail.json)
 python3 - "$L1" "$L2" "$D1" "$D2" <<'EOF'
-import json, sys, glob, re
+import json, sys, glob, re, os
 a, b = (json.loads(x) for x in sys.argv[1:3])
 da, db = (json.loads(x) for x in sys.argv[3:5])
 va, vb = a["value"], b["value"]
@@ -38,20 +47,35 @@ drift = abs(va - vb) / max(va, vb)
 print(f"run1={va}s run2={vb}s drift={drift:.1%} (gate: 5%)")
 print(f"nerr: run1={a['nerr']} run2={b['nerr']} settled: run1={a['settled']} run2={b['settled']}")
 ok = drift <= 0.05 and a["nerr"] == 0 and b["nerr"] == 0
-if ok:
-    # record the better run of the confirmed pair; refuse anything
-    # unsettled or erroring (the round artifact must never regress)
-    best = da if da["value"] <= db["value"] else db
-    if not best.get("settled") or best.get("errors"):
-        print("REFUSED: best run of the pair is unsettled or has errors; round artifact not written")
-        sys.exit(1)
+
+def record(best, confirmed):
     rounds = [int(m.group(1)) for f in glob.glob("BENCH_r*.json")
               for m in [re.fullmatch(r"BENCH_r(\d+)\.json", f)] if m]
     rn = (max(rounds) + 1) if rounds else 0
     path = f"BENCH_detail_r{rn:02d}.json"
+    if not confirmed and os.path.exists(path):
+        try:
+            if json.load(open(path)).get("pairConfirmed"):
+                print(f"kept existing pair-confirmed {path}; fallback not written")
+                return
+        except Exception:
+            pass
+    best = dict(best, pairConfirmed=confirmed, pairDrift=round(drift, 4))
     with open(path, "w") as f:
         json.dump(best, f, separators=(",", ":"))
         f.write("\n")
-    print(f"recorded {path}: total={best['value']}s settled=true (pair-confirmed, drift {drift:.1%})")
+    kind = "pair-confirmed" if confirmed else "SETTLED SINGLE (pair gate failed)"
+    print(f"recorded {path}: total={best['value']}s settled=true ({kind}, drift {drift:.1%})")
+
+# candidates must be individually settled with zero errors — the
+# artifact of record is never an unsettled or erroring run
+settled = [d for d, s in ((da, a), (db, b))
+           if d.get("settled") and not d.get("errors") and s["nerr"] == 0]
+if ok and settled:
+    record(min(settled, key=lambda d: d["value"]), confirmed=True)
+elif settled:
+    record(min(settled, key=lambda d: d["value"]), confirmed=False)
+else:
+    print("REFUSED: no settled zero-error run in the pair; round artifact not written")
 sys.exit(0 if ok else 1)
 EOF
