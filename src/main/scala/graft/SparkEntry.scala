@@ -206,11 +206,21 @@ object SparkEntry {
       }
     }),
     "q82_pseudonymize"    -> ((s, d) => Curation.pseudonymize(s, d)),
-    "q83_stream_dedup"    -> ((s, d) => streaming.StreamHarness.streamDedup(s, d)),
+    // nBatches=3: the representative MULTI-SLICE feed under the hard
+    // gate (VERDICT r16 item 2) — per-bucket shingle state must
+    // restore across micro-batch boundaries for the oracle to hold
+    "q83_stream_dedup"    -> ((s, d) => streaming.StreamHarness.streamDedup(s, d,
+      nBatches = 3)),
     // the dedup-signature state on the PRODUCTION backend (q80c's
     // pattern): same plan, feed and oracle, state in RocksDB
     "q83b_dedup_rocks"    -> ((s, d) => streaming.StreamHarness.streamDedup(s, d,
       provider = Some(streaming.StateBackend.RocksDBProvider))),
+    // the PRODUCTION-STATE screen (constant-bytes signature state) +
+    // downstream exact verify, under q27b's brute-force oracle
+    "q83c_dedup_signature" -> ((s, d) => streaming.StreamHarness.streamDedupSignature(s, d)),
+    // the streaming corpus gate (quality filter + first-writer-wins
+    // exact-dup state), multi-slice by default
+    "q83d_stream_gate"    -> ((s, d) => streaming.StreamHarness.streamCorpusGate(s, d)),
     "q84_stream_decontam" -> ((s, d) => streaming.StreamHarness.streamDecontam(s, d)),
     "q85_stream_threads"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d)),
     // the thread-root map on RocksDB, under q56's oracle verbatim
@@ -242,6 +252,28 @@ object SparkEntry {
       Sessions.resessionizeDirty(events, stale,
           events.select("user_id").filter(dirty(col("user_id"))))
         .orderBy("user_id", "session_id", "event_id")
+    }),
+    // q90: Incremental.embedNew under the oracle (the q87 corruption
+    // pattern, VERDICT r16 item 3): the stored vectors for a derived
+    // delta (vec_id % 16 == 0) are REMOVED from the store before the
+    // call — the entry is only EXACT if (a) the delta re-encodes via
+    // the batched encoder (q49's replay arithmetic) and (b) every
+    // kept store row passes through byte-identical — both paths
+    // load-bearing. Surface = q49's probe columns (v0 exact
+    // float→double widening, comp_sum index-ordered double fold), so
+    // vector CONTENT is hash-compared, not just row counts.
+    "q90_embed_new"       -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val store = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 16 =!= 0)
+        .select("vec_id", "embedding")
+      Incremental.embedNew(s, docs, store)
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("v0"),
+          aggregate(transform(col("embedding"), v => v.cast("double")),
+            lit(0.0), (a, x) => a + x).as("comp_sum"))
+        .orderBy("vec_id")
     })
   )
 
@@ -288,6 +320,35 @@ object SparkEntry {
     val lo = java.lang.Long.toUnsignedString(c & 0xffffffffL)
     s"CAST((CAST($a AS HUGEINT) * $hi % 4294967296 * 4294967296 + CAST($a AS HUGEINT) * $lo) % 18446744073709551616 AS UBIGINT)"
   }
+
+  /** The stub-encoder replay chain (q49, reused by q90's delta leg):
+    * CTEs `jh` → `vv` over a caller-supplied `d(doc_id, text)` CTE.
+    * hashCode as a signed-32 wrapping fold, splitmix64 via umulSql,
+    * every binary32 op as DOUBLE-compute-then-REAL-cast (exact by the
+    * 2p+2 ≤ 53 double-rounding theorem). ONE definition so the
+    * q49/q90 gate twins cannot drift apart under edits.
+    */
+  private def encodeReplayChain: String =
+    s"""jh AS (
+       |  SELECT doc_id, list_reduce(
+       |      list_prepend(0::HUGEINT,
+       |        list_transform(range(1, length(text)+1), i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+       |      (h, c) -> ((h * 31 + c + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648) AS jh
+       |  FROM d),
+       |s0 AS (SELECT doc_id, CAST(((CAST(xor(CAST(jh AS BIGINT), 32423) AS HUGEINT) % 18446744073709551616) + 18446744073709551616) % 18446744073709551616 AS UBIGINT) AS u FROM jh),
+       |s1 AS (SELECT doc_id, CAST((CAST(u AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS x1 FROM s0),
+       |s2 AS (SELECT doc_id, ${umulSql("xor(x1, x1 >> 30)", 0xbf58476d1ce4e5b9L)} AS x2 FROM s1),
+       |s3 AS (SELECT doc_id, ${umulSql("xor(x2, x2 >> 27)", 0x94d049bb133111ebL)} AS x3 FROM s2),
+       |sd AS (SELECT doc_id, xor(x3, x3 >> 31) AS seed FROM s3),
+       |gi AS (SELECT doc_id, CAST((CAST(xor(seed, CAST(r.b AS UBIGINT)) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS x1, r.b AS i FROM sd, range(0, 64) r(b)),
+       |h2 AS (SELECT doc_id, i, ${umulSql("xor(x1, x1 >> 30)", 0xbf58476d1ce4e5b9L)} AS x2 FROM gi),
+       |h3 AS (SELECT doc_id, i, ${umulSql("xor(x2, x2 >> 27)", 0x94d049bb133111ebL)} AS x3 FROM h2),
+       |raw AS (SELECT doc_id, i, CAST(CAST(xor(x3, x3 >> 31) >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 AS REAL) AS rf FROM h3),
+       |rl AS (SELECT doc_id, list(rf ORDER BY i) AS rs FROM raw GROUP BY doc_id),
+       |nm AS (SELECT doc_id, rs,
+       |  CAST(sqrt(list_reduce(list_prepend(0.0, list_transform(rs, x -> CAST(x AS DOUBLE))), (a, x) -> a + x * x)) AS REAL) AS nf FROM rl),
+       |vv AS (SELECT doc_id,
+       |  list_transform(rs, x -> CASE WHEN nf = CAST(0.0 AS REAL) THEN CAST(0.0 AS REAL) ELSE CAST(CAST(x AS DOUBLE) / CAST(nf AS DOUBLE) AS REAL) END) AS vs FROM nm)""".stripMargin
 
   // ── q67-family replay oracles (r15 graduation — the q19/q41 replay
   // argument extended to the full IVF-PQ pipeline: codebooks → codes →
@@ -511,6 +572,9 @@ object SparkEntry {
       // backend under the dedup-signature and thread-root state maps
       // (the two large keyed maps SURVEY §G routes off-heap)
       "q83b_dedup_rocks" -> oracleSqlBase("q27b_minhash_planted"),
+      // q83c: the signature screen + exact verify must reproduce the
+      // SAME pair set — brute-force truth is screen-independent
+      "q83c_dedup_signature" -> oracleSqlBase("q27b_minhash_planted"),
       "q84_stream_decontam" -> oracleSqlBase("q54_decontam"),
       "q85_stream_threads" -> oracleSqlBase("q56_reply_threads"),
       "q85b_threads_rocks" -> oracleSqlBase("q56_reply_threads"),
@@ -838,6 +902,42 @@ object SparkEntry {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.sh = b.sh
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // q83d: the streaming corpus gate replayed — quality filter
+    // (reference word-count formula + length score), then the
+    // first-writer-wins exact-dup gate as min-doc_id-per-content-hash
+    // (ascending arrival ⇒ first writer IS the min id). Same planted
+    // union as q27b so the dup state is non-vacuous at every SF.
+    "q83d_stream_gate" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
+         |s AS (SELECT doc_id, text, $wcSql AS wc FROM u),
+         |f AS (SELECT doc_id, text, wc FROM s
+         |      WHERE wc > 0 AND LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) >= 0.1),
+         |w AS (SELECT doc_id, wc, md5(text) AS text_hash,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM f)
+         |SELECT doc_id, CAST(wc AS INT) AS wc, text_hash FROM w WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin,
+    // q90: embedNew replayed — kept store rows pass through
+    // byte-identical (their probe columns read straight off the
+    // embeddings table), the delta (doc_ids missing from the kept
+    // store) re-encodes via q49's replay chain verbatim.
+    "q90_embed_new" ->
+      s"""WITH kept AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 16 <> 0),
+         |d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
+         |      WHERE doc_id NOT IN (SELECT vec_id FROM kept)),
+         |$encodeReplayChain
+         |SELECT vec_id, dim, v0, comp_sum FROM (
+         |  SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+         |    CAST(embedding[1] AS DOUBLE) AS v0,
+         |    list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, x) -> a + x) AS comp_sum
+         |  FROM kept
+         |  UNION ALL
+         |  SELECT doc_id AS vec_id, CAST(64 AS INT) AS dim, CAST(vs[1] AS DOUBLE) AS v0,
+         |    list_reduce(list_prepend(0.0, list_transform(vs, x -> CAST(x AS DOUBLE))), (a, x) -> a + x) AS comp_sum
+         |  FROM vv) t
+         |ORDER BY vec_id""".stripMargin,
     "q29_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
@@ -2404,26 +2504,7 @@ object SparkEntry {
     // rows-only by design.
     "q49_text_encode" ->
       s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-         |jh AS (
-         |  SELECT doc_id, list_reduce(
-         |      list_prepend(0::HUGEINT,
-         |        list_transform(range(1, length(text)+1), i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
-         |      (h, c) -> ((h * 31 + c + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648) AS jh
-         |  FROM d),
-         |s0 AS (SELECT doc_id, CAST(((CAST(xor(CAST(jh AS BIGINT), 32423) AS HUGEINT) % 18446744073709551616) + 18446744073709551616) % 18446744073709551616 AS UBIGINT) AS u FROM jh),
-         |s1 AS (SELECT doc_id, CAST((CAST(u AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS x1 FROM s0),
-         |s2 AS (SELECT doc_id, ${umulSql("xor(x1, x1 >> 30)", 0xbf58476d1ce4e5b9L)} AS x2 FROM s1),
-         |s3 AS (SELECT doc_id, ${umulSql("xor(x2, x2 >> 27)", 0x94d049bb133111ebL)} AS x3 FROM s2),
-         |sd AS (SELECT doc_id, xor(x3, x3 >> 31) AS seed FROM s3),
-         |gi AS (SELECT doc_id, CAST((CAST(xor(seed, CAST(r.b AS UBIGINT)) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS x1, r.b AS i FROM sd, range(0, 64) r(b)),
-         |h2 AS (SELECT doc_id, i, ${umulSql("xor(x1, x1 >> 30)", 0xbf58476d1ce4e5b9L)} AS x2 FROM gi),
-         |h3 AS (SELECT doc_id, i, ${umulSql("xor(x2, x2 >> 27)", 0x94d049bb133111ebL)} AS x3 FROM h2),
-         |raw AS (SELECT doc_id, i, CAST(CAST(xor(x3, x3 >> 31) >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 AS REAL) AS rf FROM h3),
-         |rl AS (SELECT doc_id, list(rf ORDER BY i) AS rs FROM raw GROUP BY doc_id),
-         |nm AS (SELECT doc_id, rs,
-         |  CAST(sqrt(list_reduce(list_prepend(0.0, list_transform(rs, x -> CAST(x AS DOUBLE))), (a, x) -> a + x * x)) AS REAL) AS nf FROM rl),
-         |vv AS (SELECT doc_id,
-         |  list_transform(rs, x -> CASE WHEN nf = CAST(0.0 AS REAL) THEN CAST(0.0 AS REAL) ELSE CAST(CAST(x AS DOUBLE) / CAST(nf AS DOUBLE) AS REAL) END) AS vs FROM nm)
+         |$encodeReplayChain
          |SELECT doc_id, CAST(64 AS INT) AS dim,
          |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(vs, x -> CAST(x AS DOUBLE))), (a, x) -> a + x * x)), 6) AS l2_norm,
          |  CAST(vs[1] AS DOUBLE) AS v0,
