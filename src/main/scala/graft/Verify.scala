@@ -25,16 +25,26 @@ object Verify {
     // errors must surface as an err row in the correctness report, not
     // silently vanish from it (22 queries did exactly that).
     val status = scala.collection.mutable.LinkedHashMap[String, String]()
-    // Pre-flight (ADVICE r15): when any graduated-replay gate query is
+    // Pre-flight (ADVICE r15): when a graduated-replay gate query is
     // in the requested set, verify the corpus invariants its oracle
     // stands on, so a datagen drift fails with a TARGETED message in
     // the log instead of only an opaque hash/row mismatch. Loud but
     // non-fatal — the per-query gates below still render the verdict.
-    if (SparkEntry.queries.keys.exists(k =>
-        GateInvariants.gateQueries(k) && only.forall(_.contains(k))))
-      try GateInvariants.check(spark, sfDir)
-        .foreach(m => System.err.println(s"[verify] $m"))
-      catch { case e: Throwable =>
+    // Split per cost (ADVICE r16): the cheap ASCII scan runs for the
+    // q28/q33/q34/q49 replays; the expensive banding-recall check
+    // (all-pairs PPJoin + a full MinHash pass) only when q27 is
+    // requested. The structured report lands in gate_invariants.json
+    // so the round's correctness artifact records that the invariants
+    // held for THIS run (VERDICT r16 item 4; selfcheck.py embeds it).
+    val requested = SparkEntry.queries.keys.filter(k => only.forall(_.contains(k))).toSet
+    val wantAscii = requested.exists(GateInvariants.asciiGateQueries)
+    val wantBanding = requested.exists(GateInvariants.bandingGateQueries)
+    if (wantAscii || wantBanding)
+      try {
+        val rep = GateInvariants.run(spark, sfDir, ascii = wantAscii, banding = wantBanding)
+        rep.messages.foreach(m => System.err.println(s"[verify] $m"))
+        Files.writeString(Paths.get(s"$outDir/gate_invariants.json"), rep.json)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] gate-invariant pre-flight failed: ${e.getMessage}")
       }
     SparkEntry.queries

@@ -82,16 +82,34 @@ object Dedup {
   private[operators] case class DocShingles(doc_id: Long, sh: Array[String], blk: String)
   private[operators] case class NgramPair(doc_a: Long, doc_b: Long, jac: Double)
 
-  def dedupNgram(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
-    dedupNgramOn(spark, docShingles(spark, dir), threshold)
+  def dedupNgram(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                 maxBlock: Int = Int.MaxValue): DataFrame =
+    dedupNgramOn(spark, docShingles(spark, dir), threshold, maxBlock)
 
   /** dedupNgram over a caller-supplied (doc_id, sh) shingle frame —
     * q39b passes exact-dedup SURVIVORS here (the composition order §4
     * prescribes and the r16 mega-dup probe prices), so the blocking
     * never sees a verbatim clique.
+    *
+    * `maxBlock` — the min-shingle twin of dedupMinHashOn's `maxBucket`
+    * degenerate-band star (VERDICT r16 item 5): under mega-duplication
+    * every verbatim copy shares the min shingle, so one block holds
+    * the whole clique and the in-group listing is Θ(C²) by
+    * construction. A block larger than maxBlock verifies only
+    * anchor-vs-member (the min-id star, C−1 exact Jaccard checks)
+    * instead of all pairs. Connectivity — what q53/q75 consume — is
+    * preserved whenever the oversized block is one near-dup clique
+    * containing the anchor (the verbatim-copy case: jac(anchor, m) =
+    * 1 for every member); the full pair LISTING contract is knowingly
+    * narrowed, so the default (MaxValue) leaves every oracle path
+    * untouched. Composition order (exact-dedup first — q39b) remains
+    * the primary prescription; this is the belt for corpora where
+    * exact collapse can't run first.
     */
   private[graft] def dedupNgramOn(spark: SparkSession, shingled: DataFrame,
-                                  threshold: Double = 0.5): DataFrame = {
+                                  threshold: Double = 0.5,
+                                  maxBlock: Int = Int.MaxValue): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock must be >= 2: $maxBlock")
     import spark.implicits._
     // Each doc's shingle array shuffles ONCE to its block and all
     // candidate pairs form in-memory per block — a self-join instead
@@ -104,14 +122,22 @@ object Dedup {
     sh.groupByKey(_.blk)
       .flatMapGroups { (_, it) =>
         val docs = it.toArray.sortBy(_.doc_id)
-        for {
-          i <- docs.indices.iterator
-          j <- (i + 1 until docs.length).iterator
-          a = docs(i); b = docs(j)
-          c = sortedIntersectCount(a.sh, b.sh)
-          jac = roundHalfUp6(c.toDouble / (a.sh.length + b.sh.length - c))
-          if jac >= threshold
-        } yield NgramPair(a.doc_id, b.doc_id, jac)
+        def verified(a: DocShingles, b: DocShingles): Iterator[NgramPair] = {
+          val c = sortedIntersectCount(a.sh, b.sh)
+          val jac = roundHalfUp6(c.toDouble / (a.sh.length + b.sh.length - c))
+          if (jac >= threshold) Iterator.single(NgramPair(a.doc_id, b.doc_id, jac))
+          else Iterator.empty
+        }
+        if (docs.length > maxBlock)
+          // degenerate-block star (see maxBlock doc): linear
+          // anchor-vs-member verification, never the Θ(C²) listing
+          docs.iterator.drop(1).flatMap(b => verified(docs(0), b))
+        else
+          for {
+            i <- docs.indices.iterator
+            j <- (i + 1 until docs.length).iterator
+            p <- verified(docs(i), docs(j))
+          } yield p
       }
       .toDF("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")

@@ -216,6 +216,12 @@ object ScaleProbe {
       // composition prescription is priced against
       time("q39 mega2k      ", mega2k)(graft.operators.TextAnalysis.corpusPrep(spark, _))
       time("q53 mega2k      ", mega2k)(graft.operators.DupGraph.dupClusters(spark, _))
+      // the ngram maxBlock star (r17): dedupNgram's min-shingle twin
+      // of the q27 maxBucket guard -- raw at C=2000 for the quadratic
+      // point, guarded at C=20000 to show the belt holds where the
+      // raw listing would be 2e8 pairs in one block
+      time("q26 mega2k RAW  ", mega2k)(Dedup.dedupNgram(spark, _))
+      time("q26 mega20k CAP ", mega20k)(Dedup.dedupNgram(spark, _, maxBlock = 1000))
     }
     spark.stop()
   }

@@ -85,6 +85,33 @@ class DedupEdgeSpec extends AnyFunSuite {
       "the star must reproduce the uncapped components exactly")
   }
 
+  test("ngram maxBlock guard: star pairs on a verbatim clique, connectivity preserved") {
+    import spark.implicits._
+    // verbatim copies all share the min shingle, so one block holds
+    // the whole clique — the Θ(C²) shape maxBlock exists to cap
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docsDf = ((0 until 12).map(i => (i.toLong, base)) :+
+      (100L, "totally unrelated words fill this other document completely"))
+      .toDF("doc_id", "text")
+    val sh = operators.Dedup.docShinglesOn(spark, docsDf)
+    val full = operators.Dedup.dedupNgramOn(spark, sh, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size == 12 * 11 / 2, s"uncapped: the full clique listing, got ${full.size}")
+    val capped = operators.Dedup.dedupNgramOn(spark, sh, 0.5, maxBlock = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the star: linear in clique size, anchored at the min id, and
+    // every emitted pair still carries its EXACT jaccard (=1 here)
+    assert(capped.map(p => (p._1, p._2)).toSet ==
+      (1 until 12).map(i => (0L, i.toLong)).toSet,
+      s"capped listing must be the min-id star, got ${capped.toSeq}")
+    assert(capped.forall(_._3 == 1.0), s"star pairs verify exactly: ${capped.toSeq}")
+    def comps(pairs: Set[(Long, Long)]) =
+      operators.DupGraph.connectedComponents(pairs.toSeq.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comps(capped.map(p => (p._1, p._2)).toSet) == comps(full),
+      "the star must reproduce the uncapped components exactly")
+  }
+
   test("simhash dedup survives degenerate docs") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {

@@ -56,9 +56,17 @@ class GateInvariantsSpec extends AnyFunSuite {
     // the fixed 8x4 banding recovers them. check() verifies recovery
     // directly; a datagen regeneration that flips it fails HERE with
     // the missed pairs named, a round before the driver gate reads
-    // as an opaque row-count mismatch.
-    val msgs = GateInvariants.check(spark, "/root/testdata/sf0.1")
-    assert(msgs.isEmpty, msgs.mkString("\n"))
+    // as an opaque row-count mismatch. Environment-dependent (an
+    // all-pairs join over the full sf0.1 corpus): skipped, not
+    // failed, on machines without the sf0.1 testdata (ADVICE r16).
+    assume(new java.io.File("/root/testdata/sf0.1/documents.parquet").exists(),
+      "sf0.1 testdata not present on this machine")
+    val rep = GateInvariants.run(spark, "/root/testdata/sf0.1")
+    assert(rep.messages.isEmpty, rep.messages.mkString("\n"))
+    // the r16 finding must stay visible: the corpus HAS danger-band
+    // pairs and they are all recovered (missed empty, danger not)
+    assert(rep.dangerPairs.nonEmpty && rep.missedPairs.isEmpty,
+      s"expected recovered danger-band pairs, got ${rep.dangerPairs}")
   }
 
   test("bench-gram seams are gram-distinct (funnelGate's broadcast-join precondition)") {

@@ -121,6 +121,32 @@ def main():
         "total_sec": round(sum(timing.values()), 3),
         "queries": timing,
     }
+    # Correctness summary artifact with the gate-invariant block
+    # (VERDICT r16 item 4): Verify dumps gate_invariants.json when a
+    # replay-gate query ran; embedding it here makes "the invariants
+    # held for THIS run" visible in the round's correctness record
+    # instead of only in a transient stderr line. A recorded violation
+    # is a FAIL in its own right.
+    gate = None
+    try:
+        gate = json.load(open(f"{outdir}/gate_invariants.json"))
+        if gate.get("violations", 0):
+            print(f"FAIL gate_invariants: {gate['violations']} violation(s) — {gate}")
+            failed.append("gate_invariants")
+    except FileNotFoundError:
+        pass
+    correctness = {
+        "sf": sfdir,
+        "n_queries": len(oracles),
+        "n_pass": len(oracles) - len(set(failed) - {"gate_invariants", "manifest"}),
+        "failed": sorted(set(failed)),
+        "gate_invariants": gate,
+    }
+    with open(f"{outdir}/CORRECTNESS_local.json", "w") as f:
+        json.dump(correctness, f, indent=1, sort_keys=True)
+    if sfdir.rstrip("/").endswith("sf0.1"):
+        with open("CORRECTNESS_local.json", "w") as f:
+            json.dump(correctness, f, indent=1, sort_keys=True)
     # The repo-root ORACLE_TIMING.json is the HEADLINE artifact — the
     # sf0.1 numbers the bench gate is judged against. Only an sf0.1
     # run may touch it (an sf0.01 selfcheck once clobbered a completed

@@ -21,7 +21,15 @@
 # back-to-back totals while individual settled runs stay coherent, so
 # an explicitly-flagged settled single beats an absent record. A
 # pair-confirmed record (pairConfirmed:true) REPLACES a fallback one;
-# a fallback never overwrites an existing pair-confirmed artifact.
+# a fallback never overwrites an existing pair-confirmed artifact,
+# and a pair-confirmed record is only replaced by a FASTER
+# pair-confirmed run (r17, ADVICE r16 item 5).
+#
+# Every invocation also refreshes BENCH_medians_r{N}.json (r17,
+# VERDICT r16 item 6): per-query MEDIANS over the session's settled
+# zero-error runs with the same query set + sf, so cross-round
+# per-query comparisons read a noise-resistant statistic instead of
+# needing isolation re-runs.
 #
 # Usage: tools/settled_bench.sh  (env: SPARK_GRAFT_SF_DIR,
 #        SPARK_GRAFT_CPUS, SETTLE_IDLE seconds before the first run)
@@ -48,16 +56,30 @@ print(f"run1={va}s run2={vb}s drift={drift:.1%} (gate: 5%)")
 print(f"nerr: run1={a['nerr']} run2={b['nerr']} settled: run1={a['settled']} run2={b['settled']}")
 ok = drift <= 0.05 and a["nerr"] == 0 and b["nerr"] == 0
 
-def record(best, confirmed):
+def round_no():
     rounds = [int(m.group(1)) for f in glob.glob("BENCH_r*.json")
               for m in [re.fullmatch(r"BENCH_r(\d+)\.json", f)] if m]
-    rn = (max(rounds) + 1) if rounds else 0
-    path = f"BENCH_detail_r{rn:02d}.json"
-    if not confirmed and os.path.exists(path):
+    return (max(rounds) + 1) if rounds else 0
+
+def record(best, confirmed):
+    path = f"BENCH_detail_r{round_no():02d}.json"
+    if os.path.exists(path):
+        # an existing pair-confirmed record is only ever replaced by a
+        # BETTER pair-confirmed run (ADVICE r16: a later slower pair
+        # must not silently regress the round's record); a fallback
+        # single never replaces a pair-confirmed record at all
         try:
-            if json.load(open(path)).get("pairConfirmed"):
-                print(f"kept existing pair-confirmed {path}; fallback not written")
-                return
+            prev = json.load(open(path))
+            if prev.get("pairConfirmed"):
+                if not confirmed:
+                    print(f"kept existing pair-confirmed {path}; fallback not written")
+                    return
+                if prev.get("value", 1e9) <= best["value"]:
+                    print(f"kept existing pair-confirmed {path} "
+                          f"(total={prev['value']}s <= new {best['value']}s)")
+                    return
+                print(f"replacing pair-confirmed {path} "
+                      f"(total={prev['value']}s) with faster pair ({best['value']}s)")
         except Exception:
             pass
     best = dict(best, pairConfirmed=confirmed, pairDrift=round(drift, 4))
@@ -66,6 +88,37 @@ def record(best, confirmed):
         f.write("\n")
     kind = "pair-confirmed" if confirmed else "SETTLED SINGLE (pair gate failed)"
     print(f"recorded {path}: total={best['value']}s settled=true ({kind}, drift {drift:.1%})")
+
+def record_medians():
+    # per-query MEDIANS across the session's settled zero-error runs
+    # (VERDICT r16 item 6): cross-round per-query comparisons read the
+    # median, not one run's draw from the machine's hourly noise band.
+    # Runs are comparable only if they benched the same query set at
+    # the same sf as the current run.
+    try:
+        runs = [json.loads(l) for l in open("BENCH_detail_history.jsonl") if l.strip()]
+    except FileNotFoundError:
+        return
+    cur = runs[-1]
+    keyset, sf = set(cur["queries"]), cur.get("sf")
+    sample = [r for r in runs
+              if r.get("settled") and not r.get("errors")
+              and r.get("sf") == sf and set(r["queries"]) == keyset]
+    if not sample:
+        return
+    import statistics
+    med = {q: round(statistics.median(r["queries"][q] for r in sample), 3)
+           for q in sorted(keyset)}
+    out = {"n_runs": len(sample), "sf": sf,
+           "total_median": round(statistics.median(r["value"] for r in sample), 2),
+           "total_span": [min(r["value"] for r in sample), max(r["value"] for r in sample)],
+           "queries": med}
+    path = f"BENCH_medians_r{round_no():02d}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, separators=(",", ":"))
+        f.write("\n")
+    print(f"recorded {path}: per-query medians over {len(sample)} settled runs "
+          f"(total median {out['total_median']}s, span {out['total_span']})")
 
 # candidates must be individually settled with zero errors — the
 # artifact of record is never an unsettled or erroring run
@@ -77,5 +130,6 @@ elif settled:
     record(min(settled, key=lambda d: d["value"]), confirmed=False)
 else:
     print("REFUSED: no settled zero-error run in the pair; round artifact not written")
+record_medians()
 sys.exit(0 if ok else 1)
 EOF
