@@ -321,6 +321,37 @@ object SparkEntry {
     s"CAST((CAST($a AS HUGEINT) * $hi % 4294967296 * 4294967296 + CAST($a AS HUGEINT) * $lo) % 18446744073709551616 AS UBIGINT)"
   }
 
+  /** The corpus-prep oracle (q39/q39b): identical quality-gate,
+    * exact-survivor and rollup text, parameterized ONLY by the
+    * shingle source the near-dup CTE blocks over (full documents for
+    * q39; exact survivors for q39b) — ONE definition so the
+    * composition-order twins cannot drift under edits (VERDICT r16
+    * one-definition-per-gate nit).
+    */
+  private def corpusPrepOracle(shingleSource: String): String =
+    s"""WITH quality AS (
+       |  SELECT doc_id, wc FROM (
+       |    SELECT doc_id, $wcSql AS wc,
+       |      round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+       |            / ($wcSql) * 0.5
+       |            + LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) * 0.5, 6) AS quality
+       |    FROM documents) x WHERE quality >= 0.3),
+       |survivors AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |neardrop AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (
+       |    WITH t AS ($shingleSource),
+       |    b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM t)
+       |    SELECT c.doc_id AS doc_b
+       |    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+       |    WHERE round(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))), 6) >= 0.5) p)
+       |SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(q.wc) AS BIGINT) AS total_tokens
+       |FROM documents d
+       |JOIN quality q ON d.doc_id = q.doc_id
+       |JOIN survivors s ON d.doc_id = s.doc_id
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM neardrop)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** The stub-encoder replay chain (q49, reused by q90's delta leg):
     * CTEs `jh` → `vv` over a caller-supplied `d(doc_id, text)` CTE.
     * hashCode as a signed-32 wrapping fold, splitmix64 via umulSql,
@@ -1870,56 +1901,14 @@ object SparkEntry {
         |    FROM documents) t) s
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q39_corpus_prep" ->
-      s"""WITH quality AS (
-         |  SELECT doc_id, wc FROM (
-         |    SELECT doc_id, $wcSql AS wc,
-         |      round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
-         |            / ($wcSql) * 0.5
-         |            + LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) * 0.5, 6) AS quality
-         |    FROM documents) x WHERE quality >= 0.3),
-         |survivors AS (
-         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-         |neardrop AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM (
-         |    WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
-         |    b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM t)
-         |    SELECT c.doc_id AS doc_b
-         |    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
-         |    WHERE round(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))), 6) >= 0.5) p)
-         |SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(q.wc) AS BIGINT) AS total_tokens
-         |FROM documents d
-         |JOIN quality q ON d.doc_id = q.doc_id
-         |JOIN survivors s ON d.doc_id = s.doc_id
-         |WHERE d.doc_id NOT IN (SELECT doc_id FROM neardrop)
-         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+      corpusPrepOracle(s"SELECT doc_id, $shinglesSql AS sh FROM documents"),
     // q39b: the near-dup CTE runs over exact survivors (min doc_id
     // per text hash) — the scale composition order, same final rows
     // as q39 (see corpusPrepDedupFirst's equivalence argument)
     "q39b_prep_dedup_first" ->
-      s"""WITH quality AS (
-         |  SELECT doc_id, wc FROM (
-         |    SELECT doc_id, $wcSql AS wc,
-         |      round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
-         |            / ($wcSql) * 0.5
-         |            + LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) * 0.5, 6) AS quality
-         |    FROM documents) x WHERE quality >= 0.3),
-         |survivors AS (
-         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-         |neardrop AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM (
-         |    WITH t AS (
-         |      SELECT d.doc_id, $shinglesSql AS sh
-         |      FROM documents d JOIN survivors s ON d.doc_id = s.doc_id),
-         |    b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM t)
-         |    SELECT c.doc_id AS doc_b
-         |    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
-         |    WHERE round(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))), 6) >= 0.5) p)
-         |SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(q.wc) AS BIGINT) AS total_tokens
-         |FROM documents d
-         |JOIN quality q ON d.doc_id = q.doc_id
-         |JOIN survivors s ON d.doc_id = s.doc_id
-         |WHERE d.doc_id NOT IN (SELECT doc_id FROM neardrop)
-         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+      corpusPrepOracle(
+        s"""SELECT d.doc_id, $shinglesSql AS sh
+           |      FROM documents d JOIN survivors s ON d.doc_id = s.doc_id""".stripMargin),
     "q32_lang_id" ->
       """SELECT lang, pred_lang, COUNT(*) AS n FROM (
         |  SELECT lang,

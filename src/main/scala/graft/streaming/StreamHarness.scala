@@ -331,8 +331,12 @@ object StreamHarness {
       .select("doc_a", "doc_b").distinct()
     // exact verify against the keyed document store — the batch
     // dedupMinHash verify-join verbatim: arrays move once per
-    // DISTINCT surviving candidate side, never through the stream
-    val sh = graft.operators.Dedup.docShinglesOn(spark, planted)
+    // DISTINCT surviving candidate side, never through the stream.
+    // The shingle frame feeds BOTH join sides — registered-persist
+    // (one live copy) like dedupMinHashOn, so the documents scan +
+    // shingle HOF run once, not twice
+    val sh = graft.operators.Curation.registerPersist(spark, "q83c_verify_shingles",
+      graft.operators.Dedup.docShinglesOn(spark, planted))
     screened
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -56,7 +56,10 @@ object ScaleProbe {
     // spine + mega-duplication stress).
     val only15 = args.contains("r15")
     val only16 = args.contains("r16")
-    if (!only15 && !only16) Seq(src, dst).foreach { d =>
+    // `r17` arg: run only the r17 addition (the dedupNgram maxBlock
+    // mega-dup rows) plus the mega-corpus setup it needs.
+    val only17 = args.contains("r17")
+    if (!only15 && !only16 && !only17) Seq(src, dst).foreach { d =>
       time("q01 sessionize ", d)(Sessions.temporalSessions(spark, _))
       time("q01b chunked   ", d)(Sessions.sessionizedChunked(spark, _))
       time("q26 ngram dedup", d)(Dedup.dedupNgram(spark, _))
@@ -112,7 +115,7 @@ object ScaleProbe {
     // the bands (same total nBits budget family) restores bounded
     // buckets, exactly like growing nLists for IVF cells. Measure
     // the cliff and the remedy at 10x.
-    if (!only15 && !only16) {
+    if (!only15 && !only16 && !only17) {
       time("q44 4x8bit     ", src)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x8bit     ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x12bit    ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _, nBits = 48, bands = 4))
@@ -132,7 +135,7 @@ object ScaleProbe {
     // q19's IVF ANN (the r14 replay-graduated Spark side): probe cost
     // is bounded by nQueries·nProbe cells, so 10× corpus with
     // nLists ∝ N must stay ~flat after the assignment pass.
-    if (!only16) Seq(src, dst).foreach { d =>
+    if (!only16 && !only17) Seq(src, dst).foreach { d =>
       time("q34b grid decode", d)(Multimodal.mediaDecodeFeatures(spark, _))
       time("q34d media joinQ", d)(Multimodal.mediaQualityJoin(spark, _))
       time("q19 ivf ann     ", d)(Vectors.annIvf(spark, _))
@@ -151,7 +154,7 @@ object ScaleProbe {
           w => concat(w, col("copy").cast("string"))), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$dst100/documents.parquet")
-    if (!only16) Seq(src, dst, dst100).foreach { d =>
+    if (!only16 && !only17) Seq(src, dst, dst100).foreach { d =>
       time("q25 exact dedup", d)(Dedup.dedupExact(spark, _))
       time("q27b minhash pl", d)(Dedup.dedupMinHashPlanted(spark, _))
       time("q40 allpairs   ", d)(Dedup.dedupAllPairs(spark, _))
@@ -168,7 +171,7 @@ object ScaleProbe {
       // never corpus text. Warm pass builds the per-corpus
       // FunnelIndex, so the timed q79b pass is the nightly
       // steady-state read.
-      Seq(src, dst, dst100).foreach { d =>
+      if (!only17) Seq(src, dst, dst100).foreach { d =>
         time("q53 dup clusters", d)(graft.operators.DupGraph.dupClusters(spark, _))
         time("q75 cluster reps", d)(graft.operators.DupGraph.clusterReps(spark, _))
         time("q79b funnel idx ", d)(Curation.funnelDeltaIndexed(spark, _))
@@ -197,14 +200,14 @@ object ScaleProbe {
       val mega20k = megadup(20000)
       // q25 on the worst corpus: the hash groupBy collapses the
       // clique map-side -- must stay at the sf0.1 decade
-      time("q25 mega20k     ", mega20k)(Dedup.dedupExact(spark, _))
+      if (!only17) time("q25 mega20k     ", mega20k)(Dedup.dedupExact(spark, _))
       // raw banding at C=2000: the measured quadratic point
-      time("q27 mega2k RAW  ", mega2k)(Dedup.dedupMinHash(spark, _))
+      if (!only17) time("q27 mega2k RAW  ", mega2k)(Dedup.dedupMinHash(spark, _))
       // the guard at C=20000: oversized buckets emit anchor stars
-      time("q27 mega20k CAP ", mega20k)(Dedup.dedupMinHash(spark, _, maxBucket = 1000))
+      if (!only17) time("q27 mega20k CAP ", mega20k)(Dedup.dedupMinHash(spark, _, maxBucket = 1000))
       // the prescription at C=20000: exact collapse, then banding
       // over survivors only
-      time("q25->q27 mega20k", mega20k) { dd =>
+      if (!only17) time("q25->q27 mega20k", mega20k) { dd =>
         val surv = spark.read.parquet(s"$dd/documents.parquet")
           .groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
@@ -214,8 +217,10 @@ object ScaleProbe {
       // q39/q53 ride dedupNgram on the FULL corpus, so they carry the
       // same quadratic block at C=2000 -- the end-to-end numbers the
       // composition prescription is priced against
-      time("q39 mega2k      ", mega2k)(graft.operators.TextAnalysis.corpusPrep(spark, _))
-      time("q53 mega2k      ", mega2k)(graft.operators.DupGraph.dupClusters(spark, _))
+      if (!only17) {
+        time("q39 mega2k      ", mega2k)(graft.operators.TextAnalysis.corpusPrep(spark, _))
+        time("q53 mega2k      ", mega2k)(graft.operators.DupGraph.dupClusters(spark, _))
+      }
       // the ngram maxBlock star (r17): dedupNgram's min-shingle twin
       // of the q27 maxBucket guard -- raw at C=2000 for the quadratic
       // point, guarded at C=20000 to show the belt holds where the
