@@ -60,6 +60,40 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 1.0), s"exact dups must estimate 1.0: $got")
   }
 
+  test("q83c composed screen+verify == batch minhash on the planted corpus (multi-slice)") {
+    // the driver row's law at spec scale: signature screen (constant-
+    // bytes state) + downstream exact verify reproduces the BATCH
+    // dedupMinHashPlanted pair set exactly — q27b's oracle in spec
+    // form, here with a 4-slice feed so cross-batch signature state
+    // is on the asserted path (the driver row runs one slice)
+    val streamed = streaming.StreamHarness.streamDedupSignature(spark, dir, nBatches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = operators.Dedup.dedupMinHashPlanted(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch,
+      s"stream screen+verify must equal batch pairs: stream=${streamed.size} batch=${batch.size}")
+  }
+
+  test("q83d streamed corpus gate == batch min-id-per-hash over the quality-filtered planted corpus") {
+    import org.apache.spark.sql.functions._
+    val streamed = streaming.StreamHarness.streamCorpusGate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val batch = operators.Dedup.plantedDocs(spark, dir, every = 20, idOffset = 1000000L)
+      .withColumn("t", trim(col("text")))
+      .withColumn("wc", when(col("t") === "", 0)
+        .otherwise(length(col("t")) - length(regexp_replace(col("t"), " ", "")) + 1).cast("int"))
+      .filter(col("wc") > 0 &&
+        least(lit(1.0), length(col("text")).cast("double") / 500.0) >= 0.1)
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text_hash").orderBy("doc_id")))
+      .filter(col("rk") === 1)
+      .select("doc_id", "wc", "text_hash").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(streamed == batch,
+      s"gate stream must equal batch min-id rule: stream=${streamed.size} batch=${batch.size}")
+  }
+
   test("signature estimator tracks exact jaccard within sampling error (k=32)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
