@@ -46,6 +46,13 @@ object GateInvariants {
     * recall on the corpus (the expensive check). */
   val bandingGateQueries: Set[String] = Set("q27_dedup_minhash")
 
+  /** q83c's signature-screen threshold — ONE definition shared with
+    * StreamHarness.streamDedupSignature so the gate check can never
+    * drift from the operator it guards. A true pair with jaccard j
+    * estimates est ~ Binomial(32, j)/32; the banding check verifies
+    * per corpus that every danger-band pair estimates ≥ this. */
+  val screenThreshold: Double = 0.25
+
   /** All gate queries (spec surface; the union of the two classes). */
   val gateQueries: Set[String] = asciiGateQueries ++ bandingGateQueries
 
@@ -77,6 +84,7 @@ object GateInvariants {
                           bandingChecked: Boolean,
                           dangerPairs: Seq[(Long, Long, Double)],
                           missedPairs: Seq[(Long, Long, Double)],
+                          screenMissedPairs: Seq[(Long, Long, Double)],
                           dir: String) {
     private def fmt(ps: Seq[(Long, Long, Double)]) =
       ps.take(5).map(p => s"(${p._1},${p._2})@${p._3}").mkString(" ")
@@ -96,6 +104,13 @@ object GateInvariants {
           s"banding, e.g. ${fmt(missedPairs)} — q27's brute-force oracle " +
           "counts them, so q27 WILL fail its row compare on this corpus " +
           "(datagen drift flipped banding recovery, not an operator bug)."
+      if (bandingChecked && screenMissedPairs.nonEmpty)
+        msgs += s"GATE INVARIANT VIOLATED: ${screenMissedPairs.length} true " +
+          s"Jaccard pair(s) in [0.5,0.9) on $dir estimate BELOW q83c's " +
+          s"signature-screen threshold ($screenThreshold), e.g. " +
+          s"${fmt(screenMissedPairs)} — the pairsBySignature screen would " +
+          "drop them before the exact verify, so q83c WILL fail its row " +
+          "compare on this corpus (datagen drift, not an operator bug)."
       msgs.result()
     }
 
@@ -121,6 +136,7 @@ object GateInvariants {
         s""""banding_checked":$bandingChecked,""" +
         s""""danger_pairs":${pairArr(dangerPairs)},""" +
         s""""missed_pairs":${pairArr(missedPairs)},""" +
+        s""""screen_missed_pairs":${pairArr(screenMissedPairs)},""" +
         s""""violations":${messages.length}}"""
     }
   }
@@ -139,7 +155,7 @@ object GateInvariants {
     // danger pairs and their recovery: collected IN FULL — the set is
     // tiny by construction (true near-dup pairs in a narrow band) and
     // a truncated check could claim recovery it never verified
-    val (danger, missed) =
+    val (danger, missed, screenMissed) =
       if (banding) {
         val d = jaccardDangerPairs(spark, dir).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
@@ -153,9 +169,32 @@ object GateInvariants {
               .map(r => (r.getLong(0), r.getLong(1))).toSet
             d.filterNot(p => banded((p._1, p._2)))
           }
-        (d, m)
-      } else (Nil, Nil)
-    val rep = Report(ascii, nonAscii, banding, danger, missed, dir)
+        // q83c's SECOND recall channel (r17): beyond colliding in a
+        // band, a danger pair must also pass the signature screen —
+        // est = matching minhash positions / k on the operator's own
+        // signatures. Verified directly, like banding recovery.
+        val sm =
+          if (d.isEmpty) Nil
+          else {
+            graft.functions.GraftFunctions.register(spark)
+            val ids = d.flatMap(p => Seq(p._1, p._2)).distinct
+            val sigs = Tables.documents(spark, dir)
+              .filter(col("doc_id").isin(ids: _*))
+              .filter(size(split(col("text"), " ")) >= 2)
+              .select(col("doc_id"), expr("minhash(shingles(text), 32)").as("sig"))
+              .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+            d.filter { p =>
+              (sigs.get(p._1), sigs.get(p._2)) match {
+                case (Some(a), Some(b)) =>
+                  val eq = a.zip(b).count { case (x, y) => x == y }
+                  eq.toDouble / a.length < screenThreshold
+                case _ => true // a danger doc without a signature is itself drift
+              }
+            }
+          }
+        (d, m, sm)
+      } else (Nil, Nil, Nil)
+    val rep = Report(ascii, nonAscii, banding, danger, missed, screenMissed, dir)
     rep.notes.foreach(n => System.err.println(s"[gate-note] $n"))
     rep
   }

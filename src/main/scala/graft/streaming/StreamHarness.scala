@@ -318,7 +318,8 @@ object StreamHarness {
     * would FAIL the row compare, never pass silently.
     */
   def streamDedupSignature(spark: SparkSession, dir: String,
-                           threshold: Double = 0.5, screen: Double = 0.25,
+                           threshold: Double = 0.5,
+                           screen: Double = graft.GateInvariants.screenThreshold,
                            nBatches: Int = 1): DataFrame = {
     import spark.implicits._
     import DedupStream.DocIn

@@ -64,9 +64,12 @@ class GateInvariantsSpec extends AnyFunSuite {
     val rep = GateInvariants.run(spark, "/root/testdata/sf0.1")
     assert(rep.messages.isEmpty, rep.messages.mkString("\n"))
     // the r16 finding must stay visible: the corpus HAS danger-band
-    // pairs and they are all recovered (missed empty, danger not)
-    assert(rep.dangerPairs.nonEmpty && rep.missedPairs.isEmpty,
-      s"expected recovered danger-band pairs, got ${rep.dangerPairs}")
+    // pairs and they are all recovered (missed empty, danger not) —
+    // by the banding AND (r17) by q83c's signature screen
+    assert(rep.dangerPairs.nonEmpty && rep.missedPairs.isEmpty &&
+      rep.screenMissedPairs.isEmpty,
+      s"expected recovered danger-band pairs, got ${rep.dangerPairs} " +
+        s"(screen-missed: ${rep.screenMissedPairs})")
   }
 
   test("bench-gram seams are gram-distinct (funnelGate's broadcast-join precondition)") {
