@@ -227,6 +227,10 @@ object SparkEntry {
     "q85b_threads_rocks"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d,
       provider = Some(streaming.StateBackend.RocksDBProvider))),
     "q89_stream_windowed" -> ((s, d) => streaming.StreamHarness.streamWindowed(s, d)),
+    // the streaming ANN gate (PqStream.nearDupGate over the persisted
+    // planted IVF-PQ index) — q67g's ADC-floor certainty in stream
+    // form; pairs only, no floats at the compared surface
+    "q91_stream_ann"      -> ((s, d) => streaming.StreamHarness.streamAnnGate(s, d)),
     "q86_source_roundtrip" -> ((s, d) => sources.SourceHarness.jsonRoundTrip(s, d)),
     "q86b_source_html"    -> ((s, d) => sources.SourceHarness.htmlRoundTrip(s, d)),
     "q86c_source_pipeline" -> ((s, d) => sources.SourceHarness.pipelineRoundTrip(s, d)),
@@ -2435,6 +2439,12 @@ object SparkEntry {
     "q67g_ivfpq_planted" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS vec_id, 1 AS rk
         |FROM embeddings WHERE vec_id < 5 ORDER BY 1""".stripMargin,
+    // q91: the same planted-floor truth, minus the rank column (the
+    // stream gate emits hits, not ranked lists; the argmin pair IS
+    // the contract)
+    "q91_stream_ann" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     // q67 family: graduated from rows-only in r15 — the full PQ/IVF-PQ
     // pipeline replayed in DuckDB (see the pqCtesSql block's portability
     // argument). q67c/q67d share q67/q67b's oracle verbatim: the

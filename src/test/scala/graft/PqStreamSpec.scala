@@ -141,4 +141,14 @@ class PqStreamSpec extends AnyFunSuite {
         s"twin of $origId at the ADC floor under the two-level probe")
     }
   }
+
+  test("q91 harness: streamed planted corpus argmin pairs == the planted SELECT") {
+    // the driver row's law at spec scale: every arrival's argmin hit
+    // (self dropped) is its planted twin — q67g's floor certainty
+    // carried through the MemoryStream feed and the persisted index
+    val got = streaming.StreamHarness.streamAnnGate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (0L until 5L).map(i => (i, i + 1000000L))
+    assert(got == want, s"planted argmin pairs: $got")
+  }
 }
