@@ -147,8 +147,12 @@ object Bench {
         math.abs(a - b) / math.max(math.min(a, b), 1e-9) <= 0.05
       case _ => false
     }
+    // ts: epoch seconds, lets settled_bench.sh's record_medians bound
+    // its sample to THIS round's runs (lines newer than the previous
+    // round's committed BENCH_r*.json) instead of mixing in runs that
+    // pre-date the round's perf changes (ADVICE r17)
     val detailLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passTotals":$pts,"settled":$settled,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ts":${System.currentTimeMillis / 1000},"queries":$qs,"passTotals":$pts,"settled":$settled,"errors":$errJson,"sf":"$sfDir"}"""
     // an unwritable detail file must not take the summary line with it
     val detailField = try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

@@ -49,9 +49,15 @@ object GateInvariants {
   /** q83c's signature-screen threshold — ONE definition shared with
     * StreamHarness.streamDedupSignature so the gate check can never
     * drift from the operator it guards. A true pair with jaccard j
-    * estimates est ~ Binomial(32, j)/32; the banding check verifies
-    * per corpus that every danger-band pair estimates ≥ this. */
+    * estimates est ~ Binomial(k, j)/k; the banding check verifies
+    * per corpus that every true pair at jac ≥ 0.5 estimates ≥ this. */
   val screenThreshold: Double = 0.25
+
+  /** q83c's signature length — ONE definition feeding both
+    * DedupStream.pairsBySignature's default and this gate's replay
+    * of the screen (ADVICE r17: a hardcoded 32 here would silently
+    * desync the check from the operator if the stream's k changed). */
+  val screenK: Int = 32
 
   /** All gate queries (spec surface; the union of the two classes). */
   val gateQueries: Set[String] = asciiGateQueries ++ bandingGateQueries
@@ -106,7 +112,7 @@ object GateInvariants {
           "(datagen drift flipped banding recovery, not an operator bug)."
       if (bandingChecked && screenMissedPairs.nonEmpty)
         msgs += s"GATE INVARIANT VIOLATED: ${screenMissedPairs.length} true " +
-          s"Jaccard pair(s) in [0.5,0.9) on $dir estimate BELOW q83c's " +
+          s"Jaccard pair(s) at jac >= 0.5 on $dir estimate BELOW q83c's " +
           s"signature-screen threshold ($screenThreshold), e.g. " +
           s"${fmt(screenMissedPairs)} — the pairsBySignature screen would " +
           "drop them before the exact verify, so q83c WILL fail its row " +
@@ -152,13 +158,15 @@ object GateInvariants {
     val nonAscii =
       if (ascii) nonAsciiDocs(spark, dir).collect().map(_.getLong(0)).toSeq
       else Nil
-    // danger pairs and their recovery: collected IN FULL — the set is
-    // tiny by construction (true near-dup pairs in a narrow band) and
-    // a truncated check could claim recovery it never verified
+    // true pairs and their recovery: collected IN FULL — the set is
+    // tiny by construction (true near-dup pairs at ≥ 0.5) and a
+    // truncated check could claim recovery it never verified
     val (danger, missed, screenMissed) =
       if (banding) {
-        val d = jaccardDangerPairs(spark, dir).collect()
+        val all = operators.Dedup.dedupAllPairs(spark, dir, threshold = 0.5)
+          .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        val d = all.filter(_._3 < 0.9)
         val m =
           if (d.isEmpty) Nil
           else {
@@ -170,25 +178,30 @@ object GateInvariants {
             d.filterNot(p => banded((p._1, p._2)))
           }
         // q83c's SECOND recall channel (r17): beyond colliding in a
-        // band, a danger pair must also pass the signature screen —
+        // band, a true pair must also pass the signature screen —
         // est = matching minhash positions / k on the operator's own
-        // signatures. Verified directly, like banding recovery.
+        // signatures (k = screenK, the constant pairsBySignature's
+        // default derives from). Verified directly, like banding
+        // recovery, and over ALL pairs q83c's oracle counts (jac ≥
+        // 0.5), not just the danger band: a j ≥ 0.9 pair whose
+        // estimate draws below the screen is the same silent q83c
+        // row-compare failure (ADVICE r17).
         val sm =
-          if (d.isEmpty) Nil
+          if (all.isEmpty) Nil
           else {
             graft.functions.GraftFunctions.register(spark)
-            val ids = d.flatMap(p => Seq(p._1, p._2)).distinct
+            val ids = all.flatMap(p => Seq(p._1, p._2)).distinct
             val sigs = Tables.documents(spark, dir)
               .filter(col("doc_id").isin(ids: _*))
               .filter(size(split(col("text"), " ")) >= 2)
-              .select(col("doc_id"), expr("minhash(shingles(text), 32)").as("sig"))
+              .select(col("doc_id"), expr(s"minhash(shingles(text), $screenK)").as("sig"))
               .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-            d.filter { p =>
+            all.filter { p =>
               (sigs.get(p._1), sigs.get(p._2)) match {
                 case (Some(a), Some(b)) =>
                   val eq = a.zip(b).count { case (x, y) => x == y }
                   eq.toDouble / a.length < screenThreshold
-                case _ => true // a danger doc without a signature is itself drift
+                case _ => true // a true-pair doc without a signature is itself drift
               }
             }
           }

@@ -39,6 +39,13 @@ object Verify {
     val requested = SparkEntry.queries.keys.filter(k => only.forall(_.contains(k))).toSet
     val wantAscii = requested.exists(GateInvariants.asciiGateQueries)
     val wantBanding = requested.exists(GateInvariants.bandingGateQueries)
+    // Stale-artifact guard (ADVICE r17): a gate_invariants.json left
+    // in outDir by a PREVIOUS run must never be embedded into THIS
+    // run's correctness record — delete it up front, so a run that
+    // skips the pre-flight leaves no file, and a pre-flight that
+    // throws leaves an explicit error marker (violations:1) instead
+    // of silently reusing an old clean (or old dirty) report.
+    Files.deleteIfExists(Paths.get(s"$outDir/gate_invariants.json"))
     if (wantAscii || wantBanding)
       try {
         val rep = GateInvariants.run(spark, sfDir, ascii = wantAscii, banding = wantBanding)
@@ -46,6 +53,11 @@ object Verify {
         Files.writeString(Paths.get(s"$outDir/gate_invariants.json"), rep.json)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] gate-invariant pre-flight failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+          .replaceAll("[\\n\\r\\t]", " ")
+        Files.writeString(Paths.get(s"$outDir/gate_invariants.json"),
+          s"""{"error":"pre-flight threw: $msg","violations":1}""")
       }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -118,7 +118,7 @@ object DedupStream {
     * estimator noise.
     */
   def pairsBySignature(spark: SparkSession, docs: Dataset[DocIn], threshold: Double = 0.5,
-                       k: Int = 32, bands: Int = 8): Dataset[EstPair] = {
+                       k: Int = graft.GateInvariants.screenK, bands: Int = 8): Dataset[EstPair] = {
     import spark.implicits._
     GraftFunctions.register(spark)
     require(bands > 0 && k % bands == 0,

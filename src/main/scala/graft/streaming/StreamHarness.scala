@@ -443,16 +443,23 @@ object StreamHarness {
       .orderBy("win_start_ms", "kind")
   }
 
-  /** One planted-embeddings override dir per (SparkContext, sf dir):
-    * registerOverride bumps the table's source token BY DESIGN, which
-    * would stale the persisted IVF-PQ index and force a rebuild on
-    * every q91 call — registering once per session keeps the entry's
-    * steady state a pure index read. (Across JVMs the override token
-    * is deterministic — v1 + no backing files — so the persisted
-    * planted index reads as FRESH and is reused, not rebuilt.)
+  /** One planted-embeddings override dir per (SparkSession, sf dir,
+    * nQueries, idOffset): registerOverride bumps the table's source
+    * token BY DESIGN, which would stale the persisted IVF-PQ index
+    * and force a rebuild on every q91 call — registering once per
+    * session keeps the entry's steady state a pure index read.
+    * (Across JVMs the override token is deterministic — v1 + no
+    * backing files — so the persisted planted index reads as FRESH
+    * and is reused, not rebuilt.) Keyed by SESSION, not context
+    * (ADVICE r17): Tables.registerOverride registers per-session, so
+    * a second session on a shared context must re-register (a
+    * context-keyed hit skipped that, and the rebuild path then tried
+    * a real parquet read of the nonexistent /fake dir); the planted
+    * params are in the key so non-default calls never reuse a dir
+    * planted with different contents.
     */
   private val annGateDirs =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Long), String]()
 
   /** q91: the STREAMING ANN gate under the oracle — the q67g planted
     * ADC-floor argument applied to PqStream.nearDupGate, graduating
@@ -474,14 +481,16 @@ object StreamHarness {
                     idOffset: Long = 1000000L, nBatches: Int = 1): DataFrame = {
     import spark.implicits._
     import PqStream.VecIn
-    annGateDirs.keySet.removeIf(_._1.isStopped)
-    val fake = annGateDirs.computeIfAbsent((spark.sparkContext, dir), _ => {
+    annGateDirs.keySet.removeIf(_._1.sparkContext.isStopped)
+    val fake = annGateDirs.computeIfAbsent((spark, dir, nQueries, idOffset), _ => {
       val planted = Tables.embeddings(spark, dir).select(
         explode(when(col("vec_id") < nQueries,
             array(col("vec_id"), col("vec_id") + idOffset))
           .otherwise(array(col("vec_id")))).as("vec_id"),
         col("embedding"))
-      val fd = s"/fake/q91_ann${dir.replace('/', '_')}"
+      // params in the dir NAME too: distinct planted contents must
+      // never share one override registration within a session
+      val fd = s"/fake/q91_ann_${nQueries}_$idOffset${dir.replace('/', '_')}"
       Tables.registerOverride(spark, fd, "embeddings", planted)
       fd
     })

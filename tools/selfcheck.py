@@ -159,7 +159,10 @@ def main():
         with open(dest, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
     print(f"\noracle total {out['total_sec']}s over {out['n_queries']} queries -> {dest}")
-    print(f"{len(oracles) - len(failed)}/{len(oracles)} passed")
+    # per-query ratio must match n_pass: the raw failed list holds
+    # non-query sentinels (gate_invariants, manifest) and can hold
+    # duplicate appends for one query (ADVICE r17)
+    print(f"{correctness['n_pass']}/{len(oracles)} passed")
     sys.exit(1 if failed else 0)
 
 

@@ -101,9 +101,18 @@ def record_medians():
         return
     cur = runs[-1]
     keyset, sf = set(cur["queries"]), cur.get("sf")
+    # round-bound the sample (ADVICE r17): only runs stamped AFTER the
+    # previous round's committed BENCH_r*.json count — a same-keyset
+    # run from an earlier round pre-dates this round's perf changes
+    # and would poison the cross-round per-query comparison. Lines
+    # without a ts stamp (pre-r18 Bench) are excluded by the same
+    # predicate once any round artifact exists.
+    cutoff = max((os.path.getmtime(f) for f in glob.glob("BENCH_r*.json")),
+                 default=0)
     sample = [r for r in runs
               if r.get("settled") and not r.get("errors")
-              and r.get("sf") == sf and set(r["queries"]) == keyset]
+              and r.get("sf") == sf and set(r["queries"]) == keyset
+              and r.get("ts", 0) > cutoff]
     if not sample:
         return
     import statistics
