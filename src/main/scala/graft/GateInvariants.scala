@@ -46,6 +46,16 @@ object GateInvariants {
     * recall on the corpus (the expensive check). */
   val bandingGateQueries: Set[String] = Set("q27_dedup_minhash")
 
+  /** Queries whose planted-copy oracle requires the copy's sim-1.0
+    * partner to be UNIQUE — i.e. no planted original's vector may
+    * recur elsewhere in the corpus (q92b's by-construction argument;
+    * the check verifies the uniqueness instead of assuming it). */
+  val vectorGateQueries: Set[String] = Set("q92b_nndescent_gate")
+
+  /** q92b's planted-prefix size — shared with the operator default
+    * and its oracle (vec_id < plantedGateN). */
+  val plantedGateN: Int = 20
+
   /** q83c's signature-screen threshold — ONE definition shared with
     * StreamHarness.streamDedupSignature so the gate check can never
     * drift from the operator it guards. A true pair with jaccard j
@@ -59,8 +69,24 @@ object GateInvariants {
     * desync the check from the operator if the stream's k changed). */
   val screenK: Int = 32
 
-  /** All gate queries (spec surface; the union of the two classes). */
-  val gateQueries: Set[String] = asciiGateQueries ++ bandingGateQueries
+  /** All gate queries (spec surface; the union of the classes). */
+  val gateQueries: Set[String] =
+    asciiGateQueries ++ bandingGateQueries ++ vectorGateQueries
+
+  /** Planted originals (vec_id < nPlanted) whose embedding vector
+    * recurs elsewhere in the corpus: such an original would give its
+    * planted copy a SECOND sim-1.0 candidate, and the (sim DESC,
+    * dst ASC) tie-break could then rank the impostor first — q92b
+    * would fail its row compare (datagen drift, not an operator
+    * bug). The planted side is tiny, so this is one broadcast join. */
+  def dupPlantedVectors(spark: SparkSession, dir: String,
+                        nPlanted: Int = plantedGateN): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    e.filter(col("vec_id") < nPlanted).as("p")
+      .join(e.as("o"), col("p.embedding") === col("o.embedding") &&
+        col("p.vec_id") =!= col("o.vec_id"))
+      .select(col("p.vec_id")).distinct()
+  }
 
   /** Non-ASCII documents break the q28/q33/q34/q49 byte-vs-codepoint
     * replay equivalence. ASCII ⟺ octet_length == char_length. */
@@ -91,7 +117,9 @@ object GateInvariants {
                           dangerPairs: Seq[(Long, Long, Double)],
                           missedPairs: Seq[(Long, Long, Double)],
                           screenMissedPairs: Seq[(Long, Long, Double)],
-                          dir: String) {
+                          dir: String,
+                          vectorChecked: Boolean = false,
+                          dupPlantedIds: Seq[Long] = Nil) {
     private def fmt(ps: Seq[(Long, Long, Double)]) =
       ps.take(5).map(p => s"(${p._1},${p._2})@${p._3}").mkString(" ")
 
@@ -117,6 +145,12 @@ object GateInvariants {
           s"${fmt(screenMissedPairs)} — the pairsBySignature screen would " +
           "drop them before the exact verify, so q83c WILL fail its row " +
           "compare on this corpus (datagen drift, not an operator bug)."
+      if (vectorChecked && dupPlantedIds.nonEmpty)
+        msgs += s"GATE INVARIANT VIOLATED: ${dupPlantedIds.length} planted " +
+          s"original(s) on $dir share their embedding vector with another " +
+          s"corpus vector, e.g. vec_id ${dupPlantedIds.take(5).mkString(",")} — " +
+          "the planted copy then has a second sim-1.0 candidate and q92b's " +
+          "rank-1 oracle can flip (datagen drift, not an operator bug)."
       msgs.result()
     }
 
@@ -143,6 +177,8 @@ object GateInvariants {
         s""""danger_pairs":${pairArr(dangerPairs)},""" +
         s""""missed_pairs":${pairArr(missedPairs)},""" +
         s""""screen_missed_pairs":${pairArr(screenMissedPairs)},""" +
+        s""""vector_checked":$vectorChecked,""" +
+        s""""dup_planted_ids":${dupPlantedIds.mkString("[", ",", "]")},""" +
         s""""violations":${messages.length}}"""
     }
   }
@@ -154,7 +190,8 @@ object GateInvariants {
     * visible in every log that ran the check.
     */
   def run(spark: SparkSession, dir: String,
-          ascii: Boolean = true, banding: Boolean = true): Report = {
+          ascii: Boolean = true, banding: Boolean = true,
+          vector: Boolean = true): Report = {
     val nonAscii =
       if (ascii) nonAsciiDocs(spark, dir).collect().map(_.getLong(0)).toSeq
       else Nil
@@ -207,12 +244,19 @@ object GateInvariants {
           }
         (d, m, sm)
       } else (Nil, Nil, Nil)
-    val rep = Report(ascii, nonAscii, banding, danger, missed, screenMissed, dir)
+    val dupPlanted =
+      if (vector) dupPlantedVectors(spark, dir).collect().map(_.getLong(0)).toSeq.sorted
+      else Nil
+    val rep = Report(ascii, nonAscii, banding, danger, missed, screenMissed, dir,
+      vectorChecked = vector, dupPlantedIds = dupPlanted)
     rep.notes.foreach(n => System.err.println(s"[gate-note] $n"))
     rep
   }
 
-  /** Both checks, message surface only (spec back-compat). */
+  /** The two DOCUMENT-corpus checks, message surface only (spec
+    * back-compat; several spec dirs override only `documents`, so the
+    * embeddings-reading vector check is requested explicitly via
+    * `run(..., vector = true)` instead). */
   def check(spark: SparkSession, dir: String): Seq[String] =
-    run(spark, dir).messages
+    run(spark, dir, vector = false).messages
 }

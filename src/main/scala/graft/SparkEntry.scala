@@ -278,7 +278,15 @@ object SparkEntry {
           aggregate(transform(col("embedding"), v => v.cast("double")),
             lit(0.0), (a, x) => a + x).as("comp_sum"))
         .orderBy("vec_id")
-    })
+    }),
+    // q92 family (r18): the k-NN GRAPH — the reference's HNSW
+    // capability re-expressed as exact graph (correctness twin),
+    // distributed NN-descent (scale path, planted gate) and
+    // mutual-kNN connected-component clustering (the LLM-pipeline
+    // semantic-clustering primitive). See operators/KnnGraph.scala.
+    "q92_knn_graph"       -> ((s, d) => KnnGraph.knnGraphExact(s, d)),
+    "q92b_nndescent_gate" -> ((s, d) => KnnGraph.nnDescentGate(s, d)),
+    "q92c_semantic_clusters" -> ((s, d) => KnnGraph.semanticClusters(s, d))
   )
 
   /** Reference word-count formula (analyze_dialogues.py:273). */
@@ -2701,6 +2709,57 @@ object SparkEntry {
          |  END AS text
          |FROM events e JOIN p USING (user_id)
          |ORDER BY e.event_id""".stripMargin
-    }
+    },
+    // q92: the exact k-NN graph — brute-force all-pairs + per-node
+    // top-10 by (6dp cosine DESC, nb_id ASC), q16's ranking rule over
+    // the whole corpus instead of 5 queries.
+    // AS MATERIALIZED: DuckDB otherwise inlines the cast CTE into
+    // both sides of the non-equi self-join and the all-pairs pass
+    // re-casts per evaluation — measured 7.6s vs >10 min at sf0.1.
+    "q92_knn_graph" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT vec_id, nb_id, sim, CAST(rk AS INT) AS rk FROM (
+        |  SELECT a.vec_id, b.vec_id AS nb_id,
+        |    round(list_cosine_similarity(a.emb, b.emb), 6) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC, b.vec_id) AS rk
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id) t
+        |WHERE rk <= 10 ORDER BY vec_id, rk""".stripMargin,
+    // q92b: the planted NN-descent contract (q41b/q67g's argument in
+    // graph form) — a verbatim copy shares its original's IVF cell,
+    // meets it at init at sim 1.0 (the maximum; unique per node —
+    // GateInvariants' vector check), and survives every top-k prune,
+    // so each copy's rank-1 edge is its original and the oracle is
+    // the pair set itself.
+    "q92b_nndescent_gate" ->
+      """SELECT vec_id AS query_id, vec_id AS hit_id
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+    // q92c: mutual-kNN edges at sim >= 0.4 over the exact graph →
+    // connected components (q53's recursive-CTE fixpoint) → cluster
+    // assignment; singletons omitted (q53's output-domain rule).
+    "q92c_semantic_clusters" ->
+      """WITH RECURSIVE e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |knn AS MATERIALIZED (
+        |  SELECT vec_id, nb_id, sim FROM (
+        |    SELECT a.vec_id, b.vec_id AS nb_id,
+        |      round(list_cosine_similarity(a.emb, b.emb), 6) AS sim,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC, b.vec_id) AS rk
+        |    FROM e a JOIN e b ON a.vec_id <> b.vec_id) t
+        |  WHERE rk <= 10),
+        |m AS (SELECT x.vec_id AS a, x.nb_id AS b FROM knn x JOIN knn y
+        |      ON x.vec_id = y.nb_id AND x.nb_id = y.vec_id
+        |      WHERE x.vec_id < x.nb_id AND x.sim >= 0.4),
+        |edges AS (SELECT a, b FROM m UNION ALL SELECT b AS a, a AS b FROM m),
+        |reach AS (
+        |  SELECT a AS id, a AS lbl FROM edges
+        |  UNION
+        |  SELECT g.a AS id, r.lbl FROM edges g JOIN reach r ON r.id = g.b),
+        |comp AS (SELECT id, MIN(lbl) AS rep FROM reach GROUP BY id),
+        |sz AS (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep)
+        |SELECT c.id AS vec_id, c.rep AS cluster_rep, sz.n AS cluster_size,
+        |  (c.id = c.rep) AS is_rep
+        |FROM comp c JOIN sz ON c.rep = sz.rep
+        |ORDER BY cluster_rep, vec_id""".stripMargin
   )
 }

@@ -39,6 +39,7 @@ object Verify {
     val requested = SparkEntry.queries.keys.filter(k => only.forall(_.contains(k))).toSet
     val wantAscii = requested.exists(GateInvariants.asciiGateQueries)
     val wantBanding = requested.exists(GateInvariants.bandingGateQueries)
+    val wantVector = requested.exists(GateInvariants.vectorGateQueries)
     // Stale-artifact guard (ADVICE r17): a gate_invariants.json left
     // in outDir by a PREVIOUS run must never be embedded into THIS
     // run's correctness record — delete it up front, so a run that
@@ -46,9 +47,10 @@ object Verify {
     // throws leaves an explicit error marker (violations:1) instead
     // of silently reusing an old clean (or old dirty) report.
     Files.deleteIfExists(Paths.get(s"$outDir/gate_invariants.json"))
-    if (wantAscii || wantBanding)
+    if (wantAscii || wantBanding || wantVector)
       try {
-        val rep = GateInvariants.run(spark, sfDir, ascii = wantAscii, banding = wantBanding)
+        val rep = GateInvariants.run(spark, sfDir, ascii = wantAscii,
+          banding = wantBanding, vector = wantVector)
         rep.messages.foreach(m => System.err.println(s"[verify] $m"))
         Files.writeString(Paths.get(s"$outDir/gate_invariants.json"), rep.json)
       } catch { case e: Throwable =>

@@ -55,7 +55,7 @@ object DupGraph {
     * on Vectors.slidingSegments). The tiny (id, rep) state never
     * needs codegen, so leaving the columnar path costs nothing.
     */
-  private def cutLineage(df: DataFrame, lvl: StorageLevel): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+  private[operators] def cutLineage(df: DataFrame, lvl: StorageLevel): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val rdd = df.rdd.persist(lvl)
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }

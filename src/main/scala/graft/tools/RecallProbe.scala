@@ -1,38 +1,35 @@
 package graft.tools
 
 import graft.Tables
-import graft.operators.Dedup
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import graft.operators.KnnGraph
 
-/** Measures embedding near-dup RECALL of the blocked variants against
-  * the brute-force ground truth at a given sf/threshold:
-  * q29 (label-blocked), q29b (IVF-cell-blocked, the scale default),
-  * q44-style sign-LSH. runMain graft.tools.RecallProbe <sfdir> [t]
+/** NN-descent quality probe: recall@k vs the exact graph at sf0.001
+  * across (sampleR, ringJ, lists) settings. The r18 sweep that set
+  * the operator defaults measured (k = 10, maxIters = 20):
+  *   sampleR=10 ringJ=10 lists=16 → 0.812
+  *   sampleR=20 ringJ=10 lists=16 → 0.839
+  *   sampleR=20 ringJ=20 lists=16 → 0.842
+  *   sampleR=30 ringJ=20 lists=8  → 0.825
+  * — reverse-sample 2k is the binding lever; ring width and cell
+  * count are marginal. Near-random embeddings are the worst case for
+  * neighbor-of-neighbor exploration (no cluster structure to ride),
+  * so these are FLOOR numbers, not typical ones.
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val t = args.lift(1).map(_.toDouble).getOrElse(0.3)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", round(expr("cosine_sim(a.embedding, b.embedding)"), 6))
-      .filter(col("sim") >= t)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    val total = brute.count()
-    val label = Dedup.dedupEmbedding(spark, sfDir, t).count()
-    val ivf = Dedup.dedupEmbeddingIvf(spark, sfDir, t).count()
-    val lsh = Dedup.dedupEmbeddingLshOn(spark, e, t).count()
-    println(f"RECALL sf=$sfDir t=$t brute=$total label=$label (${label * 100.0 / total}%.1f%%) " +
-      f"ivf=$ivf (${ivf * 100.0 / total}%.1f%%) signlsh=$lsh (${lsh * 100.0 / total}%.1f%%)")
-    spark.stop()
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val ex = KnnGraph.knnGraphExact(spark, dir, 10)
+      .select("vec_id", "nb_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    for ((sr, rj, li) <- Seq((10, 10, 16), (20, 10, 16), (20, 20, 16), (30, 20, 8))) {
+      val d = KnnGraph.nnDescent(spark, e, k = 10, lists = li,
+        maxIters = 20, sampleR = sr, ringJ = rj)
+        .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"sampleR=$sr ringJ=$rj lists=$li recall=${ex.count(d.contains).toDouble / ex.length}%.4f")
+    }
   }
 }

@@ -50,6 +50,28 @@ class GateInvariantsSpec extends AnyFunSuite {
     assert(msgs.exists(_.contains("[0.5,0.9)")), msgs.mkString("\n"))
   }
 
+  test("vector check: the gate corpus has no duplicate planted vectors; a planted dup is flagged") {
+    // q92b's oracle rests on the planted copy's sim-1.0 partner being
+    // unique — holds on the real corpus…
+    assert(GateInvariants.dupPlantedVectors(spark, dir).count() == 0)
+    // …and a planted recurrence is flagged with id-level attribution
+    val fake = "/fake/gate_dupvec"
+    Tables.registerOverride(spark, fake, "embeddings", Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f), 0),
+      (1L, Array(4.0f, 5.0f, 6.0f), 0),
+      (7L, Array(1.0f, 2.0f, 3.0f), 1) // vec 0's vector recurs
+    ).toDF("vec_id", "embedding", "label"))
+    val dups = GateInvariants.dupPlantedVectors(spark, fake, nPlanted = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(dups == Seq(0L), s"planted original 0 must be flagged: $dups")
+    val rep = GateInvariants.Report(asciiChecked = false, nonAsciiIds = Nil,
+      bandingChecked = false, dangerPairs = Nil, missedPairs = Nil,
+      screenMissedPairs = Nil, dir = fake, vectorChecked = true,
+      dupPlantedIds = dups)
+    assert(rep.messages.exists(_.contains("q92b")), rep.messages.mkString("\n"))
+    assert(rep.json.contains("\"dup_planted_ids\":[0]"))
+  }
+
   test("sf0.1 danger-band pairs are recovered by the banding (q27's oracle precondition)") {
     // the sf0.1 corpus holds true pairs in [0.5, 0.9) (j=0.889 and
     // j=0.818 as of r16) — q27's oracle only stays exact there while

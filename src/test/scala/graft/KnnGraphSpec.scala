@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins operators.KnnGraph: the exact k-NN graph's shape, NN-descent's
+  * machinery (one-cell init ≡ brute force), its monotone-improvement
+  * law, its determinism, the planted-gate law the q92b oracle stands
+  * on, and the descent's recall floor vs the exact graph on the real
+  * (near-random — the HARD case) sf0.001 corpus.
+  */
+class KnnGraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val k = 10
+
+  private lazy val exact = operators.KnnGraph.knnGraphExact(spark, dir, k)
+    .select("vec_id", "nb_id", "sim").cache()
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q92: exact graph has k dense ranks per node, no self edges") {
+    val g = operators.KnnGraph.knnGraphExact(spark, dir, k).cache()
+    assert(g.count() == 500L * k)
+    assert(g.filter(col("vec_id") === col("nb_id")).count() == 0)
+    val badRank = g.groupBy("vec_id")
+      .agg(countDistinct("rk").as("nd"), max("rk").as("mx"))
+      .filter(col("nd") =!= k || col("mx") =!= k).count()
+    assert(badRank == 0, "ranks must be dense 1..k per node")
+    g.unpersist()
+  }
+
+  test("nnDescent with ONE cell and no iterations is brute force (init machinery is exact)") {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .filter(col("vec_id") < 60)
+    val brute = operators.KnnGraph.knnOn(e, k)
+      .select(col("vec_id").as("src"), col("nb_id").as("dst"), col("sim"))
+    val desc = operators.KnnGraph.nnDescent(spark, e, k = k,
+      lists = 1, maxIters = 0, ringJ = 0)
+    assert(desc.exceptAll(brute).count() == 0 && brute.exceptAll(desc).count() == 0,
+      "one shared cell makes init scoring an all-pairs pass; top-k must equal the exact graph")
+  }
+
+  test("descent only improves: per-node worst kept sim is monotone vs init") {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val init = operators.KnnGraph.nnDescent(spark, e, k = k, maxIters = 0)
+      .groupBy("src").agg(min("sim").as("w0"))
+    val after = operators.KnnGraph.nnDescent(spark, e, k = k, maxIters = 4)
+      .groupBy("src").agg(min("sim").as("w1"))
+    val regressed = init.join(after, "src").filter(col("w1") < col("w0")).count()
+    assert(regressed == 0,
+      "merge-then-prune can only displace a neighbor with a strictly better one")
+  }
+
+  test("nnDescent is deterministic: two runs return the identical edge frame") {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val a = operators.KnnGraph.nnDescent(spark, e, k = k, maxIters = 3)
+    val b = operators.KnnGraph.nnDescent(spark, e, k = k, maxIters = 3)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("planted gate law: every copy's rank-1 edge is its original (q92b's oracle)") {
+    val got = operators.KnnGraph.nnDescentGate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L until GateInvariants.plantedGateN.toLong).map(i => (i, i)),
+      s"each planted copy must hit its original: $got")
+  }
+
+  test("descent recall@10 vs the exact graph clears the floor on the near-random corpus") {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val desc = edgeSet(operators.KnnGraph.nnDescent(spark, e, k = k, maxIters = 12))
+    val ex = exact.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val recall = ex.count(desc.contains).toDouble / ex.length
+    // measured 0.84 on this corpus at the operator defaults
+    // (tools/RecallProbe has the parameter sweep); near-random
+    // embeddings are NN-descent's WORST case — no cluster structure
+    // for neighbor-of-neighbor exploration to ride, so the descent
+    // stalls in a local optimum (the prototype with the paper's
+    // random init measured 0.86 at full convergence — same regime).
+    // Floor set with margin: a drop below it means the candidate
+    // generation broke, not that the corpus got unlucky.
+    assert(recall >= 0.80, f"recall@10 $recall%.4f < 0.80 floor")
+  }
+
+  test("q92c: clusters have >=2 members, exactly one rep per cluster, rep = min id") {
+    val c = operators.KnnGraph.semanticClusters(spark, dir).cache()
+    assert(c.filter(col("cluster_size") < 2).count() == 0, "singletons are omitted")
+    val perCluster = c.groupBy("cluster_rep").agg(
+      sum(col("is_rep").cast("int")).as("nReps"),
+      min("vec_id").as("mn"), first("cluster_size").as("sz"), count(lit(1)).as("n"))
+    assert(perCluster.filter(col("nReps") =!= 1).count() == 0, "one rep per cluster")
+    assert(perCluster.filter(col("mn") =!= col("cluster_rep")).count() == 0, "rep is min id")
+    assert(perCluster.filter(col("sz") =!= col("n")).count() == 0, "size matches membership")
+    c.unpersist()
+  }
+}

@@ -207,4 +207,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(wins.isEmpty,
       "the canonical member must come from groupBy(rep).max(struct), not first_value over a window")
   }
+
+  test("q92 exact graph: broadcast corpus side, one per-node window shuffle + output sort") {
+    // the exact graph is the correctness twin (the scale path is
+    // nnDescent) — but even the twin should scan the corpus ONCE
+    // partition-parallel against a broadcast copy, not sort-merge an
+    // N² join
+    val p = plan(operators.KnnGraph.knnGraphExact(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"corpus side must broadcast:\n$p")
+    val n = count(p, "Exchange hashpartitioning") + count(p, "Exchange rangepartitioning")
+    assert(n == 2, s"per-node top-k window + orderBy — got $n in:\n$p")
+  }
 }
