@@ -250,11 +250,17 @@ object KnnGraph {
     * copy's rank-1 edge in the descent graph must be its original
     * (see the object scaladoc for why that is BY CONSTRUCTION).
     * Output (query_id, hit_id); oracle = the planted SELECT.
+    * maxIters = 2 here: the gate property holds at ANY iteration
+    * count (it is an init + prune invariant), two rounds exercise the
+    * loop's state machinery (signature convergence, lineage cuts,
+    * reverse sampling) under the oracle, and the full-depth descent
+    * QUALITY is pinned by KnnGraphSpec's recall floor at 12 rounds —
+    * a bench entry paying 4+ rounds bought no additional certainty.
     */
   def nnDescentGate(spark: SparkSession, dir: String, k: Int = 10,
                     nPlanted: Int = graft.GateInvariants.plantedGateN,
                     idOffset: Long = 1000000L,
-                    maxIters: Int = 4): DataFrame = {
+                    maxIters: Int = 2): DataFrame = {
     val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val corpus = base.union(
       base.filter(col("vec_id") < nPlanted)
