@@ -109,6 +109,9 @@ object SparkEntry {
     "q73_boilerplate_spans" -> ((s, d) => Curation.boilerplateSpans(s, d)),
     "q76_decontam_fuzzy"    -> ((s, d) => Curation.decontamFuzzy(s, d)),
     "q77_curation_funnel"   -> ((s, d) => Curation.curationFunnel(s, d)),
+    // the DEPLOYMENT spelling: one corpus scan feeds every gate
+    // (VERDICT r17 item 1); shares q77's oracle verbatim
+    "q77b_funnel_onescan"   -> ((s, d) => Curation.curationFunnelOneScan(s, d)),
     "q78_ann_recall"        -> ((s, d) => Vectors.annRecall(s, d)),
     "q79_funnel_delta"      -> ((s, d) => Curation.funnelDelta(s, d)),
     "q79b_funnel_indexed"   -> ((s, d) => Curation.funnelDeltaIndexed(s, d)),
@@ -159,7 +162,13 @@ object SparkEntry {
     "q22_region_volume"   -> ((s, d) => Relational.regionVolume(s, d)),
     "q23_windowed_topn"   -> ((s, d) => Relational.windowedTopN(s, d)),
     "q24_order_priority"  -> ((s, d) => Relational.orderPriority(s, d)),
-    "q80_stream_sessions" -> ((s, d) => streaming.StreamHarness.streamSessions(s, d)),
+    // nBatches=3 (VERDICT r17 item 7): session state now RESTORES
+    // across micro-batch slices under the hard gate — open sessions
+    // straddle the two slice boundaries and must merge with state
+    // written by earlier batches, the same multi-slice certification
+    // q83/q83d carry for dedup state
+    "q80_stream_sessions" -> ((s, d) => streaming.StreamHarness.streamSessions(s, d,
+      nBatches = 3)),
     // the PRODUCTION state backend under the same oracle: identical
     // plan and feed, state in RocksDB (off-heap, changelog
     // checkpoints) instead of the default heap maps — the backend
@@ -599,6 +608,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase ++ Map(
       "q79b_funnel_indexed" -> oracleSqlBase("q79_funnel_delta"),
+      // q77b computes each gate's signal with the standalone
+      // operator's own expressions, just off one shared scan — the
+      // verdict per doc is unchanged by construction, so it shares
+      // q77's oracle verbatim
+      "q77b_funnel_onescan" -> oracleSqlBase("q77_curation_funnel"),
       // the streaming entries CERTIFY stream ≡ batch under the hard
       // gate: the closed-session stream rollup shares q01c's oracle,
       // the online funnel shares q79's (ascending arrival order makes

@@ -30,6 +30,19 @@ object Dedup {
     * size(sh) would be pushed through the projection by Catalyst and
     * re-evaluate the shingle expression inside the filter.
     */
+  /** Default degenerate-clique guard for the COMPOSED pipelines
+    * (q39/q53/q75/q77 — VERDICT r17 item 4): the standalone pair
+    * operators keep MaxValue (their contract is the full listing, and
+    * their oracles check it), but a pipeline that runs near-dup over
+    * a corpus where exact collapse may not have run first gets the
+    * maxBlock/maxBucket star belt ON by default. 1000 is far above
+    * any observed gate-scale block (max min-shingle block at sf0.1:
+    * 264) so every oracle row is untouched, while a mega-duplication
+    * clique (the +20k verbatim-copies probe) is bounded to C−1
+    * anchor checks instead of a Θ(C²) listing.
+    */
+  val ComposedMaxBlock: Int = 1000
+
   private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame =
     docShinglesOn(spark, Tables.documents(spark, dir))
 
@@ -108,7 +121,20 @@ object Dedup {
     */
   private[graft] def dedupNgramOn(spark: SparkSession, shingled: DataFrame,
                                   threshold: Double = 0.5,
-                                  maxBlock: Int = Int.MaxValue): DataFrame = {
+                                  maxBlock: Int = Int.MaxValue): DataFrame =
+    dedupNgramPairs(spark, shingled, threshold, maxBlock)
+      .orderBy("doc_a", "doc_b")
+
+  /** dedupNgramOn WITHOUT the presentation sort — the spelling for
+    * internal consumers (CC spines, drop-set distincts, q77b's
+    * canonical pick) that immediately re-shuffle the pairs anyway:
+    * the q26-entry orderBy costs a range-partition sample job plus a
+    * sort per call, pure overhead when the next operator is a
+    * groupBy/distinct/join.
+    */
+  private[graft] def dedupNgramPairs(spark: SparkSession, shingled: DataFrame,
+                                     threshold: Double = 0.5,
+                                     maxBlock: Int = Int.MaxValue): DataFrame = {
     require(maxBlock >= 2, s"maxBlock must be >= 2: $maxBlock")
     import spark.implicits._
     // Each doc's shingle array shuffles ONCE to its block and all
@@ -122,11 +148,34 @@ object Dedup {
     sh.groupByKey(_.blk)
       .flatMapGroups { (_, it) =>
         val docs = it.toArray.sortBy(_.doc_id)
+        // Candidate-kill bounds (r18): the smallest intersection that
+        // can still ROUND to ≥ threshold at 6dp is
+        //   c ≥ (t−5e-7)(la+lb)/(1+t−5e-7)
+        // (roundHalfUp6(x) ≥ t ⇒ x ≥ t−5e-7). With a −1 safety
+        // margin this is a pure NECESSARY condition, so candidates
+        // are skipped outright when even min(la,lb) can't reach it
+        // (size filter) or abandoned mid-merge once c plus the
+        // remaining overlap can't (positional bound) — survivors
+        // still get the exact count + 6dp rounding, so the output
+        // listing is bit-identical. On random-corpus blocks most
+        // candidates sit at jac ≈ 0 and exit after ~⅓ of the merge.
+        val tEff = threshold - 5e-7
+        def neededC(la: Int, lb: Int): Int =
+          if (tEff <= 0) 0
+          else math.max(0, math.ceil(tEff * (la + lb) / (1.0 + tEff)).toInt - 1)
         def verified(a: DocShingles, b: DocShingles): Iterator[NgramPair] = {
-          val c = sortedIntersectCount(a.sh, b.sh)
-          val jac = roundHalfUp6(c.toDouble / (a.sh.length + b.sh.length - c))
-          if (jac >= threshold) Iterator.single(NgramPair(a.doc_id, b.doc_id, jac))
-          else Iterator.empty
+          val la = a.sh.length; val lb = b.sh.length
+          val need = neededC(la, lb)
+          if (math.min(la, lb) < need) Iterator.empty
+          else {
+            val c = boundedIntersectCount(a.sh, b.sh, need)
+            if (c < 0) Iterator.empty
+            else {
+              val jac = roundHalfUp6(c.toDouble / (la + lb - c))
+              if (jac >= threshold) Iterator.single(NgramPair(a.doc_id, b.doc_id, jac))
+              else Iterator.empty
+            }
+          }
         }
         if (docs.length > maxBlock)
           // degenerate-block star (see maxBlock doc): linear
@@ -140,7 +189,20 @@ object Dedup {
           } yield p
       }
       .toDF("doc_a", "doc_b", "jac")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** sortedIntersectCount with the positional abort: returns −1 as
+    * soon as c + min(remaining) proves the count cannot reach `need`
+    * (need = 0 ⇒ never aborts — the plain full merge).
+    */
+  private def boundedIntersectCount(x: Array[String], y: Array[String], need: Int): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < x.length && j < y.length) {
+      if (c + math.min(x.length - i, y.length - j) < need) return -1
+      val cmp = x(i).compareTo(y(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 } else if (cmp < 0) i += 1 else j += 1
+    }
+    c
   }
 
   /** Linear merge count over two sorted string arrays (JVM twin of
@@ -402,8 +464,8 @@ object Dedup {
     *
     * Output therefore equals set-equality pairs unconditionally ⇒
     * the DuckDB oracle is a plain self-join on sorted-array equality.
-    * q28 keeps Hamming ≤ 16 as the rows-only near-dup entry
-    * (hash-distance semantics are engine-internal by nature).
+    * q28's own Hamming ≤ 16 surface is ALSO hash-EXACT: its oracle
+    * replays the FNV/simhash integer chain in DuckDB SQL.
     */
   def dedupSimHashExact(spark: SparkSession, dir: String,
                         every: Int = 20, idOffset: Long = 1000000L): DataFrame = {
@@ -510,8 +572,9 @@ object Dedup {
     * disagreement is ~0.40 and recall collapses; that regime needs
     * IVF probing, q19/q41.) q29's label blocking needs a label
     * column; this is the label-free scale path. Hyperplane components
-    * are splitmix64-derived constants — engine-internal ⇒ rows-only
-    * oracle; the spec plants perturbed duplicates and checks both
+    * are splitmix64-derived constants that REPLAY in DuckDB via the
+    * q28 umulSql wrapping-integer machinery ⇒ hash-EXACT oracle; the
+    * spec additionally plants perturbed duplicates and checks both
     * exactness and recall.
     */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String, threshold: Double = 0.9,
@@ -651,7 +714,8 @@ object Dedup {
     * pair set and the DuckDB oracle is a plain quadratic join — the
     * same oracle q44 passes, now also certifying the CELL blocking
     * path end-to-end (blocking differs, output provably equal).
-    * q29b stays the rows-only weak-threshold entry (t=0.3 recall is
+    * q29b keeps the weak-threshold surface, itself hash-EXACT via
+    * the DECIMAL(20,10) centroid replay (t=0.3 recall remains
     * intrinsically partial — that's what RecallProbe measures).
     */
   def dedupEmbeddingIvfPlanted(spark: SparkSession, dir: String, threshold: Double = 0.9,

@@ -150,9 +150,20 @@ object DupGraph {
     * the pair producers' output domain). `is_keep` marks the
     * first-writer-wins survivor (min doc_id), the same rule as q25's
     * exact-dup groups.
+    *
+    * Pair generation runs with the degenerate-clique belt ON
+    * (`maxBlock` = Dedup.ComposedMaxBlock, VERDICT r17 item 4): CC
+    * consumes CONNECTIVITY, which the anchor star preserves for a
+    * verbatim mega-clique (every member connects to the min-id
+    * anchor at jac 1.0), so the belt changes nothing this operator
+    * reads while bounding the one block a mega-duplicated corpus
+    * would explode. Gate-scale blocks (≤264 at sf0.1) never engage it.
     */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.dedupNgram(spark, dir)
+  def dupClusters(spark: SparkSession, dir: String,
+                  maxBlock: Int = Dedup.ComposedMaxBlock): DataFrame = {
+    // pair order is irrelevant to CC — skip the q26 presentation sort
+    val pairs = Dedup.dedupNgramPairs(spark, Dedup.docShingles(spark, dir),
+        maxBlock = maxBlock)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val comp = connectedComponents(pairs)
     val sizes = comp.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
@@ -189,12 +200,25 @@ object DupGraph {
 
   /** clusterReps over a caller-supplied (doc_id, wc, n_pass) quality
     * frame — q77 passes its shared persisted gopher projection here
-    * so the funnel scores the corpus once, not once per gate.
+    * so the funnel scores the corpus once, not once per gate. Belt
+    * default as dupClusters (connectivity-preserving star for
+    * verbatim cliques; the canonical pick only needs membership).
     */
   private[graft] def clusterRepsOn(spark: SparkSession, dir: String,
-                                   scored: DataFrame): DataFrame = {
-    val pairs = Dedup.dedupNgram(spark, dir)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+                                   scored: DataFrame,
+                                   maxBlock: Int = Dedup.ComposedMaxBlock): DataFrame =
+    clusterRepsOnPairs(spark,
+      Dedup.dedupNgramPairs(spark, Dedup.docShingles(spark, dir),
+        maxBlock = maxBlock), scored)
+
+  /** clusterReps over a caller-supplied (doc_a, doc_b) near-dup pair
+    * frame — q77b feeds pairs derived from its one-scan shingle
+    * column here, so the canonical pick adds NO documents scan of its
+    * own (VERDICT r17 item 1).
+    */
+  private[graft] def clusterRepsOnPairs(spark: SparkSession, pairFrame: DataFrame,
+                                        scored: DataFrame): DataFrame = {
+    val pairs = pairFrame.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val comp = connectedComponents(pairs)
     val members = comp.join(scored, comp("id") === scored("doc_id"))
       .select(col("id").as("doc_id"), col("rep"), col("n_pass"), col("wc"))

@@ -212,8 +212,9 @@ object EmbeddingQuality {
     * that would round to 1.0 at 6dp, so the twin is the STRICT
     * brute-force top-1 for every anchor — IVF top-1 ≡ exact top-1,
     * and the DuckDB oracle is the plain quadratic cross-label top-1
-    * over the same planted corpus. q62b stays the rows-only
-    * production entry (k=5 ranks beyond the twin are approximate by
+    * over the same planted corpus. q62b keeps the production k=5
+    * surface, itself hash-EXACT via the IVF-assignment replay oracle
+    * (ranks beyond the twin are approximate vs BRUTE FORCE by
     * design — NegMineProbe measures that recall).
     */
   def hardNegativesIvfPlanted(spark: SparkSession, dir: String,

@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   * insensitive under any partitioning), assignment ties break on
   * code id via min_by over a (distance, code) struct, and every
   * array is assembled with array_sort over an explicit position
-  * struct. Scores are float-space ⇒ rows-only in the driver gate;
-  * PqSpec pins the laws (identical vectors ⇒ identical codes,
-  * ADC ≡ JVM-replayed lookup sum, measured recall floor vs brute).
+  * struct. The whole q67 family is hash-EXACT in the driver gate
+  * (r15/r16): the DECIMAL/float chain replays in DuckDB via
+  * double-compute-then-REAL-cast, and the planted entries pin the
+  * ADC floor. PqSpec additionally pins the laws (identical vectors
+  * ⇒ identical codes, ADC ≡ JVM-replayed lookup sum, recall floor).
   */
 object PQ {
 

@@ -170,8 +170,19 @@ object TextAnalysis {
     * per-lang corpus stats. Each stage is one of the standalone
     * operators; this is the composition a 100TB data pipeline runs
     * nightly.
+    *
+    * The near-dup leg runs with the degenerate-clique belt ON
+    * (`maxBlock` = Dedup.ComposedMaxBlock, VERDICT r17 item 4): this
+    * composed spelling runs near-dup over the FULL corpus (exact-dup
+    * only filters afterwards), so a verbatim mega-clique would land
+    * in one min-shingle block — the star guard bounds it, and for a
+    * verbatim clique the doc_b drop set is IDENTICAL (every member
+    * pairs with the min-id anchor at jac 1.0). Gate-scale blocks are
+    * two orders below the default, so the oracle is untouched.
+    * q39b (exact-first) remains the primary scale prescription.
     */
-  def corpusPrep(spark: SparkSession, dir: String, minQuality: Double = 0.3): DataFrame = {
+  def corpusPrep(spark: SparkSession, dir: String, minQuality: Double = 0.3,
+                 maxBlock: Int = Dedup.ComposedMaxBlock): DataFrame = {
     val quality = qualityScore(spark, dir)
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"), col("wc"))
@@ -179,7 +190,8 @@ object TextAnalysis {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val nearDupDrop = Dedup.dedupNgram(spark, dir)
+    val nearDupDrop = Dedup.dedupNgramPairs(spark, Dedup.docShingles(spark, dir),
+        maxBlock = maxBlock)
       .select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(spark, dir).select("doc_id", "lang")
       .join(quality, "doc_id")
@@ -208,7 +220,8 @@ object TextAnalysis {
     * (the near-dup CTE written over survivors).
     */
   def corpusPrepDedupFirst(spark: SparkSession, dir: String,
-                           minQuality: Double = 0.3): DataFrame = {
+                           minQuality: Double = 0.3,
+                           maxBlock: Int = Dedup.ComposedMaxBlock): DataFrame = {
     val quality = qualityScore(spark, dir)
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"), col("wc"))
@@ -216,8 +229,10 @@ object TextAnalysis {
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id"), first(col("text")).as("text"))
       .select("doc_id", "text")
-    val nearDupDrop = Dedup.dedupNgramOn(spark,
-        Dedup.docShinglesOn(spark, exactSurvivors))
+    // belt also on here (survivor blocks are never verbatim cliques,
+    // but near-identical — non-equal — mega-groups can still exist)
+    val nearDupDrop = Dedup.dedupNgramPairs(spark,
+        Dedup.docShinglesOn(spark, exactSurvivors), maxBlock = maxBlock)
       .select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(spark, dir).select("doc_id", "lang")
       .join(quality, "doc_id")
@@ -410,7 +425,8 @@ object TextAnalysis {
     * sf). The DuckDB oracle groups by the TEXT itself: identical
     * structure, no hash in sight. The 8-byte fingerprint is what
     * rides the shuffle at 100 TB, not the document text — q33 keeps
-    * the raw-fingerprint surface as the rows-only entry.
+    * the raw-fingerprint surface, itself hash-EXACT via the
+    * wrapping-integer fingerprint64 replay in its DuckDB oracle.
     */
   def fingerprintGroups(spark: SparkSession, dir: String,
                         every: Int = 20, idOffset: Long = 1000000L): DataFrame = {

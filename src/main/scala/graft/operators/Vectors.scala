@@ -186,9 +186,9 @@ object Vectors {
     * order-insensitive, so the refinement is DETERMINISTIC under any
     * partitioning (a plain double avg would wobble in the last ulps
     * per run). Reassignment is argmax cosine over the (few, broadcast)
-    * centroids. Cross-engine float means still diverge ⇒ rows-only
-    * oracle; KmeansSpec replays one round in plain JVM arithmetic and
-    * asserts identical assignments.
+    * centroids. The DECIMAL means replay exactly in DuckDB ⇒ the
+    * q41 oracle is hash-EXACT; KmeansSpec additionally replays one
+    * round in plain JVM arithmetic and asserts identical assignments.
     */
   private[graft] def kmeansAssign(spark: SparkSession, dir: String, iters: Int,
                                   nCoarse: Int = 1): DataFrame =

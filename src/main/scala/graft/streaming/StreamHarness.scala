@@ -125,7 +125,12 @@ object StreamHarness {
   // driver-gate-covered. Two driver rows keep multi-slice state on
   // the oracle-certified path (VERDICT r16 item 2): q83 runs
   // nBatches=3 (per-bucket shingle state restored across slices) and
-  // q83d defaults to 3 (first-writer-wins across slices).
+  // q83d defaults to 3 (first-writer-wins across slices). Since r18
+  // q80 also feeds nBatches=3 (VERDICT r17 item 7), so SESSION state
+  // restore across slices sits under the hard gate too — q80c/q80d
+  // stay at 1 (they certify the backend/physical-path swap; the
+  // slicing law itself is invariance-spec'd and now gate-covered
+  // once on the flatMapGroupsWithState path).
   def streamSessions(spark: SparkSession, dir: String,
                      windowMs: Long = 30 * 60 * 1000L,
                      nBatches: Int = 1,

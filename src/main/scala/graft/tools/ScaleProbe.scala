@@ -59,7 +59,11 @@ object ScaleProbe {
     // `r17` arg: run only the r17 addition (the dedupNgram maxBlock
     // mega-dup rows) plus the mega-corpus setup it needs.
     val only17 = args.contains("r17")
-    if (!only15 && !only16 && !only17) Seq(src, dst).foreach { d =>
+    // `r18` arg: run only the r18 additions — the vector family's
+    // two-decade (100x) slope rows (VERDICT r17 item 3) and the
+    // composed-pipeline belt rows at +20k verbatim copies (item 4).
+    val only18 = args.contains("r18")
+    if (!only15 && !only16 && !only17 && !only18) Seq(src, dst).foreach { d =>
       time("q01 sessionize ", d)(Sessions.temporalSessions(spark, _))
       time("q01b chunked   ", d)(Sessions.sessionizedChunked(spark, _))
       time("q26 ngram dedup", d)(Dedup.dedupNgram(spark, _))
@@ -115,7 +119,7 @@ object ScaleProbe {
     // the bands (same total nBits budget family) restores bounded
     // buckets, exactly like growing nLists for IVF cells. Measure
     // the cliff and the remedy at 10x.
-    if (!only15 && !only16 && !only17) {
+    if (!only15 && !only16 && !only17 && !only18) {
       time("q44 4x8bit     ", src)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x8bit     ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x12bit    ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _, nBits = 48, bands = 4))
@@ -135,7 +139,7 @@ object ScaleProbe {
     // q19's IVF ANN (the r14 replay-graduated Spark side): probe cost
     // is bounded by nQueries·nProbe cells, so 10× corpus with
     // nLists ∝ N must stay ~flat after the assignment pass.
-    if (!only16 && !only17) Seq(src, dst).foreach { d =>
+    if (!only16 && !only17 && !only18) Seq(src, dst).foreach { d =>
       time("q34b grid decode", d)(Multimodal.mediaDecodeFeatures(spark, _))
       time("q34d media joinQ", d)(Multimodal.mediaQualityJoin(spark, _))
       time("q19 ivf ann     ", d)(Vectors.annIvf(spark, _))
@@ -154,14 +158,65 @@ object ScaleProbe {
           w => concat(w, col("copy").cast("string"))), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$dst100/documents.parquet")
-    if (!only16 && !only17) Seq(src, dst, dst100).foreach { d =>
+    if (!only16 && !only17 && !only18) Seq(src, dst, dst100).foreach { d =>
       time("q25 exact dedup", d)(Dedup.dedupExact(spark, _))
       time("q27b minhash pl", d)(Dedup.dedupMinHashPlanted(spark, _))
       time("q40 allpairs   ", d)(Dedup.dedupAllPairs(spark, _))
     }
 
+    // ---- r18 additions (VERDICT r17 items 3 & 4) ----
+    // (3) Vector-family two-decade slopes: the deepest prior evidence
+    // was 10x (q19 2.02s, q29b 8.58s, q67d ~1.3x). 100x embeddings
+    // (200k x 64f, per-copy perturbed so near-dup density stays
+    // comparable) probe the three claims that carry the family's
+    // 100 TB posture: the IVF assignment pass (assignCells — q19
+    // rides it) is linear; adaptive nLists keeps cells ~125 vectors
+    // so candidate counts stay linear (q29b); and the PERSISTED
+    // IVF-PQ steady-state probe (q67d timed pass after the warm pass
+    // builds the index) tracks nProbe cells, not the corpus.
+    if (only18) {
+      emb.crossJoin(copies100)
+        .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x + col("copy").cast("float") * lit(0.01f)).cast("array<float>").as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$dst100/embeddings.parquet")
+      Seq(src, dst, dst100).foreach { d =>
+        time("q19 ivf ann     ", d)(Vectors.annIvf(spark, _))
+        time("q29b ivf dedup  ", d)(Dedup.dedupEmbeddingIvf(spark, _, threshold = 0.5))
+        time("q67d ivfpq idx  ", d)(PQ.ivfPqTopKIndexed(spark, _))
+      }
+      // (4) The composed pipelines with their new default belts at
+      // +20k verbatim copies: before r18 these rode unguarded
+      // dedupNgram (the r16 probe measured q39 at mega2k only,
+      // 8.1s raw — mega20k raw would be a 2e8-pair block). Bounded
+      // wall time here IS the item's done-criterion.
+      val mega20k = {
+        val d = "/tmp/graft_mega20000"
+        val one = docs.orderBy("doc_id").limit(1)
+          .select(col("text"), col("lang"), col("source"), col("n_chars"))
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+          .unionByName(
+            spark.range(20000).select((col("id") + 2000000L).as("doc_id"))
+              .crossJoin(one))
+          .write.mode("overwrite").parquet(s"$d/documents.parquet")
+        d
+      }
+      time("q39 mega20k BELT", mega20k)(graft.operators.TextAnalysis.corpusPrep(spark, _))
+      time("q53 mega20k BELT", mega20k)(graft.operators.DupGraph.dupClusters(spark, _))
+      // q77 vs q77b at 1x and 10x: at sf0.1 both are spine-bound
+      // (pairs+CC+pick dominates — see SURVEY §4 r18); the one-scan
+      // advantage is the per-gate text scans, which grow with the
+      // corpus. The warm pass caches each spelling's shared frame —
+      // the timed number is the steady state, like the bench.
+      Seq(src, dst).foreach { d =>
+        time("q77 composed    ", d)(Curation.curationFunnel(spark, _))
+        time("q77b one-scan   ", d)(Curation.curationFunnelOneScan(spark, _))
+      }
+    }
+
     // ---- r16 additions (VERDICT r15 items 1 & 4) ----
-    if (!only15) {
+    if (!only15 && !only18) {
       // (1) Two-decade slope for the graph/funnel spine: CC round
       // count grows with component DIAMETER, which copy-scaling holds
       // constant while component COUNT grows 100x -- the claim these

@@ -214,6 +214,29 @@ class DedupEdgeSpec extends AnyFunSuite {
       rows(operators.TextAnalysis.corpusPrep(spark, fake)))
   }
 
+  test("composed-pipeline belts (r18 default): belted q39/q53 equal the unguarded spelling on a verbatim clique") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    // a 30-copy verbatim clique (min-id member INSIDE the clique, so
+    // the star anchor is the clique's own min — the case the belt's
+    // equivalence argument covers) plus one unrelated doc in another
+    // block. maxBlock=5 forces the star; MaxValue is the full listing.
+    val fake = "/fake/belt_composed"
+    val clique = (0 until 30).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog every single morning here", "en", "s1", 70L))
+    val extra = Seq(
+      (100L, "completely different words appear in this other document about databases", "en", "s0", 72L))
+    Tables.registerOverride(spark, fake, "documents",
+      (clique ++ extra).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] = df.collect().toSeq
+    assert(rows(operators.TextAnalysis.corpusPrep(spark, fake, minQuality = 0.0, maxBlock = 5)) ==
+      rows(operators.TextAnalysis.corpusPrep(spark, fake, minQuality = 0.0, maxBlock = Int.MaxValue)),
+      "q39's drop set must be belt-invariant on a verbatim clique")
+    assert(rows(operators.DupGraph.dupClusters(spark, fake, maxBlock = 5)) ==
+      rows(operators.DupGraph.dupClusters(spark, fake, maxBlock = Int.MaxValue)),
+      "q53's clusters must be belt-invariant on a verbatim clique")
+  }
+
   test("substringDup computes exact span coverage on planted shared passages") {
     import spark.implicits._
     val sdir = "/fake/substring_dup"

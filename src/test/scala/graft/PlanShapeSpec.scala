@@ -208,6 +208,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "the canonical member must come from groupBy(rep).max(struct), not first_value over a window")
   }
 
+  test("q77b reads documents through the shared signal cache only (one scan)") {
+    // the one-scan contract: every gate consumes the persisted signal
+    // frame — any parquet scan of documents in the executed plan must
+    // sit UNDER an InMemoryRelation (the cached one-scan), never as a
+    // direct per-gate read. (No clearCache here: the registry-cached
+    // signals ARE the operator's contract.)
+    val df = operators.Curation.curationFunnelOneScan(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val docScans = p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("documents"))
+    val imr = count(p, "InMemoryRelation")
+    assert(docScans <= imr,
+      s"documents scanned outside the signal cache ($docScans scans, $imr cached relations):\n$p")
+    assert(count(p, "InMemoryTableScan") >= 3,
+      s"the gates must read the shared signal frame:\n$p")
+  }
+
   test("q92 exact graph: broadcast corpus side, one per-node window shuffle + output sort") {
     // the exact graph is the correctness twin (the scale path is
     // nnDescent) — but even the twin should scan the corpus ONCE

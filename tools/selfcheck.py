@@ -58,6 +58,18 @@ def main():
     # baseline side of the 2x bench gate, recorded as an in-repo
     # artifact (ORACLE_TIMING.json) instead of a judge estimate
     timing = {}
+    # Oracle-result cache keyed by the SQL text (VERDICT r17 item 6):
+    # several gate queries share one brute all-pairs oracle verbatim
+    # (q27/q83/q83b/q83c are the SAME minhash-pair SQL over the same
+    # corpus, ~8 min each at sf0.1) — within one run the result set is
+    # identical by construction, so re-executing it buys nothing but
+    # wall time. A hit replays the first execution's rows AND its
+    # measured seconds (the timing artifact stays the measured cost of
+    # the oracle, never 0.0 for a memo lookup); the `cached` list in
+    # ORACLE_TIMING.json records which keys reused which. Identical
+    # gate semantics: the compare below still runs per query.
+    oracle_cache = {}  # sql -> (first_name, cols, rows, sec)
+    cached = {}
     for name, sql in sorted(oracles.items()):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
@@ -69,11 +81,18 @@ def main():
                 f"SELECT * FROM read_parquet({files!r})")
             spark_cols = [d[0] for d in spark_rel.description]
             spark_rows = spark_rel.fetchall()
-            t0 = time.monotonic()
-            oracle_rel = con.execute(sql)
-            oracle_cols = [d[0] for d in oracle_rel.description]
-            oracle_rows = oracle_rel.fetchall()
-            timing[name] = round(time.monotonic() - t0, 3)
+            if sql in oracle_cache:
+                first, oracle_cols, oracle_rows, sec = oracle_cache[sql]
+                timing[name] = sec
+                cached[name] = first
+            else:
+                t0 = time.monotonic()
+                oracle_rel = con.execute(sql)
+                oracle_cols = [d[0] for d in oracle_rel.description]
+                oracle_rows = oracle_rel.fetchall()
+                sec = round(time.monotonic() - t0, 3)
+                timing[name] = sec
+                oracle_cache[sql] = (name, oracle_cols, oracle_rows, sec)
         except Exception as e:
             print(f"FAIL {name}: exec error {e}")
             failed.append(name)
@@ -120,6 +139,10 @@ def main():
         "n_queries": len(timing),
         "total_sec": round(sum(timing.values()), 3),
         "queries": timing,
+        # name -> first key that executed the identical SQL this run;
+        # such entries carry the first execution's measured seconds
+        # (total_sec stays "what the oracles cost run independently")
+        "cached": cached,
     }
     # Correctness summary artifact with the gate-invariant block
     # (VERDICT r16 item 4): Verify dumps gate_invariants.json when a
