@@ -40,7 +40,7 @@ object GateInvariants {
     * ord(codepoint) — valid iff the corpus is pure ASCII. */
   val asciiGateQueries: Set[String] =
     Set("q28_dedup_simhash", "q33_fingerprint", "q34_media_pipeline",
-        "q49_text_encode")
+        "q49_text_encode", "q49b_encode_hashed")
 
   /** Queries whose brute-force oracle requires perfect banding
     * recall on the corpus (the expensive check). */

@@ -153,6 +153,9 @@ object SparkEntry {
     // decode → brightness band → join with q31 text quality
     "q34d_media_quality"    -> ((s, d) => Multimodal.mediaQualityJoin(s, d)),
     "q49_text_encode"       -> ((s, d) => TextEncoder.encodePipeline(s, d)),
+    // the content-dependent hashing-trick encoder (VERDICT r17
+    // item 5): certification bites on the token multiset
+    "q49b_encode_hashed"    -> ((s, d) => TextEncoder.encodePipelineHashed(s, d)),
     "q35_bpe_tokens"        -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
     "q50_cluster_details"  -> ((s, d) => Analytics.clusterDetails(s, d)),
     "q51_chats_overview"   -> ((s, d) => Analytics.chatsOverview(s, d)),
@@ -401,6 +404,40 @@ object SparkEntry {
        |  CAST(sqrt(list_reduce(list_prepend(0.0, list_transform(rs, x -> CAST(x AS DOUBLE))), (a, x) -> a + x * x)) AS REAL) AS nf FROM rl),
        |vv AS (SELECT doc_id,
        |  list_transform(rs, x -> CASE WHEN nf = CAST(0.0 AS REAL) THEN CAST(0.0 AS REAL) ELSE CAST(CAST(x AS DOUBLE) / CAST(nf AS DOUBLE) AS REAL) END) AS vs FROM nm)""".stripMargin
+
+  /** q49b replay: the hashing-trick encoder — per-TOKEN Java
+    * hashCode fold → splitmix64 (salt 0x5eed = 24301) → component
+    * index (bits 1.. mod 64) and sign (bit 0) → exact integer signed
+    * counts per component → the q49 normalize arithmetic verbatim
+    * (REAL casts of small integers are exact; double-compute-then-
+    * REAL-cast for sqrt and the division). Docs with no non-empty
+    * token keep an all-zero vector on both engines. Expects a CTE
+    * `d(doc_id, text)`.
+    */
+  private def hashedEncodeReplayChain: String =
+    s"""tk AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d) WHERE len(tok) > 0),
+       |hjh AS (
+       |  SELECT doc_id, list_reduce(
+       |      list_prepend(0::HUGEINT,
+       |        list_transform(range(1, length(tok)+1), i -> CAST(ord(substr(tok, CAST(i AS INT), 1)) AS HUGEINT))),
+       |      (h, c) -> ((h * 31 + c + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648) AS jh
+       |  FROM tk),
+       |hs0 AS (SELECT doc_id, CAST(((CAST(xor(CAST(jh AS BIGINT), 24301) AS HUGEINT) % 18446744073709551616) + 18446744073709551616) % 18446744073709551616 AS UBIGINT) AS u FROM hjh),
+       |hs1 AS (SELECT doc_id, CAST((CAST(u AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS x1 FROM hs0),
+       |hs2 AS (SELECT doc_id, ${umulSql("xor(x1, x1 >> 30)", 0xbf58476d1ce4e5b9L)} AS x2 FROM hs1),
+       |hs3 AS (SELECT doc_id, ${umulSql("xor(x2, x2 >> 27)", 0x94d049bb133111ebL)} AS x3 FROM hs2),
+       |hsd AS (SELECT doc_id, xor(x3, x3 >> 31) AS h FROM hs3),
+       |hct AS (SELECT doc_id, CAST((h >> 1) % 64 AS INT) AS i,
+       |        SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS c
+       |        FROM hsd GROUP BY doc_id, i),
+       |hgrid AS (SELECT d.doc_id, r.b AS i FROM d, range(0, 64) r(b)),
+       |hcf AS (SELECT g.doc_id, g.i, CAST(COALESCE(hct.c, 0) AS REAL) AS rf
+       |        FROM hgrid g LEFT JOIN hct ON g.doc_id = hct.doc_id AND g.i = hct.i),
+       |hrl AS (SELECT doc_id, list(rf ORDER BY i) AS rs FROM hcf GROUP BY doc_id),
+       |hnm AS (SELECT doc_id, rs,
+       |  CAST(sqrt(list_reduce(list_prepend(0.0, list_transform(rs, x -> CAST(x AS DOUBLE))), (a, x) -> a + x * x)) AS REAL) AS nf FROM hrl),
+       |hvv AS (SELECT doc_id,
+       |  list_transform(rs, x -> CASE WHEN nf = CAST(0.0 AS REAL) THEN CAST(0.0 AS REAL) ELSE CAST(CAST(x AS DOUBLE) / CAST(nf AS DOUBLE) AS REAL) END) AS vs FROM hnm)""".stripMargin
 
   // ── q67-family replay oracles (r15 graduation — the q19/q41 replay
   // argument extended to the full IVF-PQ pipeline: codebooks → codes →
@@ -2531,6 +2568,15 @@ object SparkEntry {
          |  CAST(vs[1] AS DOUBLE) AS v0,
          |  list_reduce(list_prepend(0.0, list_transform(vs, x -> CAST(x AS DOUBLE))), (a, x) -> a + x) AS comp_sum
          |FROM vv
+         |ORDER BY doc_id""".stripMargin,
+    "q49b_encode_hashed" ->
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |$hashedEncodeReplayChain
+         |SELECT doc_id, CAST(64 AS INT) AS dim,
+         |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(vs, x -> CAST(x AS DOUBLE))), (a, x) -> a + x * x)), 6) AS l2_norm,
+         |  CAST(vs[1] AS DOUBLE) AS v0,
+         |  list_reduce(list_prepend(0.0, list_transform(vs, x -> CAST(x AS DOUBLE))), (a, x) -> a + x) AS comp_sum
+         |FROM hvv
          |ORDER BY doc_id""".stripMargin,
     "q42_embedding_stats" ->
       """SELECT label, COUNT(*) AS n_vecs,

@@ -50,16 +50,58 @@ object TextEncoder {
       raw.map(x => if (norm == 0f) 0f else x / norm)
     }
 
+  /** q49b encoder: the FEATURE-HASHING (hashing-trick) n-gram
+    * encoder — deterministic AND content-dependent per token, unlike
+    * the q49 stub whose components derive from one whole-string seed
+    * (VERDICT r17 item 5: "the stub encoder's arithmetic is
+    * trivial"). Each whitespace token hashes (String.hashCode →
+    * splitmix64, the q49 chain with its own salt) to a component
+    * index (bits 1.. of the hash, mod dim) and a sign (bit 0);
+    * SIGNED COUNTS accumulate per component — exact integer
+    * arithmetic, order-insensitive — and the count vector
+    * L2-normalizes in the stub's float arithmetic. Texts sharing
+    * tokens get provably correlated vectors (fastText-bag style), so
+    * the downstream consumers (q90's delta encode, ANN over encoded
+    * vectors) are exercised on semantics-bearing content, and every
+    * step still replays in DuckDB: per-token hashCode fold, the
+    * splitmix64 wrapping-integer chain, integer count sums, and the
+    * double-compute-then-REAL-cast normalization.
+    */
+  private[graft] def encodeBatchHashed(texts: Seq[String], dim: Int): Seq[Array[Float]] =
+    texts.map { t0 =>
+      val t = if (t0 == null) "" else t0
+      val counts = new Array[Int](dim)
+      t.split(" ").foreach { tok =>
+        if (tok.nonEmpty) {
+          val h = graft.functions.Hashing.mix64(tok.hashCode.toLong ^ 0x5eedL)
+          val idx = ((h >>> 1) % dim).toInt // h >>> 1 is non-negative
+          if ((h & 1L) == 0L) counts(idx) += 1 else counts(idx) -= 1
+        }
+      }
+      val norm = math.sqrt(counts.foldLeft(0.0)((a, c) => a + c.toDouble * c.toDouble)).toFloat
+      counts.map(c => if (norm == 0f) 0f else c.toFloat / norm)
+    }
+
   /** Encode a typed text stream partition-parallel, one model call
     * per `encodeBatchSize` rows.
     */
   def encode(spark: SparkSession, texts: Dataset[TextRow], dim: Int = 64,
-             onBatch: Int => Unit = _ => ()): Dataset[Encoded] = {
+             onBatch: Int => Unit = _ => ()): Dataset[Encoded] =
+    encodeWith(spark, texts, dim, onBatch, encodeBatch)
+
+  /** encode with the content-dependent hashing encoder (q49b). */
+  def encodeHashed(spark: SparkSession, texts: Dataset[TextRow], dim: Int = 64,
+                   onBatch: Int => Unit = _ => ()): Dataset[Encoded] =
+    encodeWith(spark, texts, dim, onBatch, encodeBatchHashed)
+
+  private def encodeWith(spark: SparkSession, texts: Dataset[TextRow], dim: Int,
+                         onBatch: Int => Unit,
+                         enc: (Seq[String], Int) => Seq[Array[Float]]): Dataset[Encoded] = {
     import spark.implicits._
     texts.mapPartitions { it =>
       it.grouped(encodeBatchSize).flatMap { batch =>
         onBatch(batch.size)
-        val vecs = encodeBatch(batch.map(_.text), dim)
+        val vecs = enc(batch.map(_.text), dim)
         batch.lazyZip(vecs).map((r, v) => Encoded(r.doc_id, v))
       }
     }
@@ -82,11 +124,26 @@ object TextEncoder {
     * cross-engine certified, not just spec-pinned.
     * TextEncoderSpec additionally pins batch shape and determinism.
     */
-  def encodePipeline(spark: SparkSession, dir: String): DataFrame = {
+  def encodePipeline(spark: SparkSession, dir: String): DataFrame =
+    healthRows(encode(spark, textsOf(spark, dir)))
+
+  /** q49b: the hashing-trick encoder under the same health-row +
+    * content-probe projection and the same replay-oracle discipline
+    * as q49 — but v0/comp_sum now expose PER-TOKEN content (signed
+    * token counts through the normalize), so the certification bites
+    * on the token multiset, not just one seed integer.
+    */
+  def encodePipelineHashed(spark: SparkSession, dir: String): DataFrame =
+    healthRows(encodeHashed(spark, textsOf(spark, dir)))
+
+  private def textsOf(spark: SparkSession, dir: String): Dataset[TextRow] = {
     import spark.implicits._
-    val texts = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[TextRow]
-    encode(spark, texts)
+  }
+
+  private def healthRows(encoded: Dataset[Encoded]): DataFrame =
+    encoded
       .select(col("doc_id"), size(col("embedding")).as("dim"),
         round(sqrt(aggregate(transform(col("embedding"), v => v.cast("double") * v),
           lit(0.0), (a, x) => a + x)), 6).as("l2_norm"),
@@ -94,5 +151,4 @@ object TextEncoder {
         aggregate(transform(col("embedding"), v => v.cast("double")),
           lit(0.0), (a, x) => a + x).as("comp_sum"))
       .orderBy("doc_id")
-  }
 }

@@ -65,4 +65,42 @@ class TextEncoderSpec extends AnyFunSuite {
       "normalize_embeddings contract: unit norms")
     assert(a.forall(_.getInt(1) == 64))
   }
+
+  test("hashed encoder (q49b): content-dependent, order-insensitive, batch-invariant") {
+    def enc(ts: String*): Seq[Array[Float]] =
+      TextEncoder.encodeBatchHashed(ts, 64)
+    // determinism + content dependence: change ONE token, vector moves
+    val Seq(a1, a2, b) = enc("the quick brown fox", "the quick brown fox", "the quick brown cat")
+    assert(a1.toSeq == a2.toSeq, "deterministic")
+    assert(a1.toSeq != b.toSeq, "a one-token change must move the vector")
+    // bag semantics: signed counts ignore token order but see multiset
+    val Seq(p, q, dup) = enc("alpha beta gamma", "gamma alpha beta", "alpha alpha beta gamma")
+    assert(p.toSeq == q.toSeq, "token permutation must not change the vector")
+    assert(p.toSeq != dup.toSeq, "a repeated token must change the vector")
+    // shared tokens => correlated vectors (the fastText-bag property
+    // the whole-string stub cannot have)
+    def cos(x: Array[Float], y: Array[Float]): Double =
+      x.lazyZip(y).map((u, v) => u.toDouble * v.toDouble).sum
+    val Seq(s1, s2, far) = enc(
+      "shared words dominate this sentence entirely here",
+      "shared words dominate this sentence entirely there",
+      "completely different content with other tokens altogether")
+    assert(cos(s1, s2) > 0.5, s"near-identical texts must correlate: ${cos(s1, s2)}")
+    assert(math.abs(cos(s1, far)) < cos(s1, s2), "unrelated text correlates less")
+    // unit norms; empty and null texts encode to the zero vector
+    assert(math.abs(a1.map(x => x.toDouble * x.toDouble).sum - 1.0) < 1e-5)
+    val Seq(e1, e2) = TextEncoder.encodeBatchHashed(Seq("", null), 64)
+    assert(e1.forall(_ == 0f) && e2.forall(_ == 0f))
+    // batch-size invariance through the pipeline seam: encodeHashed
+    // over the corpus equals per-text encodeBatchHashed row-for-row
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[TextEncoder.TextRow].collect()
+    val viaPipeline = TextEncoder.encodeHashed(spark,
+        spark.createDataset(texts.toSeq)).collect().map(e => e.doc_id -> e.embedding.toSeq).toMap
+    texts.foreach { tr =>
+      assert(viaPipeline(tr.doc_id) == TextEncoder.encodeBatchHashed(Seq(tr.text), 64).head.toSeq,
+        s"doc ${tr.doc_id} must encode identically at any batch shape")
+    }
+  }
 }
