@@ -234,7 +234,12 @@ object SparkEntry {
     // exact-dup state), multi-slice by default
     "q83d_stream_gate"    -> ((s, d) => streaming.StreamHarness.streamCorpusGate(s, d)),
     "q84_stream_decontam" -> ((s, d) => streaming.StreamHarness.streamDecontam(s, d)),
-    "q85_stream_threads"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d)),
+    // nBatches=3 (r18): the thread-root state map must RESOLVE
+    // replies whose root arrived in an EARLIER slice — cross-slice
+    // state reads under the hard gate, completing the multi-slice
+    // set (q80 sessions, q83 dedup, q83d gate, q85 threads)
+    "q85_stream_threads"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d,
+      nBatches = 3)),
     // the thread-root map on RocksDB, under q56's oracle verbatim
     "q85b_threads_rocks"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d,
       provider = Some(streaming.StateBackend.RocksDBProvider))),

@@ -117,35 +117,13 @@ case class IntersectCountSorted(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "intersect_count_sorted"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    var i = 0; var j = 0; var c = 0
-    val nx = x.numElements(); val ny = y.numElements()
-    while (i < nx && j < ny) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
-    }
-    c
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.intersectCountSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
-      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny"); val cmp = ctx.freshName("cmp")
-      s"""
-         |int $i = 0; int $j = 0; int $c = 0;
-         |int $nx = $x.numElements(); int $ny = $y.numElements();
-         |while ($i < $nx && $j < $ny) {
-         |  int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
-         |  if ($cmp == 0) { $c++; $i++; $j++; }
-         |  else if ($cmp < 0) $i++;
-         |  else $j++;
-         |}
-         |${ev.value} = $c;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.VectorKernels.intersectCountSorted($x, $y);")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

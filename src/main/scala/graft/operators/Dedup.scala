@@ -755,29 +755,57 @@ object Dedup {
     * (arrays never enter the banding shuffle), each unique pair
     * verifies once on the candidate join.
     */
+  /** Verified near-dup pairs from probed cell assignments — verify
+    * happens IN the cell group (r18): each vector's embedding
+    * shuffles once per probed cell (nProbe slim rows) and candidate
+    * pairs never materialize as a row set. The previous spelling
+    * emitted every candidate ID pair (Θ(cells·c²) rows), DISTINCT-
+    * shuffled them, then re-joined the embedding array onto BOTH
+    * sides of every pair — the same shuffle-amplification anti-
+    * pattern dedupNgramOn's comment prices, measured by the r18
+    * 100× probe at 352s (≈25 GB of array-carrying candidate rows);
+    * the in-group spelling re-measures at ~17s (§4 r18). Survivors
+    * (output-sized) dedupe with one distinct: a pair sharing several
+    * probe cells verifies to the same (a, b, sim) in each — the
+    * cosine is a pure function of the two embeddings, and the JVM
+    * kernel below replays CosineSimilarity's fold order exactly, so
+    * the oracle rows are untouched.
+    */
   private def pairsFromCells(spark: SparkSession, probed: DataFrame, e: DataFrame,
                              threshold: Double): DataFrame = {
     import spark.implicits._
-    val cands = probed.as[CellRow]
-      .groupByKey(_.cell)
+    val withEmb = probed.join(e, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding")).as[CellVec]
+    withEmb.groupByKey(_.cell)
       .flatMapGroups { (_, it) =>
-        val ids = it.map(_.vec_id).toArray.sorted
+        val vs = it.toArray.sortBy(_.vec_id)
         for {
-          i <- ids.indices.iterator
-          j <- (i + 1 until ids.length).iterator
-        } yield (ids(i), ids(j))
+          i <- vs.indices.iterator
+          j <- (i + 1 until vs.length).iterator
+          sim = roundHalfUp6(cosineSimJvm(vs(i).embedding, vs(j).embedding))
+          if sim >= threshold
+        } yield (vs(i).vec_id, vs(j).vec_id, sim)
       }
-      .toDF("vec_a", "vec_b").distinct()
-    cands
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
-      .withColumn("sim", round(expr("cosine_sim(emb_a, emb_b)"), 6))
-      .filter(col("sim") >= threshold)
-      .select("vec_a", "vec_b", "sim")
+      .toDF("vec_a", "vec_b", "sim")
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 
-  private[operators] case class CellRow(vec_id: Long, cell: Int)
+  /** functions.CosineSimilarity's float-array arithmetic, verbatim
+    * (promote-then-multiply, one sequential fold, dot/(√nx·√ny)) —
+    * bit-identical by construction so the typed verify path and the
+    * expression path cannot drift.
+    */
+  private def cosineSimJvm(x: Array[Float], y: Array[Float]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < x.length) {
+      val xi = x(i).toDouble; val yi = y(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  private[operators] case class CellVec(vec_id: Long, cell: Int, embedding: Array[Float])
 
   /** q29: embedding-cosine near-dup pairs, blocked by label — the
     * ORACLE-PARITY variant (cosine is bit-identical to DuckDB, so the
