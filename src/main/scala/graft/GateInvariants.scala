@@ -52,6 +52,13 @@ object GateInvariants {
     * the check verifies the uniqueness instead of assuming it). */
   val vectorGateQueries: Set[String] = Set("q92b_nndescent_gate")
 
+  /** Queries whose oracle needs the q92d HASHED-twin precondition:
+    * for every planted source document, the hashed-encoder vector is
+    * nonzero and no document OUTSIDE its md5 group reaches 6dp cosine
+    * 1.0 against it (a permuted-token twin or a near-tie impostor
+    * could otherwise out-rank the md5-group minimum). */
+  val hashedGateQueries: Set[String] = Set("q92d_knn_text_twins")
+
   /** q92b's planted-prefix size — shared with the operator default
     * and its oracle (vec_id < plantedGateN). */
   val plantedGateN: Int = 20
@@ -71,7 +78,35 @@ object GateInvariants {
 
   /** All gate queries (spec surface; the union of the classes). */
   val gateQueries: Set[String] =
-    asciiGateQueries ++ bandingGateQueries ++ vectorGateQueries
+    asciiGateQueries ++ bandingGateQueries ++ vectorGateQueries ++ hashedGateQueries
+
+  /** q92d's precondition, verified DIRECTLY with the operator's own
+    * encoder: returns the planted-source doc_ids whose rank-1-by-
+    * (6dp cosine DESC, id ASC) could differ from their md5-group
+    * minimum — a zero vector (ranks everything at 0.0), or an
+    * out-of-group document reaching 6dp cosine 1.0. One broadcast
+    * join: the source side is bounded by construction. */
+  def hashedTwinImpostors(spark: SparkSession, dir: String,
+                          every: Int = 20): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val enc = operators.TextEncoder.encodeHashed(spark,
+        Tables.documents(spark, dir).select("doc_id", "text")
+          .as[operators.TextEncoder.TextRow])
+      .toDF("doc_id", "embedding")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val encH = enc.join(docs, "doc_id")
+    val srcs = encH.filter(col("doc_id") % every === 0)
+      .select(col("doc_id").as("s_id"), col("h").as("s_h"), col("embedding").as("s_emb"))
+    val zero = srcs
+      .filter(expr("aggregate(s_emb, 0.0D, (a, x) -> a + abs(CAST(x AS DOUBLE)))") === 0.0)
+      .select(col("s_id"))
+    val impostor = encH.join(broadcast(srcs),
+        col("doc_id") =!= col("s_id") && col("h") =!= col("s_h"))
+      .filter(round(expr("cosine_sim(embedding, s_emb)"), 6) === 1.0)
+      .select(col("s_id"))
+    zero.union(impostor).distinct()
+  }
 
   /** Planted originals (vec_id < nPlanted) whose embedding vector
     * recurs elsewhere in the corpus: such an original would give its
@@ -119,7 +154,9 @@ object GateInvariants {
                           screenMissedPairs: Seq[(Long, Long, Double)],
                           dir: String,
                           vectorChecked: Boolean = false,
-                          dupPlantedIds: Seq[Long] = Nil) {
+                          dupPlantedIds: Seq[Long] = Nil,
+                          hashedChecked: Boolean = false,
+                          hashedImpostorIds: Seq[Long] = Nil) {
     private def fmt(ps: Seq[(Long, Long, Double)]) =
       ps.take(5).map(p => s"(${p._1},${p._2})@${p._3}").mkString(" ")
 
@@ -151,6 +188,13 @@ object GateInvariants {
           s"corpus vector, e.g. vec_id ${dupPlantedIds.take(5).mkString(",")} — " +
           "the planted copy then has a second sim-1.0 candidate and q92b's " +
           "rank-1 oracle can flip (datagen drift, not an operator bug)."
+      if (hashedChecked && hashedImpostorIds.nonEmpty)
+        msgs += s"GATE INVARIANT VIOLATED: ${hashedImpostorIds.length} planted " +
+          s"source doc(s) on $dir have a zero hashed vector or an out-of-" +
+          s"md5-group 6dp-cosine-1.0 impostor, e.g. doc_id " +
+          s"${hashedImpostorIds.take(5).mkString(",")} — q92d's rank-1 " +
+          "oracle (md5-group minimum) can flip on those copies (datagen " +
+          "drift, not an operator bug)."
       msgs.result()
     }
 
@@ -179,6 +223,8 @@ object GateInvariants {
         s""""screen_missed_pairs":${pairArr(screenMissedPairs)},""" +
         s""""vector_checked":$vectorChecked,""" +
         s""""dup_planted_ids":${dupPlantedIds.mkString("[", ",", "]")},""" +
+        s""""hashed_checked":$hashedChecked,""" +
+        s""""hashed_impostor_ids":${hashedImpostorIds.mkString("[", ",", "]")},""" +
         s""""violations":${messages.length}}"""
     }
   }
@@ -191,7 +237,7 @@ object GateInvariants {
     */
   def run(spark: SparkSession, dir: String,
           ascii: Boolean = true, banding: Boolean = true,
-          vector: Boolean = true): Report = {
+          vector: Boolean = true, hashed: Boolean = false): Report = {
     val nonAscii =
       if (ascii) nonAsciiDocs(spark, dir).collect().map(_.getLong(0)).toSeq
       else Nil
@@ -247,8 +293,12 @@ object GateInvariants {
     val dupPlanted =
       if (vector) dupPlantedVectors(spark, dir).collect().map(_.getLong(0)).toSeq.sorted
       else Nil
+    val impostors =
+      if (hashed) hashedTwinImpostors(spark, dir).collect().map(_.getLong(0)).toSeq.sorted
+      else Nil
     val rep = Report(ascii, nonAscii, banding, danger, missed, screenMissed, dir,
-      vectorChecked = vector, dupPlantedIds = dupPlanted)
+      vectorChecked = vector, dupPlantedIds = dupPlanted,
+      hashedChecked = hashed, hashedImpostorIds = impostors)
     rep.notes.foreach(n => System.err.println(s"[gate-note] $n"))
     rep
   }

@@ -303,7 +303,12 @@ object SparkEntry {
     // semantic-clustering primitive). See operators/KnnGraph.scala.
     "q92_knn_graph"       -> ((s, d) => KnnGraph.knnGraphExact(s, d)),
     "q92b_nndescent_gate" -> ((s, d) => KnnGraph.nnDescentGate(s, d)),
-    "q92c_semantic_clusters" -> ((s, d) => KnnGraph.semanticClusters(s, d))
+    "q92c_semantic_clusters" -> ((s, d) => KnnGraph.semanticClusters(s, d)),
+    // q92d (r18): raw text → q49b hash-encode → rank-1 neighbor —
+    // the end-to-end semantic-twin composition; planted copies must
+    // rank their source's md5-group minimum first (GateInvariants'
+    // hashed check pins the no-impostor precondition per corpus)
+    "q92d_knn_text_twins" -> ((s, d) => KnnGraph.knnTextTwins(s, d))
   )
 
   /** Reference word-count formula (analyze_dialogues.py:273). */
@@ -2825,6 +2830,21 @@ object SparkEntry {
         |SELECT c.id AS vec_id, c.rep AS cluster_rep, sz.n AS cluster_size,
         |  (c.id = c.rep) AS is_rep
         |FROM comp c JOIN sz ON c.rep = sz.rep
-        |ORDER BY cluster_rep, vec_id""".stripMargin
+        |ORDER BY cluster_rep, vec_id""".stripMargin,
+    // q92d: planted text copies rank their source first — identical
+    // text ⇒ identical hashed vector ⇒ 6dp cosine 1.0, ties broken
+    // by id, so the expected neighbor is the source's md5-group
+    // MINIMUM; no float replay needed (cosine of identical float
+    // vectors rounds to exactly 1.0 at 6dp). The no-impostor
+    // precondition (zero vectors, permuted-token twins, 6dp near-
+    // ties from outside the md5 group) is GateInvariants' hashed
+    // check, run by Verify whenever this query is requested.
+    "q92d_knn_text_twins" ->
+      """WITH g AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |s AS (SELECT doc_id, h FROM g WHERE doc_id % 20 = 0)
+        |SELECT s.doc_id + 1000000 AS q_id,
+        |  (SELECT MIN(doc_id) FROM g WHERE g.h = s.h) AS nb_id,
+        |  CAST(1.0 AS DOUBLE) AS sim
+        |FROM s ORDER BY q_id""".stripMargin
   )
 }

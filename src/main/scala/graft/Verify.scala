@@ -40,6 +40,7 @@ object Verify {
     val wantAscii = requested.exists(GateInvariants.asciiGateQueries)
     val wantBanding = requested.exists(GateInvariants.bandingGateQueries)
     val wantVector = requested.exists(GateInvariants.vectorGateQueries)
+    val wantHashed = requested.exists(GateInvariants.hashedGateQueries)
     // Stale-artifact guard (ADVICE r17): a gate_invariants.json left
     // in outDir by a PREVIOUS run must never be embedded into THIS
     // run's correctness record — delete it up front, so a run that
@@ -47,10 +48,10 @@ object Verify {
     // throws leaves an explicit error marker (violations:1) instead
     // of silently reusing an old clean (or old dirty) report.
     Files.deleteIfExists(Paths.get(s"$outDir/gate_invariants.json"))
-    if (wantAscii || wantBanding || wantVector)
+    if (wantAscii || wantBanding || wantVector || wantHashed)
       try {
         val rep = GateInvariants.run(spark, sfDir, ascii = wantAscii,
-          banding = wantBanding, vector = wantVector)
+          banding = wantBanding, vector = wantVector, hashed = wantHashed)
         rep.messages.foreach(m => System.err.println(s"[verify] $m"))
         Files.writeString(Paths.get(s"$outDir/gate_invariants.json"), rep.json)
       } catch { case e: Throwable =>

@@ -169,11 +169,18 @@ object Dedup {
           if (math.min(la, lb) < need) Iterator.empty
           else {
             val c = boundedIntersectCount(a.sh, b.sh, need)
+            // raw prefilter before the BigDecimal round (the
+            // pairsFromCells rule): only raws that could still round
+            // up to the threshold pay the allocation
             if (c < 0) Iterator.empty
             else {
-              val jac = roundHalfUp6(c.toDouble / (la + lb - c))
-              if (jac >= threshold) Iterator.single(NgramPair(a.doc_id, b.doc_id, jac))
-              else Iterator.empty
+              val raw = c.toDouble / (la + lb - c)
+              if (raw < tEff) Iterator.empty
+              else {
+                val jac = roundHalfUp6(raw)
+                if (jac >= threshold) Iterator.single(NgramPair(a.doc_id, b.doc_id, jac))
+                else Iterator.empty
+              }
             }
           }
         }
@@ -779,10 +786,17 @@ object Dedup {
     withEmb.groupByKey(_.cell)
       .flatMapGroups { (_, it) =>
         val vs = it.toArray.sortBy(_.vec_id)
+        // raw prefilter before the 6dp HALF_UP round: roundHalfUp6
+        // allocates a BigDecimal per call, and candidates are
+        // Θ(cells·c²) — only raws that could still round up to the
+        // threshold (raw ≥ t−5e-7) pay it, survivors unchanged
+        val tEff = threshold - 5e-7
         for {
           i <- vs.indices.iterator
           j <- (i + 1 until vs.length).iterator
-          sim = roundHalfUp6(cosineSimJvm(vs(i).embedding, vs(j).embedding))
+          raw = cosineSimJvm(vs(i).embedding, vs(j).embedding)
+          if raw >= tEff
+          sim = roundHalfUp6(raw)
           if sim >= threshold
         } yield (vs(i).vec_id, vs(j).vec_id, sim)
       }

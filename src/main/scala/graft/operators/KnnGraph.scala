@@ -105,6 +105,52 @@ object KnnGraph {
       .orderBy("vec_id", "rk")
   }
 
+  /** q92d: SEMANTIC TWIN DETECTION end-to-end over RAW TEXT — the
+    * composition a pipeline actually runs: documents → q49b's
+    * content-dependent hash encoder → rank-1 nearest neighbor. The
+    * gate plants a verbatim copy of every `every`-th document (the
+    * q27b derivation); identical text ⇒ identical token multiset ⇒
+    * identical hashed vector ⇒ the copy meets its source at 6dp
+    * cosine 1.0, the unique maximum, so its rank-1 neighbor is its
+    * source's md5-GROUP MINIMUM (ties at sim 1.0 break by id; text
+    * twins of the source, if any, carry the same vector). The oracle
+    * is therefore the trivial planted SELECT over md5 groups — no
+    * float replay needed. Uniqueness of the 1.0 maximum (no
+    * permuted-token or near-tie impostor below the group minimum) is
+    * the GateInvariants `hashed` check, verified per corpus like
+    * q92b's vector check, not assumed.
+    *
+    * Scale shape: the query side is the PLANTED set (bounded by
+    * construction — in production, the day's new arrivals); it
+    * broadcasts, the corpus scans ONCE partition-parallel, and the
+    * per-query argmax is one windowless groupBy max over a
+    * lexicographic (sim, −id) struct. At 100 TB the same probe runs
+    * against the persisted IVF/IVF-PQ index (q48/q67d) — this entry
+    * certifies the encode→rank composition exactly; q91 certifies
+    * the indexed-probe leg.
+    */
+  def knnTextTwins(spark: SparkSession, dir: String, every: Int = 20,
+                   idOffset: Long = 1000000L): DataFrame = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val planted = Tables.documents(spark, dir)
+      .select(explode(when(col("doc_id") % every === 0,
+          array(col("doc_id"), col("doc_id") + idOffset))
+        .otherwise(array(col("doc_id")))).as("doc_id"),
+        col("text"))
+    val enc = TextEncoder.encodeHashed(spark,
+        planted.select("doc_id", "text").as[TextEncoder.TextRow])
+      .toDF("doc_id", "embedding")
+    val queries = enc.filter(col("doc_id") >= idOffset)
+      .select(col("doc_id").as("q_id"), col("embedding").as("q_emb"))
+    enc.join(broadcast(queries), col("doc_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("cosine_sim(embedding, q_emb)"), 6))
+      .groupBy("q_id")
+      .agg(max(struct(col("sim"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("q_id"), (-col("b.nid")).as("nb_id"), col("b.sim").as("sim"))
+      .orderBy("q_id")
+  }
+
   /** Score candidate (src, dst) pairs and keep top-k per src. */
   private def scorePrune(e: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))

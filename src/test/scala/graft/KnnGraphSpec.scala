@@ -83,6 +83,29 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(recall >= 0.80, f"recall@10 $recall%.4f < 0.80 floor")
   }
 
+  test("q92d: planted text copies rank their source's md5-group min; twins share rank-1") {
+    import spark.implicits._
+    // four distinct docs; ids 0 and 20 are planted sources (every=20);
+    // doc 7 is a verbatim TWIN of doc 20's text with a smaller id, so
+    // 20's copy must rank 7 (the md5-group minimum), not 20 itself
+    val fake = "/fake/knn_text_twins"
+    val docs = Seq(
+      (0L, "alpha beta gamma delta words flow here", "en", "s0", 40L),
+      (5L, "completely different tokens in this one", "en", "s0", 40L),
+      (7L, "twin text shared verbatim across two rows", "en", "s0", 42L),
+      (20L, "twin text shared verbatim across two rows", "en", "s0", 42L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Tables.registerOverride(spark, fake, "documents", docs)
+    // precondition holds on this corpus: the hashed check finds no impostor
+    assert(GateInvariants.hashedTwinImpostors(spark, fake).collect().isEmpty)
+    val out = operators.KnnGraph.knnTextTwins(spark, fake)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (1000000L, 0L, 1.0),   // copy of 0 ranks 0 (unique text)
+      (1000020L, 7L, 1.0)),  // copy of 20 ranks the md5-group MIN (7)
+      s"got ${out.toSeq}")
+  }
+
   test("q92c: clusters have >=2 members, exactly one rep per cluster, rep = min id") {
     val c = operators.KnnGraph.semanticClusters(spark, dir).cache()
     assert(c.filter(col("cluster_size") < 2).count() == 0, "singletons are omitted")
