@@ -174,7 +174,10 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q75_cluster_reps",     1, 0,  3, 2),
       ("q77_curation_funnel",  0, 0,  6, 5), // every gate leg broadcasts; a corpus-sized SMJ is a regression
       ("q73_boilerplate_spans",0, 0,  3, 2),
-      ("q29b_dedup_emb_ivf",   0, 1,  5, 3), // BNLJ only vs the broadcast centroid catalog
+      // r18: in-group verify dropped the two candidate re-join
+      // broadcasts (candidates no longer exist as rows); what remains
+      // broadcast is the centroid catalog + the probed-assignment join
+      ("q29b_dedup_emb_ivf",   0, 1,  5, 2),
       ("q67b_ivfpq_topk",      2, 2, 10, 4),
       ("q40_dedup_allpairs",   0, 0,  3, 0),
       ("q26_dedup_ngram",      0, 0,  2, 0),
