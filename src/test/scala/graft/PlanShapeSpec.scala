@@ -227,6 +227,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the gates must read the shared signal frame:\n$p")
   }
 
+  test("q92d: query side broadcasts, argmax is windowless, no cartesian") {
+    // the planted-query probe: corpus scans once against a broadcast
+    // query set; the per-query rank-1 is a groupBy struct-max (no
+    // per-query window sort), and nothing may plan as a cartesian
+    val df = operators.KnnGraph.knnTextTwins(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side must broadcast:\n$p")
+    assert(count(p, "CartesianProduct") == 0, s"no cartesian:\n$p")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "rank-1 must come from groupBy(max(struct)), not a window")
+  }
+
   test("q92 exact graph: broadcast corpus side, one per-node window shuffle + output sort") {
     // the exact graph is the correctness twin (the scale path is
     // nnDescent) — but even the twin should scan the corpus ONCE
