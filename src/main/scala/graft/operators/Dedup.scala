@@ -225,7 +225,7 @@ object Dedup {
   }
 
   /** Matches Spark round() / DuckDB round(): HALF_UP at 6dp. */
-  private def roundHalfUp6(x: Double): Double =
+  private[operators] def roundHalfUp6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** q27: MinHash-LSH near-dup pairs. k=32 permutations, 8 bands × 4
@@ -810,7 +810,7 @@ object Dedup {
     * bit-identical by construction so the typed verify path and the
     * expression path cannot drift.
     */
-  private def cosineSimJvm(x: Array[Float], y: Array[Float]): Double = {
+  private[operators] def cosineSimJvm(x: Array[Float], y: Array[Float]): Double = {
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < x.length) {
       val xi = x(i).toDouble; val yi = y(i).toDouble

@@ -62,11 +62,18 @@ import org.apache.spark.storage.StorageLevel
   * Scale design (100 TB): NN-descent never forms an all-pairs shape.
   * Per node, candidates are bounded by construction — |B(v)| ≤ k +
   * sampleR (forward list + hash-sampled reverse list, the paper's ρ
-  * sampling), so one iteration shuffles O(N·(k+sampleR)²) candidate
-  * pairs, each scored by the codegen'd cosine. Iteration state is the
-  * slim (src, dst, sim) edge frame — k rows per node — re-persisted
-  * per round with the plan cut to an RDD leaf (DupGraph's
-  * lineage-flattening discipline; recompute-on-loss stays intact).
+  * sampling) — and since r19 the scoring is IN-GROUP (the q29b
+  * pairsFromCells discipline): one iteration shuffles O(N·(k+sampleR))
+  * membership rows, each carrying its embedding ONCE, and the
+  * O((k+sampleR)²) pair loop runs inside the group on a JVM cosine
+  * kernel that replays the CosineSimilarity expression bit-for-bit
+  * (the join-spelling twin is retained for the spec's identity pin —
+  * it moved the array once per candidate PAIR, the exact shuffle-
+  * amplification shape the r18 100× probe measured at 352s on q29b).
+  * Iteration state is the slim (src, dst, sim) edge frame — k rows
+  * per node — re-persisted per round with the plan cut to an RDD leaf
+  * (DupGraph's lineage-flattening discipline; recompute-on-loss stays
+  * intact).
   * Init cell sizes follow from `lists` (≈ N / lists per cell): size
   * `lists` to the corpus (N / targetCell) the way the IVF family
   * does; a skewed cell only inflates init candidate counts, never
@@ -151,8 +158,17 @@ object KnnGraph {
       .orderBy("q_id")
   }
 
-  /** Score candidate (src, dst) pairs and keep top-k per src. */
-  private def scorePrune(e: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+  /** Score candidate (src, dst) pairs and keep top-k per src — the
+    * JOIN-spelling correctness twin of the in-group scorer below,
+    * retained ONLY for KnnGraphSpec's bit-identity pin (and the
+    * one-cell ≡ brute-force law). It re-joins the embedding array
+    * onto BOTH sides of every candidate pair, so every pair row
+    * carries a 64-float array through the second join's exchange —
+    * the shuffle-amplification shape the r18 q29b fix priced at
+    * ~25 GB / 352s at 100× (Dedup.pairsFromCells' scaladoc); never
+    * on the production path.
+    */
+  private[graft] def scorePruneJoin(e: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
     cand
       .join(e.select(col("vec_id").as("src"), col("embedding").as("va")), "src")
@@ -161,6 +177,55 @@ object KnnGraph {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("src", "dst", "sim")
+  }
+
+  /** Score every unordered pair WITHIN each membership group in-group
+    * (r19 — the q29b pairsFromCells discipline applied to descent):
+    * each member's embedding shuffles once per MEMBERSHIP row
+    * (O(N·(k+sampleR)) arrays per round), candidate pairs never
+    * materialize as an array-carrying row set, and the JVM kernel
+    * replays CosineSimilarity's fold order + HALF_UP 6dp rounding
+    * exactly, so the edge frame is bit-identical to the join spelling
+    * (KnnGraphSpec's twin test). A pair sharing several groups scores
+    * to the same row in each — sim is a pure function of the pair —
+    * so the slim dropDuplicates is deterministic. Output: unique
+    * (a, b, sim) with a < b.
+    */
+  private def scoreWithinGroups(spark: SparkSession, memb: DataFrame): DataFrame = {
+    import spark.implicits._
+    memb.as[GroupVec].groupByKey(_.g).flatMapGroups { (_, it) =>
+      val vs = it.toArray.sortBy(_.u)
+      for {
+        i <- vs.indices.iterator
+        j <- (i + 1 until vs.length).iterator
+        if vs(i).u != vs(j).u
+      } yield (vs(i).u, vs(j).u,
+        Dedup.roundHalfUp6(Dedup.cosineSimJvm(vs(i).emb, vs(j).emb)))
+    }.toDF("a", "b", "sim").dropDuplicates("a", "b")
+  }
+
+  /** Score DIRECTED (src, dst) candidates in-group: the dst embedding
+    * rides its candidate row (one array per pair), the src embedding
+    * rides ONE self row per distinct src, and the cosine happens
+    * inside the src group — no second array-carrying join. Used for
+    * the init ring candidates, whose dsts are hash-derived pairs
+    * rather than co-members of any natural group.
+    */
+  private def scoreDirected(spark: SparkSession, e: DataFrame, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val emb = e.select(col("vec_id"), col("embedding"))
+    val withE = pairs
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("emb")), "dst")
+      .select(col("src"), col("dst"), col("emb"))
+      .union(pairs.select("src").distinct()
+        .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb")), "src")
+        .select(col("src"), col("src").as("dst"), col("emb")))
+    withE.as[SrcVec].groupByKey(_.src).flatMapGroups { (s, it) =>
+      val rows = it.toArray
+      val self = rows.find(_.dst == s).get.emb
+      rows.iterator.filter(_.dst != s).map(r =>
+        (s, r.dst, Dedup.roundHalfUp6(Dedup.cosineSimJvm(self, r.emb))))
+    }.toDF("src", "dst", "sim").dropDuplicates("src", "dst")
   }
 
   /** Top-k prune of an ALREADY-SCORED edge frame (sim is a pure
@@ -201,7 +266,8 @@ object KnnGraph {
     */
   private[graft] def nnDescent(spark: SparkSession, emb: DataFrame, k: Int = 10,
                                lists: Int = 16, maxIters: Int = 8,
-                               sampleR: Int = 0, ringJ: Int = 10): DataFrame = {
+                               sampleR: Int = 0, ringJ: Int = 10,
+                               joinScoring: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxIters >= 0, s"maxIters must be >= 0: $maxIters")
     // reverse ρ-sample defaults to 2k: the binding recall lever on
@@ -217,7 +283,7 @@ object KnnGraph {
     val cells = Vectors.assignCells(e, cents, nProbe = 1,
         nCoarse = Vectors.autoCoarse(lists))
       .select("vec_id", "cell")
-    val cellCand = cells.as("ca").join(cells.as("cb"), "cell")
+    def cellCandJoin = cells.as("ca").join(cells.as("cb"), "cell")
       .where(col("ca.vec_id") =!= col("cb.vec_id"))
       .select(col("ca.vec_id").as("src"), col("cb.vec_id").as("dst"))
     // deterministic global index by id order (sort + zip — no
@@ -236,8 +302,24 @@ object KnnGraph {
           pmod(col("idx") + 1 + pmod(xxhash64(col("vec_id"), col("j")), lit(n - 1)), lit(n)))
         .join(idx.select(col("idx").as("nb_idx"), col("vec_id").as("dst")), "nb_idx")
         .select(col("vec_id").as("src"), col("dst"))
-    var (edges, edgesRdd) = DupGraph.cutLineage(
-      scorePrune(e, cellCand.union(ringCand).distinct(), k), lvl)
+    val initEdges =
+      if (joinScoring) scorePruneJoin(e, cellCandJoin.union(ringCand).distinct(), k)
+      else {
+        // in-cell pairs score in-group (arrays move once per (vec_id,
+        // cell) membership, never per pair); hash-ring pairs are
+        // genuinely directed so they take the one-array-per-pair
+        // directed scorer. Both directions of a cell pair reach the
+        // prune, matching the join twin's candidate set exactly.
+        val cellMemb = cells.join(e, "vec_id")
+          .select(col("cell").cast("long").as("g"), col("vec_id").as("u"),
+            col("embedding").as("emb"))
+        val cellScored = scoreWithinGroups(spark, cellMemb)
+        val cellBoth = cellScored
+          .select(col("a").as("src"), col("b").as("dst"), col("sim"))
+          .union(cellScored.select(col("b").as("src"), col("a").as("dst"), col("sim")))
+        prune(cellBoth.union(scoreDirected(spark, e, ringCand)), k)
+      }
+    var (edges, edgesRdd) = DupGraph.cutLineage(initEdges, lvl)
     def signature(df: DataFrame): (Long, Any) = {
       // hash sum in DECIMAL(38): a long sum of full-range xxhash64
       // values overflows under ANSI mode
@@ -258,15 +340,25 @@ object KnnGraph {
         .filter(col("r") <= sr)
         .select("v", "u")
       val b = fwd.union(revS).distinct()
-      val cand = b.as("x").join(b.as("y"), "v")
-        .where(col("x.u") < col("y.u"))
-        .select(col("x.u").as("a"), col("y.u").as("b"))
-        .distinct()
-      val scored = cand
-        .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
-        .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
-        .withColumn("sim", round(expr("cosine_sim(va, vb)"), 6))
-        .select("a", "b", "sim")
+      val scored =
+        if (joinScoring) {
+          val cand = b.as("x").join(b.as("y"), "v")
+            .where(col("x.u") < col("y.u"))
+            .select(col("x.u").as("a"), col("y.u").as("b"))
+            .distinct()
+          cand
+            .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+            .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
+            .withColumn("sim", round(expr("cosine_sim(va, vb)"), 6))
+            .select("a", "b", "sim")
+        } else
+          // B(v) is bounded at k+sampleR members by construction, so
+          // the group pair loop is O((k+sampleR)²) per node while the
+          // SHUFFLE is O(N·(k+sampleR)) membership rows — the array
+          // moves once per membership, not once per candidate pair
+          scoreWithinGroups(spark,
+            b.join(e.select(col("vec_id").as("u"), col("embedding").as("emb")), "u")
+              .select(col("v").as("g"), col("u"), col("emb")))
       val merged = scored.select(col("a").as("src"), col("b").as("dst"), col("sim"))
         .union(scored.select(col("b").as("src"), col("a").as("dst"), col("sim")))
         .union(edges)
@@ -290,6 +382,9 @@ object KnnGraph {
     }
     edges
   }
+
+  private[operators] case class GroupVec(g: Long, u: Long, emb: Array[Float])
+  private[operators] case class SrcVec(src: Long, dst: Long, emb: Array[Float])
 
   /** q92b: NN-descent under the planted gate — embeddings plus a
     * verbatim copy of every vec_id < nPlanted at +idOffset; each

@@ -60,6 +60,19 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("in-group scoring is bit-identical to the join-spelling twin (r19 rewrite)") {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val grouped = operators.KnnGraph.nnDescent(spark, e, k = k, maxIters = 3)
+    val joined = operators.KnnGraph.nnDescent(spark, e, k = k, maxIters = 3,
+      joinScoring = true)
+    // exceptAll on the raw frames: src, dst AND the 6dp sim double
+    // must agree bit-for-bit — the JVM kernel replays the
+    // CosineSimilarity expression exactly, or this fails
+    assert(grouped.exceptAll(joined).count() == 0 &&
+      joined.exceptAll(grouped).count() == 0,
+      "in-group scored descent edges must equal the join-spelling twin's exactly")
+  }
+
   test("planted gate law: every copy's rank-1 edge is its original (q92b's oracle)") {
     val got = operators.KnnGraph.nnDescentGate(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
