@@ -86,7 +86,25 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=q77_...,q77b_... : builder-side focused
     // timing for operator iteration — the driver's no-arg invocation
     // never sets it, so the bench of record always covers the full set
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    // Hard-validated (ADVICE r18): a leftover or typo'd filter used to
+    // produce subset/empty bench artifacts indistinguishable from a
+    // full run. Unknown names and empty values now fail fast, and the
+    // active filter (or its absence) is stamped into every JSON line.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { f =>
+      require(f.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    val filterField = only match {
+      case None => "\"none\""
+      case Some(f) =>
+        val s = f.toSeq.sorted.mkString(",")
+        // the summary line has a hard ~1925-char window budget
+        "\"" + (if (s.length > 200) s"${f.size} queries" else s) + "\""
+    }
     SparkEntry.queries.keys.filter(n => only.forall(_.contains(n)))
       .foreach(n => try force(n) catch { case _: Throwable => () })
 
@@ -158,7 +176,7 @@ object Bench {
     // round's committed BENCH_r*.json) instead of mixing in runs that
     // pre-date the round's perf changes (ADVICE r17)
     val detailLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ts":${System.currentTimeMillis / 1000},"queries":$qs,"passTotals":$pts,"settled":$settled,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ts":${System.currentTimeMillis / 1000},"filter":$filterField,"queries":$qs,"passTotals":$pts,"settled":$settled,"errors":$errJson,"sf":"$sfDir"}"""
     // an unwritable detail file must not take the summary line with it
     val detailField = try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
@@ -194,7 +212,7 @@ object Bench {
     // cap their contribution and point at the detail file.
     val errField = if (errors.isEmpty) "{}" else if (errJson.length <= 600) errJson else "\"see detail\""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"nerr":${errors.size},"settled":$settled,"errors":$errField,"slowest5":$slowest,"detail":"$detailField","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"nerr":${errors.size},"filter":$filterField,"settled":$settled,"errors":$errField,"slowest5":$slowest,"detail":"$detailField","sf":"$sfDir"}"""
     // budget: 2000-char window − "\n[success] Total time: ..." ≈ 1925;
     // the compact line is ~350 chars and independent of query count.
     if (line.length > 1500)

@@ -233,7 +233,12 @@ object SparkEntry {
     // the streaming corpus gate (quality filter + first-writer-wins
     // exact-dup state), multi-slice by default
     "q83d_stream_gate"    -> ((s, d) => streaming.StreamHarness.streamCorpusGate(s, d)),
-    "q84_stream_decontam" -> ((s, d) => streaming.StreamHarness.streamDecontam(s, d)),
+    // nBatches=3 (r19, VERDICT r18 item 6): the bench-gram seen-guard
+    // state must hold across micro-batch slices — a doc whose
+    // contaminating grams arrived in an earlier slice's build must
+    // still gate identically
+    "q84_stream_decontam" -> ((s, d) => streaming.StreamHarness.streamDecontam(s, d,
+      nBatches = 3)),
     // nBatches=3 (r18): the thread-root state map must RESOLVE
     // replies whose root arrived in an EARLIER slice — cross-slice
     // state reads under the hard gate, completing the multi-slice
@@ -243,7 +248,12 @@ object SparkEntry {
     // the thread-root map on RocksDB, under q56's oracle verbatim
     "q85b_threads_rocks"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d,
       provider = Some(streaming.StateBackend.RocksDBProvider))),
-    "q89_stream_windowed" -> ((s, d) => streaming.StreamHarness.streamWindowed(s, d)),
+    // nBatches=3 (r19, VERDICT r18 item 6): tumbling windows stay
+    // OPEN across slice boundaries — counts for a window fed by two
+    // slices must merge in state, not double-emit (append mode only
+    // emits on watermark close)
+    "q89_stream_windowed" -> ((s, d) => streaming.StreamHarness.streamWindowed(s, d,
+      nBatches = 3)),
     // the streaming ANN gate (PqStream.nearDupGate over the persisted
     // planted IVF-PQ index) — q67g's ADC-floor certainty in stream
     // form; pairs only, no floats at the compared surface

@@ -417,9 +417,32 @@ object Curation {
     * generation carries the composed-pipeline belt (maxBlock) like
     * q77 does.
     */
+  /** UTF-8 byte order, unsigned — the order UTF8String.binaryCompare
+    * (and therefore array_sort on strings and intersect_count_sorted)
+    * uses. Scala's String ordering compares UTF-16 code units, which
+    * DISAGREES for U+E000..U+FFFF vs supplementary characters — a
+    * driver-side `.sorted` fed to the sorted-merge kernel would
+    * silently undercount there (ADVICE r18).
+    */
+  private[graft] val utf8ByteOrder: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   def curationFunnelOneScan(spark: SparkSession, dir: String, minPass: Int = 6,
                             benchMod: Int = 97,
-                            maxBlock: Int = Dedup.ComposedMaxBlock): DataFrame = {
+                            maxBlock: Int = Dedup.ComposedMaxBlock,
+                            maxDriverGrams: Int = 65536): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // THE one corpus scan: text enters, signals leave. Token arrays
     // materialize in their own projection stage (gram3Of's contract);
@@ -450,14 +473,27 @@ object Curation {
     val canon = DupGraph.clusterRepsOnPairs(spark, pairs,
         signals.select(col("doc_id"), col("wc"), col("n_pass")))
       .select(col("doc_id"), col("is_canonical"))
-    // decontamination bench side: TINY by construction (q54's scale
-    // asymmetry — eval suites broadcast, the corpus does not), so its
-    // distinct grams collect once and ride into a per-row sorted-merge
-    // count below: ZERO gram rows shuffle, where q54's standalone
-    // spelling explodes one row per gram occurrence and re-aggregates.
-    val benchGrams = signals.filter(col("doc_id") % benchMod === 0)
+    // decontamination bench side, SIZE-ROUTED (r19 — VERDICT r18
+    // item 5): eval suites are tiny by construction (q54's scale
+    // asymmetry), so below maxDriverGrams the distinct grams collect
+    // once and ride into a per-row sorted-merge count — ZERO gram
+    // rows shuffle. Above the bound (a 10⁹-gram held-out set) the
+    // driver collect that used to sit here would die, so the route
+    // flips to q54b's spelling: Bloom screen in the scan stage +
+    // exact verify join, no driver materialization at any size. The
+    // probe is one limit(bound+1) collect — if it comes back short,
+    // it IS the full gram set. Row-identical both routes
+    // (CurationSpec pins it by forcing the bound to 1); the sorted
+    // fast path orders by UTF-8 BYTES, not UTF-16 code units, to
+    // match intersect_count_sorted's UTF8String comparison
+    // (ADVICE r18 — Scala's .sorted disagreed beyond the BMP).
+    val benchGramsDf = signals.filter(col("doc_id") % benchMod === 0)
       .select(explode(col("g3")).as("g")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val gramSample = benchGramsDf.limit(maxDriverGrams + 1)
+      .collect().map(_.getString(0))
+    val smallBench = gramSample.length <= maxDriverGrams
+    val benchGrams =
+      if (smallBench) gramSample.sorted(utf8ByteOrder).toSeq else Seq.empty[String]
     // Every remaining gate is a WINDOW or MAP column over the signal
     // frame — one linear pipeline (exchange by source for the budget
     // fill windows, exchange by h for the exact-dup min, broadcast
@@ -490,12 +526,35 @@ object Curation {
       .withColumn("is_exact_dup",
         col("doc_id") =!= min("doc_id").over(Window.partitionBy("h")))
       .withColumn("is_bench", col("doc_id") % benchMod === 0)
-      .withColumn("contaminated",
-        !col("is_bench") && coalesce(
-          try_divide(
-            call_function("intersect_count_sorted", col("g3"), typedLit(benchGrams))
-              .cast("long").cast("double"),
-            size(col("g3"))) >= 0.3, lit(false)))
+      .transform { f =>
+        if (smallBench)
+          f.withColumn("contaminated",
+            !col("is_bench") && coalesce(
+              try_divide(
+                call_function("intersect_count_sorted", col("g3"), typedLit(benchGrams))
+                  .cast("long").cast("double"),
+                size(col("g3"))) >= 0.3, lit(false)))
+        else {
+          // q54b's two-phase spelling with q77b's numerator semantics
+          // unchanged: |distinct(g3) ∩ bench| — array_distinct before
+          // the explode keeps the count DISTINCT-based like the
+          // sorted-merge kernel. No broadcast hint on the verify
+          // join: above the driver bound the gram set is by
+          // definition too big to broadcast.
+          val bf = lit(bloomBytesFor(benchGramsDf, 0.01))
+          val nInter = signals.filter(col("doc_id") % benchMod =!= 0)
+            .select(col("doc_id"), explode(array_distinct(col("g3"))).as("g"))
+            .filter(call_function("bloom_might_contain", bf, xxhash64(col("g"))))
+            .join(benchGramsDf.withColumn("hit", lit(1)), Seq("g"), "left")
+            .groupBy("doc_id").agg(count(col("hit")).as("n_inter"))
+          f.join(nInter, Seq("doc_id"), "left")
+            .withColumn("contaminated",
+              !col("is_bench") && coalesce(
+                try_divide(col("n_inter").cast("double"), size(col("g3"))) >= 0.3,
+                lit(false)))
+            .drop("n_inter")
+        }
+      }
       .join(canon, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_pass"),
         col("is_bench"),

@@ -118,6 +118,18 @@ class CurationSpec extends AnyFunSuite {
       3L -> "quality", 4L -> "near_dup", 5L -> "contaminated"))
   }
 
+  test("q77b gram routes are row-identical: driver sorted-merge vs Bloom screen + verify") {
+    // maxDriverGrams = 1 forces the above-bound route (Bloom screen +
+    // exact verify join, no driver gram collect); the default takes
+    // the sorted-merge literal path. Same rows bit-for-bit, or the
+    // size routing changed semantics (VERDICT r18 item 5).
+    val fast = operators.Curation.curationFunnelOneScan(spark, TestSpark.dir)
+    val bloom = operators.Curation.curationFunnelOneScan(spark, TestSpark.dir,
+      maxDriverGrams = 1)
+    assert(fast.exceptAll(bloom).count() == 0 && bloom.exceptAll(fast).count() == 0,
+      "both gram routes must produce identical funnel verdicts")
+  }
+
   test("curationFunnel laws on the real corpus") {
     val rows = operators.Curation.curationFunnel(spark, TestSpark.dir).collect()
     assert(rows.length == Tables.documents(spark, TestSpark.dir).count(),
