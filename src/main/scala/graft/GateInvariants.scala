@@ -50,7 +50,8 @@ object GateInvariants {
     * partner to be UNIQUE — i.e. no planted original's vector may
     * recur elsewhere in the corpus (q92b's by-construction argument;
     * the check verifies the uniqueness instead of assuming it). */
-  val vectorGateQueries: Set[String] = Set("q92b_nndescent_gate")
+  val vectorGateQueries: Set[String] = Set("q92b_nndescent_gate",
+    "q92e_descent_clusters", "q92f_knn_increment", "q93_graph_walk")
 
   /** Queries whose oracle needs the q92d HASHED-twin precondition:
     * for every planted source document, the hashed-encoder vector is

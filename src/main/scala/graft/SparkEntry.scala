@@ -318,7 +318,18 @@ object SparkEntry {
     // the end-to-end semantic-twin composition; planted copies must
     // rank their source's md5-group minimum first (GateInvariants'
     // hashed check pins the no-impostor precondition per corpus)
-    "q92d_knn_text_twins" -> ((s, d) => KnnGraph.knnTextTwins(s, d))
+    "q92d_knn_text_twins" -> ((s, d) => KnnGraph.knnTextTwins(s, d)),
+    // q92e (r19): the clustering composition a deployment RUNS —
+    // mutual-kNN + CC consuming the DESCENT graph (q92c certifies the
+    // same pipeline over the exact graph; this closes the
+    // uncertified-composition hole VERDICT r18 flagged)
+    "q92e_descent_clusters" -> ((s, d) => KnnGraph.semanticClustersDescentGate(s, d)),
+    // q92f (r19): incremental graph maintenance — a delta batch joins
+    // the persisted descent graph without a rebuild
+    "q92f_knn_increment" -> ((s, d) => KnnGraph.knnIncrementGate(s, d)),
+    // q93 (r19): greedy best-first graph-walk search over the
+    // persisted graph — the query-time half of the reference's HNSW
+    "q93_graph_walk" -> ((s, d) => KnnGraph.graphWalkGate(s, d))
   )
 
   /** Reference word-count formula (analyze_dialogues.py:273). */
@@ -2855,6 +2866,28 @@ object SparkEntry {
         |SELECT s.doc_id + 1000000 AS q_id,
         |  (SELECT MIN(doc_id) FROM g WHERE g.h = s.h) AS nb_id,
         |  CAST(1.0 AS DOUBLE) AS sim
-        |FROM s ORDER BY q_id""".stripMargin
+        |FROM s ORDER BY q_id""".stripMargin,
+    // q92e: a planted copy and its original form a mutual rank-1 edge
+    // at sim 1.0 (the unique per-node maximum — GateInvariants'
+    // vector check) in ANY graph the descent produces, so they
+    // co-cluster under connected components BY CONSTRUCTION and the
+    // oracle is the planted SELECT (q92b's argument, CC-composed).
+    "q92e_descent_clusters" ->
+      """SELECT vec_id AS query_id, CAST(TRUE AS BOOLEAN) AS co_clustered
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+    // q92f: the delta copy lands in its original's cell (pure-function
+    // assignment replay), scores 6dp cosine 1.0 (unique maximum), and
+    // survives the top-k prune — its rank-1 edge in the incremented
+    // graph is its original.
+    "q92f_knn_increment" ->
+      """SELECT vec_id AS query_id, vec_id AS hit_id
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+    // q93: entry-point assignment replays the build's pure function,
+    // so a copy's entry set CONTAINS its original at sim 1.0 — the
+    // argmax over visited nodes is the original regardless of how the
+    // greedy walk explores.
+    "q93_graph_walk" ->
+      """SELECT vec_id AS query_id, vec_id AS hit_id
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin
   )
 }

@@ -265,7 +265,7 @@ object KnnGraph {
     * they stop at maxIters before the fixpoint.
     */
   private[graft] def nnDescent(spark: SparkSession, emb: DataFrame, k: Int = 10,
-                               lists: Int = 16, maxIters: Int = 8,
+                               lists: Int = 0, maxIters: Int = 8,
                                sampleR: Int = 0, ringJ: Int = 10,
                                joinScoring: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -278,10 +278,16 @@ object KnnGraph {
     val lvl = StorageLevel.MEMORY_AND_DISK
     val e = emb.select(col("vec_id"), col("embedding")).persist(lvl)
     val n = e.count()
+    // lists defaults ADAPTIVE (r19): the q29b/buildDedup sizing law,
+    // nLists ≈ N/125, so init cells — and the in-cell pair loop —
+    // stay ~125 vectors no matter how the corpus grows (a fixed 16
+    // would make init pairing quadratic at 100×). Identical to the
+    // old fixed 16 at every certified SF (N ≤ 2000 there).
+    val nl = if (lists > 0) lists else math.max(16, (n / 125L).toInt)
     // ---- init candidates: cell co-members ∪ hashed ring
-    val cents = Vectors.refinedCentroids(e, lists, iters = 0)
+    val cents = Vectors.refinedCentroids(e, nl, iters = 0)
     val cells = Vectors.assignCells(e, cents, nProbe = 1,
-        nCoarse = Vectors.autoCoarse(lists))
+        nCoarse = Vectors.autoCoarse(nl))
       .select("vec_id", "cell")
     def cellCandJoin = cells.as("ca").join(cells.as("cb"), "cell")
       .where(col("ca.vec_id") =!= col("cb.vec_id"))
@@ -415,6 +421,46 @@ object KnnGraph {
       .orderBy("query_id")
   }
 
+  /** q92e: semantic clustering over the DESCENT graph — the
+    * composition a 100 TB deployment actually runs (q92c certifies
+    * the clustering against the EXACT graph, whose corpus-broadcast
+    * build is the correctness twin; this entry certifies the same
+    * mutual-kNN + connected-components pipeline consuming
+    * [[nnDescent]]'s output, which never forms an all-pairs or
+    * corpus-broadcast shape — PlanShapeSpec pins the absence of the
+    * knnOn join). Gate (q92b's argument, CC-composed): the corpus is
+    * embeddings plus a verbatim copy of every vec_id < nPlanted; a
+    * copy and its original share an IVF cell, meet at init at
+    * sim 1.0 — the unique per-node maximum (GateInvariants' vector
+    * check) — and survive every (sim DESC, dst ASC) top-k prune on
+    * BOTH sides, so copy↔original is a mutual rank-1 edge at
+    * 1.0 ≥ minSim in ANY graph the descent produces, and the two
+    * co-cluster by construction. Output (query_id, co_clustered);
+    * oracle = the planted SELECT with co_clustered TRUE.
+    */
+  def semanticClustersDescentGate(spark: SparkSession, dir: String, k: Int = 10,
+                                  minSim: Double = 0.4,
+                                  nPlanted: Int = graft.GateInvariants.plantedGateN,
+                                  idOffset: Long = 1000000L,
+                                  maxIters: Int = 2): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = base.union(
+      base.filter(col("vec_id") < nPlanted)
+        .select((col("vec_id") + idOffset).as("vec_id"), col("embedding")))
+    val edges = nnDescent(spark, corpus, k = k, maxIters = maxIters)
+    val mutual = edges.as("x").join(edges.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .where(col("x.src") < col("x.dst") && col("x.sim") >= minSim)
+      .select(col("x.src").as("a"), col("x.dst").as("b"))
+    val comp = DupGraph.connectedComponents(mutual)
+    val copies = comp.filter(col("id") >= idOffset)
+      .select((col("id") - idOffset).as("query_id"), col("rep").as("crep"))
+    val origs = comp.select(col("id").as("query_id"), col("rep").as("orep"))
+    copies.join(origs, "query_id")
+      .select(col("query_id"), (col("crep") === col("orep")).as("co_clustered"))
+      .orderBy("query_id")
+  }
+
   /** q92c: graph-based semantic clustering — mutual-kNN edges at
     * sim ≥ minSim over the exact graph, connected components, one
     * cluster row per participating node: (vec_id, cluster_rep,
@@ -441,5 +487,273 @@ object KnnGraph {
       .select(col("id").as("vec_id"), col("rep").as("cluster_rep"),
         col("cluster_size"), (col("id") === col("rep")).as("is_rep"))
       .orderBy("cluster_rep", "vec_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted graph index + query-time walk + incremental maintenance
+  // (r19) — the remaining two legs of the reference's HNSW surface
+  // (vector_store.py:105-168): the graph LIVES on storage (build once
+  // nightly, read many), queries WALK it greedily best-first, and new
+  // arrivals extend it without a rebuild.
+  // ------------------------------------------------------------------
+
+  /** Graph-index root for a corpus dir (VectorIndex's layout family):
+    *   <path>/edges/     — the converged descent graph (src, dst, sim)
+    *   <path>/cells/     — top-1 init assignments (vec_id, cell): the
+    *                       ENTRY-POINT structure; a query/delta replays
+    *                       the same pure-function assignment to find
+    *                       where it lands
+    *   <path>/centroids/ — (c_cell, cvec) so that replay never touches
+    *                       the corpus
+    * Same watermark freshness contract as the IVF indexes. At cluster
+    * scale the edges write gets a bucketing on src so walk expansions
+    * and increment merges co-locate per node.
+    */
+  def graphPath(spark: SparkSession, dir: String): String =
+    VectorIndex.defaultPath(spark, dir) + "_knn"
+
+  def graphParams(k: Int, lists: Int, maxIters: Int): String =
+    s"knngraph:k=$k,lists=$lists,iters=$maxIters,arith=d2"
+
+  def buildGraph(spark: SparkSession, dir: String, path: String, k: Int = 10,
+                 lists: Int = 0, maxIters: Int = 2): Unit = {
+    GraftFunctions.register(spark)
+    // snapshot BEFORE reading (VectorIndex.build's rule): a source
+    // overwritten mid-build leaves a stale watermark, never a fresh lie
+    val snapshot = VectorIndex.sourceSnapshot(spark, dir)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // the SAME derivations nnDescent's init runs — both are pure
+    // functions of (corpus, lists), so the persisted entry structure
+    // matches the graph's init cells exactly (incl. the adaptive
+    // lists sizing: lists = 0 means N/125, the family's scaling law)
+    val nl = if (lists > 0) lists
+      else math.max(16, (e.count() / 125L).toInt)
+    val cents = Vectors.refinedCentroids(e, nl, iters = 0)
+    val cells = Vectors.assignCells(e, cents, nProbe = 1,
+      nCoarse = Vectors.autoCoarse(nl)).select("vec_id", "cell")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    cells.write.mode("overwrite").parquet(s"$path/cells")
+    nnDescent(spark, e, k = k, lists = lists, maxIters = maxIters)
+      .write.mode("overwrite").parquet(s"$path/edges")
+    VectorIndex.writeWatermark(spark, path,
+      snapshot + "\nparams|" + graphParams(k, lists, maxIters))
+  }
+
+  /** Present + watermark-fresh + the edges component landed (the
+    * watermark is written last, so a crashed build always reads
+    * stale; the extra edges _SUCCESS check guards a hand-deleted
+    * component).
+    */
+  def graphFresh(spark: SparkSession, dir: String, path: String,
+                 k: Int = 10, lists: Int = 0, maxIters: Int = 2): Boolean =
+    VectorIndex.fresh(spark, dir, path, graphParams(k, lists, maxIters)) &&
+      VectorIndex.fsFor(spark, path)
+        .exists(new org.apache.hadoop.fs.Path(s"$path/edges/_SUCCESS"))
+
+  private def ensureGraph(spark: SparkSession, dir: String, path: String,
+                          k: Int = 10, lists: Int = 0, maxIters: Int = 2): Unit =
+    if (!graphFresh(spark, dir, path, k, lists, maxIters))
+      buildGraph(spark, dir, path, k, lists, maxIters)
+
+  /** Greedy best-first BEAM walk over a persisted graph for a bounded
+    * batch of queries — the query-time half of the reference's HNSW
+    * (vector_store.py:105-168), expressed as one iterative frontier
+    * join instead of a per-query pointer chase: every hop expands ALL
+    * queries' beams at once against the edge list. Entry points are
+    * the query's IVF-cell co-members (the persisted entry structure;
+    * assignment replays the build's pure function, so a query lands
+    * exactly where its vector would have been indexed). Per hop: the
+    * per-query top-`beam` of the newest scores joins the edge list,
+    * unseen neighbors score against the broadcast query set, and the
+    * walk stops when no query discovers a new node (or maxHops).
+    * Output: per-query top-k over everything VISITED, ranked by
+    * (6dp sim DESC, node ASC).
+    *
+    * Scale shape: queries are bounded by construction (a search
+    * batch / the day's arrivals) and broadcast everywhere; per hop
+    * the frontier is ≤ |Q|·beam rows, the expansion ≤ |Q|·beam·k
+    * slim id rows, and corpus embeddings are fetched by equi-join
+    * only for NEWLY visited nodes — the corpus never broadcasts and
+    * never re-shuffles whole.
+    */
+  private[graft] def graphWalkOn(spark: SparkSession, path: String, e: DataFrame,
+                                 queries: DataFrame, k: Int = 10, beam: Int = 8,
+                                 maxHops: Int = 3): DataFrame = {
+    GraftFunctions.register(spark)
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val cents = spark.read.parquet(s"$path/centroids")
+    val lists = cents.count().toInt
+    val cellsDf = spark.read.parquet(s"$path/cells")
+    val edges = spark.read.parquet(s"$path/edges")
+      .select(col("src"), col("dst")).persist(lvl)
+    val q = queries.select(col("q_id"), col("q_emb")).persist(lvl)
+    val qCells = Vectors.assignCells(
+        q.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+        cents, nProbe = 1, nCoarse = Vectors.autoCoarse(lists))
+      .select(col("vec_id").as("q_id"), col("cell"))
+    def score(nodes: DataFrame): DataFrame = nodes
+      .join(e.select(col("vec_id").as("node"), col("embedding")), "node")
+      .join(broadcast(q), "q_id")
+      .withColumn("sim", round(expr("cosine_sim(embedding, q_emb)"), 6))
+      .select("q_id", "node", "sim")
+    val entries = score(qCells.join(cellsDf, "cell")
+      .select(col("q_id"), col("vec_id").as("node")))
+    val stale = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var visited = entries.persist(lvl)
+    var latest = visited
+    var hop = 0
+    var grew = true
+    while (hop < maxHops && grew) {
+      val wb = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
+      val frontier = latest.withColumn("rk", row_number().over(wb))
+        .filter(col("rk") <= beam).select("q_id", "node")
+      val expand = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("q_id"), col("dst").as("node")).distinct()
+        .join(visited.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
+      val fresh = score(expand).persist(lvl)
+      grew = fresh.limit(1).count() > 0
+      if (grew) {
+        val nv = visited.union(fresh).persist(lvl)
+        nv.count() // materialize before releasing the parents
+        stale += visited; stale += fresh
+        visited = nv
+        latest = fresh
+      } else fresh.unpersist(false)
+      hop += 1
+    }
+    // final `visited` is materialized, so its parents (and the inputs)
+    // can release; the result itself hands off through the registry
+    // below so back-to-back walks don't accumulate caches
+    stale.foreach(_.unpersist(false))
+    edges.unpersist(false)
+    q.unpersist(false)
+    lastWalk.keySet.removeIf(_.sparkContext.isStopped)
+    Option(lastWalk.put(spark, visited)).foreach { prev =>
+      if (prev ne visited) prev.unpersist(false)
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
+    visited.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Last walk's visited cache per session (lastEdges' pattern). */
+  private val lastWalk =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  /** q93: graph-walk search under the planted gate — queries are
+    * verbatim copies of vec_id < nPlanted; each walks the PERSISTED
+    * graph (built over the base corpus only — reused, never rebuilt
+    * per query) and must report its original as rank-1. Why that is
+    * BY CONSTRUCTION (q92b's argument at query time): entry-point
+    * assignment is the same pure function of the vector the build
+    * used, so a copy's entry cell is its original's cell — the
+    * original is IN the entry set, scores 6dp cosine 1.0 (the unique
+    * per-node maximum, GateInvariants' vector check), and the final
+    * argmax over visited ⊇ entries is the original regardless of how
+    * the walk explores. Walk QUALITY on real queries (where the
+    * answer is not planted in the entry set) is KnnGraphSpec's
+    * recall-floor law vs q16's brute top-k, not an oracle — greedy
+    * graph search is approximate by nature.
+    */
+  def graphWalkGate(spark: SparkSession, dir: String, k: Int = 10, beam: Int = 8,
+                    maxHops: Int = 3,
+                    nPlanted: Int = graft.GateInvariants.plantedGateN,
+                    idOffset: Long = 1000000L): DataFrame = {
+    GraftFunctions.register(spark)
+    val path = graphPath(spark, dir)
+    ensureGraph(spark, dir, path)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < nPlanted)
+      .select((col("vec_id") + idOffset).as("q_id"), col("embedding").as("q_emb"))
+    graphWalkOn(spark, path, e, queries, k = k, beam = beam, maxHops = maxHops)
+      .filter(col("rk") === 1)
+      .select((col("q_id") - idOffset).as("query_id"), col("node").as("hit_id"))
+      .orderBy("query_id")
+  }
+
+  /** Incremental k-NN graph maintenance (the q64b/q67e build/delta
+    * split for the graph family): a delta batch joins the PERSISTED
+    * descent graph without a rebuild. Delta vectors replay the pure-
+    * function cell assignment, every TOUCHED cell's members (stored ∪
+    * delta) score in-group (the r19 kernel — arrays once per
+    * membership), and only pairs INVOLVING a delta node survive:
+    *   - delta nodes get a forward list = top-k of their scored pairs;
+    *   - affected base nodes (co-members of a delta) merge the new
+    *     delta edges into their stored lists and re-prune — the
+    *     "affected reverse lists";
+    *   - every other node's edges pass through BYTE-UNTOUCHED (they
+    *     are never read per-row, just anti-joined on src).
+    * Work is bounded by |delta| · cell size, never corpus size.
+    * Commutation (KnnGraphSpec): with one shared cell the init graph
+    * is the exact brute top-k, and increment-then-prune provably
+    * equals the full rebuild — for a base node, any full-corpus top-k
+    * neighbor is either a delta (scored here) or a base node already
+    * on its stored list; for a delta node every corpus member is a
+    * co-member. The spec pins that equality frame-for-frame.
+    */
+  private[graft] def knnGraphIncrementOn(spark: SparkSession, path: String,
+                                         e: DataFrame, delta: DataFrame,
+                                         k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val lists = cents.count().toInt
+    val cellsDf = spark.read.parquet(s"$path/cells")
+    val edges = spark.read.parquet(s"$path/edges")
+    val d = delta.select(col("vec_id"), col("embedding"))
+    val dCells = Vectors.assignCells(d, cents, nProbe = 1,
+      nCoarse = Vectors.autoCoarse(lists)).select("vec_id", "cell")
+    val touched = dCells.select("cell").distinct()
+    val members = cellsDf.join(touched, "cell").select("vec_id", "cell")
+      .union(dCells.select("vec_id", "cell"))
+    val all = e.select("vec_id", "embedding").union(d)
+    val scored = scoreWithinGroups(spark,
+      members.join(all, "vec_id")
+        .select(col("cell").cast("long").as("g"), col("vec_id").as("u"),
+          col("embedding").as("emb")))
+    // keep only pairs with a delta endpoint: base-base pairs in a
+    // touched cell are NOT new information (the stored graph already
+    // chose among them)
+    val dIds = dCells.select(col("vec_id")).distinct()
+    val newPairs = scored
+      .join(dIds.select(col("vec_id").as("a"), lit(true).as("da")), Seq("a"), "left")
+      .join(dIds.select(col("vec_id").as("b"), lit(true).as("db")), Seq("b"), "left")
+      .where(coalesce(col("da"), lit(false)) || coalesce(col("db"), lit(false)))
+      .select("a", "b", "sim")
+    val newDirected = newPairs.select(col("a").as("src"), col("b").as("dst"), col("sim"))
+      .union(newPairs.select(col("b").as("src"), col("a").as("dst"), col("sim")))
+    val deltaLists = prune(
+      newDirected.join(dIds.select(col("vec_id").as("src")), "src"), k)
+    val affBase = newDirected
+      .join(dIds.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+    val affSrcs = affBase.select("src").distinct()
+    val merged = prune(edges.join(affSrcs, "src").union(affBase), k)
+    val untouchedEdges = edges.join(affSrcs, Seq("src"), "left_anti")
+    untouchedEdges.union(merged).union(deltaLists)
+  }
+
+  /** q92f: incremental maintenance under the planted gate — the delta
+    * is a verbatim copy of every vec_id < nPlanted; each copy lands
+    * in its original's cell (pure-function assignment), scores
+    * 6dp cosine 1.0 against it (the unique maximum — GateInvariants'
+    * vector check), and survives the top-k prune, so the copy's
+    * rank-1 edge in the INCREMENTED graph is its original and the
+    * oracle is the planted SELECT. The persisted base graph is built
+    * once and never rewritten (byte-untouched law in KnnGraphSpec).
+    */
+  def knnIncrementGate(spark: SparkSession, dir: String, k: Int = 10,
+                       nPlanted: Int = graft.GateInvariants.plantedGateN,
+                       idOffset: Long = 1000000L): DataFrame = {
+    GraftFunctions.register(spark)
+    val path = graphPath(spark, dir)
+    ensureGraph(spark, dir, path)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val delta = e.filter(col("vec_id") < nPlanted)
+      .select((col("vec_id") + idOffset).as("vec_id"), col("embedding"))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    knnGraphIncrementOn(spark, path, e, delta, k)
+      .filter(col("src") >= idOffset)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select((col("src") - idOffset).as("query_id"), col("dst").as("hit_id"))
+      .orderBy("query_id")
   }
 }

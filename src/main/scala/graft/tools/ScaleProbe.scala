@@ -63,7 +63,11 @@ object ScaleProbe {
     // two-decade (100x) slope rows (VERDICT r17 item 3) and the
     // composed-pipeline belt rows at +20k verbatim copies (item 4).
     val only18 = args.contains("r18")
-    if (!only15 && !only16 && !only17 && !only18) Seq(src, dst).foreach { d =>
+    // `r19` arg: run only the r19 additions — the q92 k-NN-graph
+    // family's two-decade slope rows (VERDICT r18 item 1) on the
+    // in-group scoring rewrite + adaptive lists.
+    val only19 = args.contains("r19")
+    if (!only15 && !only16 && !only17 && !only18 && !only19) Seq(src, dst).foreach { d =>
       time("q01 sessionize ", d)(Sessions.temporalSessions(spark, _))
       time("q01b chunked   ", d)(Sessions.sessionizedChunked(spark, _))
       time("q26 ngram dedup", d)(Dedup.dedupNgram(spark, _))
@@ -119,7 +123,7 @@ object ScaleProbe {
     // the bands (same total nBits budget family) restores bounded
     // buckets, exactly like growing nLists for IVF cells. Measure
     // the cliff and the remedy at 10x.
-    if (!only15 && !only16 && !only17 && !only18) {
+    if (!only15 && !only16 && !only17 && !only18 && !only19) {
       time("q44 4x8bit     ", src)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x8bit     ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x12bit    ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _, nBits = 48, bands = 4))
@@ -139,7 +143,7 @@ object ScaleProbe {
     // q19's IVF ANN (the r14 replay-graduated Spark side): probe cost
     // is bounded by nQueries·nProbe cells, so 10× corpus with
     // nLists ∝ N must stay ~flat after the assignment pass.
-    if (!only16 && !only17 && !only18) Seq(src, dst).foreach { d =>
+    if (!only16 && !only17 && !only18 && !only19) Seq(src, dst).foreach { d =>
       time("q34b grid decode", d)(Multimodal.mediaDecodeFeatures(spark, _))
       time("q34d media joinQ", d)(Multimodal.mediaQualityJoin(spark, _))
       time("q19 ivf ann     ", d)(Vectors.annIvf(spark, _))
@@ -158,7 +162,7 @@ object ScaleProbe {
           w => concat(w, col("copy").cast("string"))), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$dst100/documents.parquet")
-    if (!only16 && !only17 && !only18) Seq(src, dst, dst100).foreach { d =>
+    if (!only16 && !only17 && !only18 && !only19) Seq(src, dst, dst100).foreach { d =>
       time("q25 exact dedup", d)(Dedup.dedupExact(spark, _))
       time("q27b minhash pl", d)(Dedup.dedupMinHashPlanted(spark, _))
       time("q40 allpairs   ", d)(Dedup.dedupAllPairs(spark, _))
@@ -215,8 +219,47 @@ object ScaleProbe {
       }
     }
 
+    // ---- r19 additions (VERDICT r18 items 1, 3, 4, 7) ----
+    // The q92 k-NN-graph family's two-decade slopes, on the in-group
+    // scoring rewrite (arrays once per membership) + adaptive lists
+    // (N/125 — cells stay ~125 vectors as the corpus grows). q92
+    // exact is the quadratic-by-design correctness twin (q40's
+    // treatment): measured to 10× only, never the scale path.
+    // q92b/q92e are timed as ONE pass — a descent is a multi-minute
+    // job at 100× and the slope is the claim, not a steady-state
+    // microbenchmark. q93/q92f use time()'s warm+timed split: the
+    // warm pass builds the shared persisted graph (the nightly
+    // build; identical params ⇒ one build serves both), so the timed
+    // pass is the bounded steady-state probe (beam walk / delta
+    // merge) — those must stay ~FLAT across the decades.
+    if (only19) {
+      import graft.operators.KnnGraph
+      emb.crossJoin(copies100)
+        .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x + col("copy").cast("float") * lit(0.01f)).cast("array<float>").as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$dst100/embeddings.parquet")
+      def once(name: String, d: String)(f: String => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        f(d).write.format("noop").mode("overwrite").save()
+        println(f"$name @ $d: ${(System.nanoTime() - t0) / 1e9}%.2fs (one pass)")
+      }
+      time("q92 exact twin ", src)(KnnGraph.knnGraphExact(spark, _))
+      time("q92 exact twin ", dst)(KnnGraph.knnGraphExact(spark, _))
+      // idOffset 1e9: the synthetic copies live at copy·1e6, so the
+      // default planted offset (1e6) would collide with copy 1's ids
+      val off = 1000000000L
+      Seq(src, dst, dst100).foreach { d =>
+        once("q92b descent   ", d)(KnnGraph.nnDescentGate(spark, _, idOffset = off))
+        once("q92e clusters  ", d)(KnnGraph.semanticClustersDescentGate(spark, _, idOffset = off))
+        time("q93 walk       ", d)(KnnGraph.graphWalkGate(spark, _, idOffset = off))
+        time("q92f increment ", d)(KnnGraph.knnIncrementGate(spark, _, idOffset = off))
+      }
+    }
+
     // ---- r16 additions (VERDICT r15 items 1 & 4) ----
-    if (!only15 && !only18) {
+    if (!only15 && !only18 && !only19) {
       // (1) Two-decade slope for the graph/funnel spine: CC round
       // count grows with component DIAMETER, which copy-scaling holds
       // constant while component COUNT grows 100x -- the claim these

@@ -119,6 +119,77 @@ class KnnGraphSpec extends AnyFunSuite {
       s"got ${out.toSeq}")
   }
 
+  test("q92f commutation: with one shared cell, increment equals the full rebuild exactly") {
+    // one cell makes the stored graph the exact brute top-k, and
+    // increment-then-prune provably equals building over base ∪ delta
+    // (see knnGraphIncrementOn's scaladoc) — pinned frame-for-frame
+    val fake = "/fake/knn_incr_commute"
+    val all = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val base = all.filter(col("vec_id") < 60)
+    val delta = all.filter(col("vec_id") >= 60 && col("vec_id") < 70)
+    Tables.registerOverride(spark, fake, "embeddings", base)
+    val path = java.nio.file.Files.createTempDirectory("graft_knn_commute_")
+      .toAbsolutePath.toString
+    operators.KnnGraph.buildGraph(spark, fake, path, k = k, lists = 1, maxIters = 0)
+    val inc = operators.KnnGraph.knnGraphIncrementOn(spark, path, base, delta, k)
+    val full = operators.KnnGraph.nnDescent(spark, base.union(delta), k = k,
+      lists = 1, maxIters = 0)
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0,
+      "delta-then-merge must equal the full rebuild when init is exact")
+  }
+
+  test("q92f: untouched nodes pass through byte-identical; persisted graph never rewritten") {
+    val fake = "/fake/knn_incr_untouched"
+    val all = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val base = all.filter(col("vec_id") < 200)
+    // a delta of verbatim copies — lands in exactly the originals' cells
+    val delta = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Tables.registerOverride(spark, fake, "embeddings", base)
+    val path = java.nio.file.Files.createTempDirectory("graft_knn_untouched_")
+      .toAbsolutePath.toString
+    operators.KnnGraph.buildGraph(spark, fake, path, k = k, lists = 8, maxIters = 1)
+    val before = spark.read.parquet(s"$path/edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val updated = operators.KnnGraph.knnGraphIncrementOn(spark, path, base, delta, k)
+    val upBase = updated.filter(col("src") < 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (s, es) => s -> es.toSet }
+    val storedBy = before.groupBy(_._1).map { case (s, es) => s -> es.toSet }
+    // a base node's list changes ONLY by admitting a delta neighbor
+    upBase.foreach { case (s, es) =>
+      if (es != storedBy(s))
+        assert(es.exists(_._2 >= 1000000L),
+          s"src $s changed without admitting a delta edge")
+    }
+    // the increment is read-only: the persisted edges are byte-untouched
+    val after = spark.read.parquet(s"$path/edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(after == before, "knnGraphIncrementOn must never rewrite the stored graph")
+  }
+
+  test("q93: walk recall@10 vs brute top-k clears the floor for real (non-planted) queries") {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val path = operators.KnnGraph.graphPath(spark, dir)
+    if (!operators.KnnGraph.graphFresh(spark, dir, path))
+      operators.KnnGraph.buildGraph(spark, dir, path)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val walked = operators.KnnGraph.graphWalkOn(spark, path, e, queries)
+      .filter(col("node") =!= col("q_id")) // corpus-member queries see themselves
+      .filter(col("rk") <= k + 1)          // self occupied one rank
+      .select("q_id", "node").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = operators.KnnGraph.knnOn(e, k)
+      .filter(col("vec_id") < 5)
+      .select("vec_id", "nb_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val recall = brute.count(walked.contains).toDouble / brute.length
+    // greedy beam walk over an approximate graph on a NEAR-RANDOM
+    // corpus — the hard case (no cluster structure to ride); floor
+    // set with margin below the measured value so a drop means the
+    // walk machinery broke, not that the corpus got unlucky
+    assert(recall >= 0.5, f"walk recall@10 $recall%.4f < 0.5 floor")
+  }
+
   test("q92c: clusters have >=2 members, exactly one rep per cluster, rep = min id") {
     val c = operators.KnnGraph.semanticClusters(spark, dir).cache()
     assert(c.filter(col("cluster_size") < 2).count() == 0, "singletons are omitted")

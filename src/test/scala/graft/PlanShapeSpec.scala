@@ -240,6 +240,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "rank-1 must come from groupBy(max(struct)), not a window")
   }
 
+  test("q92e never broadcasts the corpus: no exact-graph (knnOn) join shape in the plan") {
+    // q92c's certified path consumes knnOn — an Inner
+    // BroadcastNestedLoopJoin whose broadcast side is the CORPUS
+    // (legitimate for the correctness twin, fatal at 100 TB). q92e is
+    // the deployment composition: the descent graph feeds the
+    // clustering, and the only nested-loop broadcasts allowed are the
+    // bounded-centroid CROSS joins of cell assignment (16 rows). An
+    // Inner-typed BNLJ is exactly knnOn's non-equi corpus join — its
+    // absence is the "no corpus broadcast" claim, structurally.
+    val df = operators.KnnGraph.semanticClustersDescentGate(spark, dir)
+    val p = plan(df)
+    val badLines = p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && l.contains("Inner")).toSeq
+    assert(badLines.isEmpty,
+      s"corpus-broadcast non-equi join in the descent clustering plan:\n${badLines.mkString("\n")}")
+  }
+
   test("q92 exact graph: broadcast corpus side, one per-node window shuffle + output sort") {
     // the exact graph is the correctness twin (the scale path is
     // nnDescent) — but even the twin should scan the corpus ONCE
