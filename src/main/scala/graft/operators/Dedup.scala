@@ -43,6 +43,25 @@ object Dedup {
     */
   val ComposedMaxBlock: Int = 1000
 
+  /** Per-session accumulator counting blocks whose size exceeded
+    * maxBlock in the most recent dedupNgramPairs plan (ADVICE r18):
+    * the star belt is output-equivalent ONLY for verbatim cliques —
+    * on an oversized non-clique block it drops member–member pairs by
+    * design — so when the approximation actually engages, the fact
+    * must be observable instead of silent. Re-created per
+    * dedupNgramPairs call (last call wins); read it AFTER an action
+    * on the returned frame, like any accumulator.
+    */
+  private val lastOversized =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, org.apache.spark.util.LongAccumulator]()
+
+  /** Blocks that exceeded maxBlock in the last executed
+    * dedupNgramPairs action on this session (0 when the belt never
+    * engaged — the invariant every oracle run asserts implicitly).
+    */
+  def oversizedBlockCount(spark: SparkSession): Long =
+    Option(lastOversized.get(spark)).map(a => a.value: Long).getOrElse(0L)
+
   private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame =
     docShinglesOn(spark, Tables.documents(spark, dir))
 
@@ -137,6 +156,9 @@ object Dedup {
                                      maxBlock: Int = Int.MaxValue): DataFrame = {
     require(maxBlock >= 2, s"maxBlock must be >= 2: $maxBlock")
     import spark.implicits._
+    val oversized = spark.sparkContext.longAccumulator("graft.dedup.oversizedBlocks")
+    lastOversized.keySet.removeIf(_.sparkContext.isStopped)
+    lastOversized.put(spark, oversized)
     // Each doc's shingle array shuffles ONCE to its block and all
     // candidate pairs form in-memory per block — a self-join instead
     // duplicates every array into every candidate pair row (observed
@@ -184,10 +206,13 @@ object Dedup {
             }
           }
         }
-        if (docs.length > maxBlock)
+        if (docs.length > maxBlock) {
           // degenerate-block star (see maxBlock doc): linear
-          // anchor-vs-member verification, never the Θ(C²) listing
+          // anchor-vs-member verification, never the Θ(C²) listing —
+          // counted so the engaged approximation is never silent
+          oversized.add(1)
           docs.iterator.drop(1).flatMap(b => verified(docs(0), b))
+        }
         else
           for {
             i <- docs.indices.iterator

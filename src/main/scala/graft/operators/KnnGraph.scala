@@ -55,9 +55,11 @@ import org.apache.spark.storage.StorageLevel
   *     density-robust clustering over a neighbor graph (hubs fail the
   *     mutuality test, so chains through hub nodes don't percolate).
   *     Certified over the exact graph (SQL-replayable end to end,
-  *     q53's recursive-CTE oracle pattern); at scale the SAME
-  *     clustering consumes nnDescent's graph — CC doesn't care who
-  *     built the edge list.
+  *     q53's recursive-CTE oracle pattern); the scale composition —
+  *     the SAME clustering consuming nnDescent's graph — is its own
+  *     certified entry since r19 (q92e `semanticClustersDescentGate`,
+  *     planted-copy oracle), so neither leg is vouched for by the
+  *     other.
   *
   * Scale design (100 TB): NN-descent never forms an all-pairs shape.
   * Per node, candidates are bounded by construction — |B(v)| ≤ k +

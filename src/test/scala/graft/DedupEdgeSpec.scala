@@ -112,6 +112,37 @@ class DedupEdgeSpec extends AnyFunSuite {
       "the star must reproduce the uncapped components exactly")
   }
 
+  test("ngram maxBlock on a NON-clique block: divergence is by design and is COUNTED") {
+    import spark.implicits._
+    // an oversized block that is NOT one verbatim clique: all six
+    // docs share the min shingle ("aaa …" sorts first), docs 2 and 3
+    // are near-dups of EACH OTHER but not of the anchor — the star
+    // checks anchor-vs-member only, so (2,3) is dropped BY DESIGN
+    // (ADVICE r18: the intended approximation, documented and now
+    // observable via the oversizedBlockCount accumulator instead of
+    // silent)
+    def shOf(extra: String*) = ("aaa aaa" +: extra).toArray.sorted
+    val sh = Seq(
+      (0L, shOf("p1 q1", "p2 q2", "p3 q3")),
+      (1L, shOf("r1 s1", "r2 s2", "r3 s3")),
+      (2L, shOf("zz1 zz2", "zz2 zz3", "zz3 zz4")),
+      (3L, shOf("zz1 zz2", "zz2 zz3", "zz9 zz9")),
+      (4L, shOf("t1 u1", "t2 u2", "t3 u3")),
+      (5L, shOf("v1 w1", "v2 w2", "v3 w3"))
+    ).toDF("doc_id", "sh")
+    val full = operators.Dedup.dedupNgramPairs(spark, sh, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(operators.Dedup.oversizedBlockCount(spark) == 0,
+      "uncapped run must report zero oversized blocks")
+    assert(full == Set((2L, 3L)), s"full listing finds the member-member pair: $full")
+    val belted = operators.Dedup.dedupNgramPairs(spark, sh, 0.5, maxBlock = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(belted.isEmpty,
+      s"the anchor star drops the (2,3) member-member pair by design: $belted")
+    assert(operators.Dedup.oversizedBlockCount(spark) == 1,
+      "the engaged belt must be visible: exactly one oversized block")
+  }
+
   test("simhash dedup survives degenerate docs") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
