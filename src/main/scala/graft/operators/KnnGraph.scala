@@ -230,17 +230,35 @@ object KnnGraph {
     }.toDF("src", "dst", "sim").dropDuplicates("src", "dst")
   }
 
-  /** Top-k prune of an ALREADY-SCORED edge frame (sim is a pure
-    * function of the pair, so duplicate (src, dst) rows are identical
-    * and the dedupe is deterministic).
+  /** Top-k prune of an ALREADY-SCORED edge frame — ONE exchange
+    * (r19): group by src and keep the k best (sim DESC, dst ASC)
+    * inside the group with a bounded TreeSet, instead of the
+    * dropDuplicates + window spelling (TWO full exchanges of the
+    * pair frame per descent round — the r19 100× probe filled the
+    * probe host's disk on exactly that retention). Duplicate
+    * (src, dst) rows carry identical sims (sim is a pure function of
+    * the pair), so they collapse as identical TreeSet keys — the
+    * dedupe is deterministic and O(k) memory per group, skew-proof
+    * where a window sort of a hub node's partition would spill.
     */
   private def prune(edges: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
-    edges.dropDuplicates("src", "dst")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("src", "dst", "sim")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src"), col("dst"), col("sim")).as[PruneEdge]
+      .groupByKey(_.src)
+      .flatMapGroups { (s, it) =>
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+        val ts = scala.collection.mutable.TreeSet.empty[(Double, Long)](ord)
+        it.foreach { e =>
+          ts += ((e.sim, e.dst))
+          if (ts.size > k) ts -= ts.last
+        }
+        ts.iterator.map { case (sim, dst) => (s, dst, sim) }
+      }
+      .toDF("src", "dst", "sim")
   }
+
+  private[operators] case class PruneEdge(src: Long, dst: Long, sim: Double)
 
   /** NN-descent over an arbitrary (vec_id, embedding) frame → the
     * directed approximate k-NN edge frame (src, dst, sim).
@@ -599,10 +617,17 @@ object KnnGraph {
       .withColumn("sim", round(expr("cosine_sim(embedding, q_emb)"), 6))
       .select("q_id", "node", "sim")
     val entries = score(qCells.join(cellsDf, "cell")
-      .select(col("q_id"), col("vec_id").as("node")))
-    val stale = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var visited = entries.persist(lvl)
-    var latest = visited
+      .select(col("q_id"), col("vec_id").as("node"))).persist(lvl)
+    // ONE job per hop (r19 tuning): each hop's new scores cache fully
+    // via count() — the count IS the growth check — and `visited`
+    // stays a lazy union over the ≤ maxHops+1 cached hop frames
+    // instead of a re-persisted frame per hop (the earlier limit(1)
+    // probe materialized the cache only partially, so the expand
+    // chain ran twice per hop, and each hop serialized two jobs —
+    // measured 24s for a 20-query walk; this shape is ~4 jobs total).
+    val hops = scala.collection.mutable.ArrayBuffer[DataFrame](entries)
+    var visited = entries
+    var latest = entries
     var hop = 0
     var grew = true
     while (hop < maxHops && grew) {
@@ -613,33 +638,30 @@ object KnnGraph {
         .select(col("q_id"), col("dst").as("node")).distinct()
         .join(visited.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
       val fresh = score(expand).persist(lvl)
-      grew = fresh.limit(1).count() > 0
+      grew = fresh.count() > 0
       if (grew) {
-        val nv = visited.union(fresh).persist(lvl)
-        nv.count() // materialize before releasing the parents
-        stale += visited; stale += fresh
-        visited = nv
+        hops += fresh
+        visited = visited.union(fresh)
         latest = fresh
       } else fresh.unpersist(false)
       hop += 1
     }
-    // final `visited` is materialized, so its parents (and the inputs)
-    // can release; the result itself hands off through the registry
-    // below so back-to-back walks don't accumulate caches
-    stale.foreach(_.unpersist(false))
+    // the returned plan scans the hop caches, so they hand off
+    // through the registry: the NEXT walk on this session releases
+    // them (back-to-back walks never accumulate)
     edges.unpersist(false)
     q.unpersist(false)
     lastWalk.keySet.removeIf(_.sparkContext.isStopped)
-    Option(lastWalk.put(spark, visited)).foreach { prev =>
-      if (prev ne visited) prev.unpersist(false)
+    Option(lastWalk.put(spark, hops.toSeq)).foreach { prev =>
+      prev.foreach(p => if (!hops.exists(_ eq p)) p.unpersist(false))
     }
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
     visited.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
-  /** Last walk's visited cache per session (lastEdges' pattern). */
+  /** Last walk's hop caches per session (lastEdges' pattern). */
   private val lastWalk =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Seq[DataFrame]]()
 
   /** q93: graph-walk search under the planted gate — queries are
     * verbatim copies of vec_id < nPlanted; each walks the PERSISTED

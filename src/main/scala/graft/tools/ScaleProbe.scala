@@ -16,6 +16,14 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // aggressive periodic driver GC so the ContextCleaner retires
+      // finished rounds' shuffle files promptly: the iterative 100×
+      // probes (descent rounds, CC rounds) each shuffle tens of GB,
+      // and with the default 30min interval the files of ALREADY
+      // LINEAGE-CUT rounds accumulated until the probe host's disk
+      // filled (r19). Probe-host hygiene only — on a cluster the
+      // external shuffle service owns this lifecycle.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
@@ -245,8 +253,12 @@ object ScaleProbe {
         f(d).write.format("noop").mode("overwrite").save()
         println(f"$name @ $d: ${(System.nanoTime() - t0) / 1e9}%.2fs (one pass)")
       }
-      time("q92 exact twin ", src)(KnnGraph.knnGraphExact(spark, _))
-      time("q92 exact twin ", dst)(KnnGraph.knnGraphExact(spark, _))
+      // `noexact`: skip the quadratic twin rows on a re-run (20 min of
+      // wall whose numbers are already recorded)
+      if (!args.contains("noexact")) {
+        time("q92 exact twin ", src)(KnnGraph.knnGraphExact(spark, _))
+        time("q92 exact twin ", dst)(KnnGraph.knnGraphExact(spark, _))
+      }
       // idOffset 1e9: the synthetic copies live at copy·1e6, so the
       // default planted offset (1e6) would collide with copy 1's ids
       val off = 1000000000L
