@@ -427,13 +427,13 @@ object KnnGraph {
   def nnDescentGate(spark: SparkSession, dir: String, k: Int = 10,
                     nPlanted: Int = graft.GateInvariants.plantedGateN,
                     idOffset: Long = 1000000L,
-                    maxIters: Int = 2): DataFrame = {
+                    maxIters: Int = 2, sampleR: Int = 0): DataFrame = {
     val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val corpus = base.union(
       base.filter(col("vec_id") < nPlanted)
         .select((col("vec_id") + idOffset).as("vec_id"), col("embedding")))
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
-    nnDescent(spark, corpus, k = k, maxIters = maxIters)
+    nnDescent(spark, corpus, k = k, maxIters = maxIters, sampleR = sampleR)
       .filter(col("src") >= idOffset)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)

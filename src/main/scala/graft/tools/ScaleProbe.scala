@@ -75,7 +75,8 @@ object ScaleProbe {
     // family's two-decade slope rows (VERDICT r18 item 1) on the
     // in-group scoring rewrite + adaptive lists.
     val only19 = args.contains("r19")
-    if (!only15 && !only16 && !only17 && !only18 && !only19) Seq(src, dst).foreach { d =>
+    val only19c = args.contains("r19c")
+    if (!only15 && !only16 && !only17 && !only18 && !only19 && !only19c) Seq(src, dst).foreach { d =>
       time("q01 sessionize ", d)(Sessions.temporalSessions(spark, _))
       time("q01b chunked   ", d)(Sessions.sessionizedChunked(spark, _))
       time("q26 ngram dedup", d)(Dedup.dedupNgram(spark, _))
@@ -131,7 +132,7 @@ object ScaleProbe {
     // the bands (same total nBits budget family) restores bounded
     // buckets, exactly like growing nLists for IVF cells. Measure
     // the cliff and the remedy at 10x.
-    if (!only15 && !only16 && !only17 && !only18 && !only19) {
+    if (!only15 && !only16 && !only17 && !only18 && !only19 && !only19c) {
       time("q44 4x8bit     ", src)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x8bit     ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x12bit    ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _, nBits = 48, bands = 4))
@@ -151,7 +152,7 @@ object ScaleProbe {
     // q19's IVF ANN (the r14 replay-graduated Spark side): probe cost
     // is bounded by nQueries·nProbe cells, so 10× corpus with
     // nLists ∝ N must stay ~flat after the assignment pass.
-    if (!only16 && !only17 && !only18 && !only19) Seq(src, dst).foreach { d =>
+    if (!only16 && !only17 && !only18 && !only19 && !only19c) Seq(src, dst).foreach { d =>
       time("q34b grid decode", d)(Multimodal.mediaDecodeFeatures(spark, _))
       time("q34d media joinQ", d)(Multimodal.mediaQualityJoin(spark, _))
       time("q19 ivf ann     ", d)(Vectors.annIvf(spark, _))
@@ -170,7 +171,7 @@ object ScaleProbe {
           w => concat(w, col("copy").cast("string"))), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$dst100/documents.parquet")
-    if (!only16 && !only17 && !only18 && !only19) Seq(src, dst, dst100).foreach { d =>
+    if (!only16 && !only17 && !only18 && !only19 && !only19c) Seq(src, dst, dst100).foreach { d =>
       time("q25 exact dedup", d)(Dedup.dedupExact(spark, _))
       time("q27b minhash pl", d)(Dedup.dedupMinHashPlanted(spark, _))
       time("q40 allpairs   ", d)(Dedup.dedupAllPairs(spark, _))
@@ -270,8 +271,31 @@ object ScaleProbe {
       }
     }
 
+    // `r19c`: the two-decade descent row at a DISK-FEASIBLE candidate
+    // budget. At the operator defaults (sampleR = 2k = 20) one
+    // iteration's scored-candidate rows are ~1.4B at the 100× corpus
+    // — ~60 GB through the single prune exchange, beyond this probe
+    // host's scratch (trivial across a cluster's executor disks; the
+    // single-host probe is the artificial bound — see §4 r19).
+    // sampleR = 10 halves B(v) and quarters the pair volume, keeping
+    // the PER-NODE budget a constant while the DATA scales 1×/10×/
+    // 100× — which is exactly the slope claim under test.
+    if (only19c) {
+      import graft.operators.KnnGraph
+      val off = 1000000000L
+      def once19(name: String, d: String)(f: String => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        f(d).write.format("noop").mode("overwrite").save()
+        println(f"$name @ $d: ${(System.nanoTime() - t0) / 1e9}%.2fs (one pass)")
+      }
+      Seq(src, dst, dst100).foreach { d =>
+        once19("q92b descent sR10", d)(
+          KnnGraph.nnDescentGate(spark, _, idOffset = off, sampleR = 10))
+      }
+    }
+
     // ---- r16 additions (VERDICT r15 items 1 & 4) ----
-    if (!only15 && !only18 && !only19) {
+    if (!only15 && !only18 && !only19 && !only19c) {
       // (1) Two-decade slope for the graph/funnel spine: CC round
       // count grows with component DIAMETER, which copy-scaling holds
       // constant while component COUNT grows 100x -- the claim these
