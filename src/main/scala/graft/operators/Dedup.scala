@@ -58,6 +58,15 @@ object Dedup {
   /** Blocks that exceeded maxBlock in the last executed
     * dedupNgramPairs action on this session (0 when the belt never
     * engaged — the invariant every oracle run asserts implicitly).
+    *
+    * Read this as ENGAGED (> 0) vs NOT ENGAGED (== 0), never as an
+    * exact block count (ADVICE r19): the accumulator updates inside a
+    * transformation, so task retries, speculative execution, or a
+    * second action on the same frame can double-count — Spark only
+    * guarantees exactly-once accumulation inside actions. The ==0
+    * reading is reliable (no retry can manufacture an update that
+    * never happened); any >0 reading means the belt really engaged at
+    * least once.
     */
   def oversizedBlockCount(spark: SparkSession): Long =
     Option(lastOversized.get(spark)).map(a => a.value: Long).getOrElse(0L)

@@ -206,6 +206,28 @@ object KnnGraph {
     }.toDF("a", "b", "sim").dropDuplicates("a", "b")
   }
 
+  /** The flagged in-group scorer (r20 — the WWW'11 paper's new-flag
+    * incremental step): membership rows carry whether the edge that
+    * put them in B(v) is NEW (entered the lists in the latest prune),
+    * and only pairs with ≥ 1 new endpoint are scored. Old×old pairs
+    * are skipped: both entries co-existed in this same list when the
+    * later one was new, so the pair was generated then (or lost to
+    * a reverse-sample draw — the paper's accepted approximation).
+    * Same JVM kernel, same bit-for-bit CosineSimilarity replay.
+    */
+  private def scoreWithinGroupsFlagged(spark: SparkSession, memb: DataFrame): DataFrame = {
+    import spark.implicits._
+    memb.as[GroupVecN].groupByKey(_.g).flatMapGroups { (_, it) =>
+      val vs = it.toArray.sortBy(_.u)
+      for {
+        i <- vs.indices.iterator
+        j <- (i + 1 until vs.length).iterator
+        if vs(i).u != vs(j).u && (vs(i).nw || vs(j).nw)
+      } yield (vs(i).u, vs(j).u,
+        Dedup.roundHalfUp6(Dedup.cosineSimJvm(vs(i).emb, vs(j).emb)))
+    }.toDF("a", "b", "sim").dropDuplicates("a", "b")
+  }
+
   /** Score DIRECTED (src, dst) candidates in-group: the dst embedding
     * rides its candidate row (one array per pair), the src embedding
     * rides ONE self row per distinct src, and the cosine happens
@@ -235,11 +257,16 @@ object KnnGraph {
     * inside the group with a bounded TreeSet, instead of the
     * dropDuplicates + window spelling (TWO full exchanges of the
     * pair frame per descent round — the r19 100× probe filled the
-    * probe host's disk on exactly that retention). Duplicate
-    * (src, dst) rows carry identical sims (sim is a pure function of
-    * the pair), so they collapse as identical TreeSet keys — the
-    * dedupe is deterministic and O(k) memory per group, skew-proof
-    * where a window sort of a hub node's partition would spill.
+    * probe host's disk on exactly that retention). Within one build,
+    * duplicate (src, dst) rows carry identical sims (sim is a pure
+    * function of the pair) and collapse as identical TreeSet keys;
+    * the per-dst best map (r20, ADVICE r19) additionally dedupes
+    * rows whose sims DISAGREE — e.g. a persisted edge scored by an
+    * older kernel meeting its freshly-scored twin in an increment —
+    * keeping the better sim, so no dst can occupy two slots. Still
+    * deterministic and O(k) memory per group (the map only ever
+    * holds the ≤ k+1 current members), skew-proof where a window
+    * sort of a hub node's partition would spill.
     */
   private def prune(edges: DataFrame, k: Int): DataFrame = {
     val spark = edges.sparkSession
@@ -249,9 +276,21 @@ object KnnGraph {
       .flatMapGroups { (s, it) =>
         val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
         val ts = scala.collection.mutable.TreeSet.empty[(Double, Long)](ord)
+        val best = scala.collection.mutable.HashMap.empty[Long, Double]
         it.foreach { e =>
-          ts += ((e.sim, e.dst))
-          if (ts.size > k) ts -= ts.last
+          best.get(e.dst) match {
+            case Some(b) if ord.compare((b, e.dst), (e.sim, e.dst)) <= 0 => // kept entry wins
+            case prev =>
+              prev.foreach(b => ts -= ((b, e.dst)))
+              ts += ((e.sim, e.dst))
+              best(e.dst) = e.sim
+              if (ts.size > k) {
+                val worst = ts.last
+                ts -= worst
+                best -= worst._2
+              }
+          }
+          ()
         }
         ts.iterator.map { case (sim, dst) => (s, dst, sim) }
       }
@@ -273,16 +312,22 @@ object KnnGraph {
     *
     * Iteration: B(v) = forward list ∪ reverse list hash-sampled to
     * `sampleR` (the paper's ρ-sampling, made deterministic by ranking
-    * on xxhash64(u, iter)); every pair within B(v) is a candidate;
-    * new scores merge into the lists via (sim DESC, dst ASC) top-k.
-    * Lists only improve: merge-then-prune means a node's kept
-    * neighbor is displaced only by a strictly better one (the
-    * monotonicity KnnGraphSpec pins). Convergence = unchanged
-    * (count, Σ xxhash64(src, dst)) edge-set signature — sim is a pure
-    * function of the pair, so the (src, dst) set determines the frame;
-    * the signature is one cheap agg per round (DupGraph's label-sum
-    * discipline) and deterministic, so runs are replayable even when
-    * they stop at maxIters before the fixpoint.
+    * on xxhash64(u, iter)); a pair within B(v) is a candidate iff at
+    * least one endpoint's edge is NEW — entered the lists in the
+    * latest prune (r20: the paper's own new-flag incremental step;
+    * old×old pairs were generated when the later entry was new, so
+    * re-scoring them re-offers candidates the monotone top-k prune
+    * already rejected — after round 1 this drops most of the pair
+    * volume AND skips whole groups with no new member, which is what
+    * shrinks the array-carrying exchange). New scores merge into the
+    * lists via (sim DESC, dst ASC) top-k. Lists only improve:
+    * merge-then-prune means a node's kept neighbor is displaced only
+    * by a strictly better one (the monotonicity KnnGraphSpec pins).
+    * Convergence = an empty new-edge set after the prune — with
+    * merged ⊇ edges, a list can only change by admitting a new edge,
+    * so zero new edges ⇔ the (src, dst) set (and, sim being a pure
+    * function of the pair, the frame) is the fixpoint. Deterministic,
+    * so runs are replayable even when they stop at maxIters first.
     */
   private[graft] def nnDescent(spark: SparkSession, emb: DataFrame, k: Int = 10,
                                lists: Int = 0, maxIters: Int = 8,
@@ -346,30 +391,34 @@ object KnnGraph {
         prune(cellBoth.union(scoreDirected(spark, e, ringCand)), k)
       }
     var (edges, edgesRdd) = DupGraph.cutLineage(initEdges, lvl)
-    def signature(df: DataFrame): (Long, Any) = {
-      // hash sum in DECIMAL(38): a long sum of full-range xxhash64
-      // values overflows under ANSI mode
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("src"), col("dst"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).first()
-      (r.getLong(0), r.get(1))
-    }
-    var sig = signature(edges)
+    // new-edge set (r20): every init edge is new; after each prune,
+    // new = (src, dst) pairs absent from the previous round's lists
+    var (freshF, freshRdd) = DupGraph.cutLineage(edges.select("src", "dst"), lvl)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val fwd = edges.select(col("src").as("v"), col("dst").as("u"))
-      val rev = edges.select(col("dst").as("v"), col("src").as("u"))
+      val flagged = edges
+        .join(freshF.withColumn("nwm", lit(true)), Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"), coalesce(col("nwm"), lit(false)).as("nw"))
+      val fwd = flagged.select(col("src").as("v"), col("dst").as("u"), col("nw"))
+      val rev = flagged.select(col("dst").as("v"), col("src").as("u"), col("nw"))
       val wr = Window.partitionBy("v").orderBy(col("h"), col("u"))
       val revS = rev.withColumn("h", xxhash64(col("u"), lit(iter)))
         .withColumn("r", row_number().over(wr))
         .filter(col("r") <= sr)
-        .select("v", "u")
-      val b = fwd.union(revS).distinct()
+        .select("v", "u", "nw")
+      // same (v, u) set as the unflagged union+distinct; a member
+      // reached both ways (forward AND sampled reverse) is new if
+      // EITHER edge is — the safe over-approximation
+      val b = fwd.union(revS).groupBy("v", "u").agg(max("nw").as("nw"))
+      // groups with no new member generate no pairs — drop them BEFORE
+      // the array join, so dead groups never ship embeddings at all
+      val liveV = b.filter(col("nw")).select("v").distinct()
+      val bLive = b.join(liveV, "v")
       val scored =
         if (joinScoring) {
-          val cand = b.as("x").join(b.as("y"), "v")
-            .where(col("x.u") < col("y.u"))
+          val cand = bLive.as("x").join(bLive.as("y"), "v")
+            .where(col("x.u") < col("y.u") && (col("x.nw") || col("y.nw")))
             .select(col("x.u").as("a"), col("y.u").as("b"))
             .distinct()
           cand
@@ -382,9 +431,9 @@ object KnnGraph {
           // the group pair loop is O((k+sampleR)²) per node while the
           // SHUFFLE is O(N·(k+sampleR)) membership rows — the array
           // moves once per membership, not once per candidate pair
-          scoreWithinGroups(spark,
-            b.join(e.select(col("vec_id").as("u"), col("embedding").as("emb")), "u")
-              .select(col("v").as("g"), col("u"), col("emb")))
+          scoreWithinGroupsFlagged(spark,
+            bLive.join(e.select(col("vec_id").as("u"), col("embedding").as("emb")), "u")
+              .select(col("v").as("g"), col("u"), col("emb"), col("nw")))
       val merged = scored.select(col("a").as("src"), col("b").as("dst"), col("sim"))
         .union(scored.select(col("b").as("src"), col("a").as("dst"), col("sim")))
         .union(edges)
@@ -393,14 +442,20 @@ object KnnGraph {
         // the paper's both-sides update (measured +0.09 recall@10 here)
         .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
       val (next, nextRdd) = DupGraph.cutLineage(prune(merged, k), lvl)
-      val nsig = signature(next)
+      val (nf, nfRdd) = DupGraph.cutLineage(
+        next.select("src", "dst")
+          .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti"), lvl)
+      val freshCnt = nf.count()
       edgesRdd.unpersist(false)
+      freshRdd.unpersist(false)
       edges = next
       edgesRdd = nextRdd
-      converged = nsig == sig
-      sig = nsig
+      freshF = nf
+      freshRdd = nfRdd
+      converged = freshCnt == 0
       iter += 1
     }
+    freshRdd.unpersist(false)
     e.unpersist(false)
     lastEdges.keySet.removeIf(_.sparkContext.isStopped)
     Option(lastEdges.put(spark, edgesRdd)).foreach { prev =>
@@ -410,6 +465,7 @@ object KnnGraph {
   }
 
   private[operators] case class GroupVec(g: Long, u: Long, emb: Array[Float])
+  private[operators] case class GroupVecN(g: Long, u: Long, emb: Array[Float], nw: Boolean)
   private[operators] case class SrcVec(src: Long, dst: Long, emb: Array[Float])
 
   /** q92b: NN-descent under the planted gate — embeddings plus a
@@ -616,8 +672,16 @@ object KnnGraph {
       .join(broadcast(q), "q_id")
       .withColumn("sim", round(expr("cosine_sim(embedding, q_emb)"), 6))
       .select("q_id", "node", "sim")
-    val entries = score(qCells.join(cellsDf, "cell")
-      .select(col("q_id"), col("vec_id").as("node"))).persist(lvl)
+    // a query assigned to a centroid cell with NO stored members must
+    // not silently vanish from the output (ADVICE r19): give it the
+    // corpus-wide minimum vec_id as a deterministic best-effort entry
+    // point — the walk then explores from there like any other query
+    val cellEntries = qCells.join(cellsDf, "cell")
+      .select(col("q_id"), col("vec_id").as("node"))
+    val orphaned = q.select("q_id")
+      .join(cellEntries.select("q_id").distinct(), Seq("q_id"), "left_anti")
+      .crossJoin(broadcast(cellsDf.agg(min("vec_id").as("node"))))
+    val entries = score(cellEntries.union(orphaned)).persist(lvl)
     // ONE job per hop (r19 tuning): each hop's new scores cache fully
     // via count() — the count IS the growth check — and `visited`
     // stays a lazy union over the ≤ maxHops+1 cached hop frames
@@ -684,7 +748,10 @@ object KnnGraph {
                     idOffset: Long = 1000000L): DataFrame = {
     GraftFunctions.register(spark)
     val path = graphPath(spark, dir)
-    ensureGraph(spark, dir, path)
+    // forward k (ADVICE r19): a non-default k must rebuild the graph
+    // at that degree (the params watermark makes the mismatch stale),
+    // not silently walk a k=10 index
+    ensureGraph(spark, dir, path, k = k)
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val queries = e.filter(col("vec_id") < nPlanted)
       .select((col("vec_id") + idOffset).as("q_id"), col("embedding").as("q_emb"))
@@ -768,7 +835,9 @@ object KnnGraph {
                        idOffset: Long = 1000000L): DataFrame = {
     GraftFunctions.register(spark)
     val path = graphPath(spark, dir)
-    ensureGraph(spark, dir, path)
+    // forward k (ADVICE r19): the increment-equals-rebuild law only
+    // holds against a graph built at the SAME degree
+    ensureGraph(spark, dir, path, k = k)
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val delta = e.filter(col("vec_id") < nPlanted)
       .select((col("vec_id") + idOffset).as("vec_id"), col("embedding"))

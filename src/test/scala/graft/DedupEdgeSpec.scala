@@ -139,8 +139,11 @@ class DedupEdgeSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(belted.isEmpty,
       s"the anchor star drops the (2,3) member-member pair by design: $belted")
-    assert(operators.Dedup.oversizedBlockCount(spark) == 1,
-      "the engaged belt must be visible: exactly one oversized block")
+    // >0, not ==1: the accumulator ticks inside a transformation, so
+    // retries/speculation may double-count (ADVICE r19) — the contract
+    // is engaged-vs-not, which is retry-proof
+    assert(operators.Dedup.oversizedBlockCount(spark) > 0,
+      "the engaged belt must be visible: oversized block count > 0")
   }
 
   test("simhash dedup survives degenerate docs") {
