@@ -51,7 +51,8 @@ object GateInvariants {
     * recur elsewhere in the corpus (q92b's by-construction argument;
     * the check verifies the uniqueness instead of assuming it). */
   val vectorGateQueries: Set[String] = Set("q92b_nndescent_gate",
-    "q92e_descent_clusters", "q92f_knn_increment", "q93_graph_walk")
+    "q92e_descent_clusters", "q92f_knn_increment", "q93_graph_walk",
+    "q92g_indexed_clusters")
 
   /** Queries whose oracle needs the q92d HASHED-twin precondition:
     * for every planted source document, the hashed-encoder vector is

@@ -329,7 +329,16 @@ object SparkEntry {
     "q92f_knn_increment" -> ((s, d) => KnnGraph.knnIncrementGate(s, d)),
     // q93 (r19): greedy best-first graph-walk search over the
     // persisted graph — the query-time half of the reference's HNSW
-    "q93_graph_walk" -> ((s, d) => KnnGraph.graphWalkGate(s, d))
+    "q93_graph_walk" -> ((s, d) => KnnGraph.graphWalkGate(s, d)),
+    // q92g (r20): the NIGHTLY clustering composition — mutual-kNN +
+    // CC reading the PERSISTED graph extended by the day's arrivals
+    // through the increment path; no descent, no corpus-broadcast
+    // shape (q92e keeps the fresh-descent twin its gate needs)
+    "q92g_indexed_clusters" -> ((s, d) => KnnGraph.semanticClustersIndexedGate(s, d)),
+    // q93b (r20): walk recall@k vs q16's brute top-k on REAL
+    // (non-planted) queries — the q78 pattern for the graph walk;
+    // the oracle replays graph build + walk + brute + recall
+    "q93b_walk_recall" -> ((s, d) => KnnGraph.graphWalkRecall(s, d))
   )
 
   /** Reference word-count formula (analyze_dialogues.py:273). */
@@ -2888,6 +2897,116 @@ object SparkEntry {
     // greedy walk explores.
     "q93_graph_walk" ->
       """SELECT vec_id AS query_id, vec_id AS hit_id
-        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+    // q92g: q92f's gate argument, CC-composed (q92e's oracle shape) —
+    // the copy↔original mutual rank-1 edge at 1.0 survives the
+    // increment's merge re-prune, so the pair co-clusters in the
+    // indexed graph exactly as in the fresh-descent one.
+    "q92g_indexed_clusters" ->
+      """SELECT vec_id AS query_id, CAST(TRUE AS BOOLEAN) AS co_clustered
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+    // q93b: FULL REPLAY of the walk-recall composition (q78's
+    // discipline, graph-walk form). The graph is the zero-iteration
+    // modular-ring build — per-node top-10 by (6dp cosine DESC, dst)
+    // over {IVF-cell co-members} ∪ {(idx+j) mod n, j=1..10} — and the
+    // walk unrolls maxHops=3 frontier/expand/score/visited rounds
+    // exactly as graphWalkOn executes them (fixed unroll ≡ the early-
+    // stop loop: an empty fresh set makes every later hop empty).
+    // Valid for the flat assignment path (lists ≤ 64 — all gate SFs).
+    "q93b_walk_recall" ->
+      """WITH p AS (SELECT GREATEST(16, CAST(COUNT(*) // 125 AS INT)) AS lists,
+        |                  COUNT(*) AS n FROM embeddings),
+        |seedr AS (
+        |  SELECT cell, vec_id, embedding,
+        |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+        |  FROM (SELECT CAST(e.vec_id % p.lists AS INT) AS cell, e.vec_id, e.embedding
+        |        FROM embeddings e, p) t),
+        |cents AS (SELECT cell, embedding AS cvec FROM seedr WHERE rn = 1),
+        |cells AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) AS rk
+        |    FROM embeddings e, cents c) t WHERE rk = 1),
+        |idx AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i FROM embeddings),
+        |cand AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst
+        |    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |    UNION ALL
+        |    SELECT a.vec_id AS src, b.vec_id AS dst
+        |    FROM idx a, p, range(1, 11) r(j), idx b
+        |    WHERE b.i = (a.i + r.j) % p.n AND b.i <> a.i) u),
+        |graph AS (
+        |  SELECT src, dst FROM (
+        |    SELECT c.src, c.dst,
+        |      ROW_NUMBER() OVER (PARTITION BY c.src
+        |        ORDER BY round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) DESC, c.dst) AS rk
+        |    FROM cand c JOIN embeddings ea ON ea.vec_id = c.src
+        |                JOIN embeddings eb ON eb.vec_id = c.dst) t
+        |  WHERE rk <= 10),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |qc AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT qq.q_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY qq.q_id
+        |        ORDER BY round(list_cosine_similarity(CAST(qq.q_emb AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cell) AS rk
+        |    FROM q qq, cents c) t WHERE rk = 1),
+        |v0 AS (
+        |  SELECT qc.q_id, m.vec_id AS node,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qq.q_emb AS DOUBLE[])), 6) AS sim
+        |  FROM qc JOIN cells m ON m.cell = qc.cell
+        |  JOIN embeddings e ON e.vec_id = m.vec_id
+        |  JOIN q qq ON qq.q_id = qc.q_id),
+        |f1 AS (SELECT q_id, node FROM (
+        |  SELECT q_id, node, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, node) AS rk FROM v0) t
+        |  WHERE rk <= 8),
+        |n1 AS (
+        |  SELECT x.q_id, x.node,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qq.q_emb AS DOUBLE[])), 6) AS sim
+        |  FROM (SELECT DISTINCT f.q_id, g.dst AS node
+        |        FROM f1 f JOIN graph g ON g.src = f.node
+        |        WHERE NOT EXISTS (SELECT 1 FROM v0 v WHERE v.q_id = f.q_id AND v.node = g.dst)) x
+        |  JOIN embeddings e ON e.vec_id = x.node JOIN q qq ON qq.q_id = x.q_id),
+        |vis1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM n1),
+        |f2 AS (SELECT q_id, node FROM (
+        |  SELECT q_id, node, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, node) AS rk FROM n1) t
+        |  WHERE rk <= 8),
+        |n2 AS (
+        |  SELECT x.q_id, x.node,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qq.q_emb AS DOUBLE[])), 6) AS sim
+        |  FROM (SELECT DISTINCT f.q_id, g.dst AS node
+        |        FROM f2 f JOIN graph g ON g.src = f.node
+        |        WHERE NOT EXISTS (SELECT 1 FROM vis1 v WHERE v.q_id = f.q_id AND v.node = g.dst)) x
+        |  JOIN embeddings e ON e.vec_id = x.node JOIN q qq ON qq.q_id = x.q_id),
+        |vis2 AS (SELECT * FROM vis1 UNION ALL SELECT * FROM n2),
+        |f3 AS (SELECT q_id, node FROM (
+        |  SELECT q_id, node, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, node) AS rk FROM n2) t
+        |  WHERE rk <= 8),
+        |n3 AS (
+        |  SELECT x.q_id, x.node,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qq.q_emb AS DOUBLE[])), 6) AS sim
+        |  FROM (SELECT DISTINCT f.q_id, g.dst AS node
+        |        FROM f3 f JOIN graph g ON g.src = f.node
+        |        WHERE NOT EXISTS (SELECT 1 FROM vis2 v WHERE v.q_id = f.q_id AND v.node = g.dst)) x
+        |  JOIN embeddings e ON e.vec_id = x.node JOIN q qq ON qq.q_id = x.q_id),
+        |vis3 AS (SELECT * FROM vis2 UNION ALL SELECT * FROM n3),
+        |walked AS (SELECT q_id, node FROM (
+        |  SELECT q_id, node, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, node) AS rk
+        |  FROM vis3 WHERE node <> q_id) t WHERE rk <= 10),
+        |brute AS (SELECT q_id, node FROM (
+        |  SELECT qq.q_id, e.vec_id AS node,
+        |    ROW_NUMBER() OVER (PARTITION BY qq.q_id
+        |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qq.q_emb AS DOUBLE[])), 6) DESC, e.vec_id) AS rk
+        |  FROM q qq, embeddings e WHERE e.vec_id <> qq.q_id) t
+        |  WHERE rk <= 10),
+        |hits AS (SELECT b.q_id, COUNT(*) AS n_hit
+        |  FROM brute b JOIN walked w ON w.q_id = b.q_id AND w.node = b.node
+        |  GROUP BY b.q_id),
+        |qs AS (SELECT q_id, COUNT(*) AS n_brute FROM brute GROUP BY q_id)
+        |SELECT qs.q_id AS query_id, 10 AS k, COALESCE(h.n_hit, 0) AS n_hit,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / qs.n_brute AS recall
+        |FROM qs LEFT JOIN hits h ON h.q_id = qs.q_id
+        |ORDER BY query_id""".stripMargin
   )
 }

@@ -268,7 +268,7 @@ object KnnGraph {
     * holds the ≤ k+1 current members), skew-proof where a window
     * sort of a hub node's partition would spill.
     */
-  private def prune(edges: DataFrame, k: Int): DataFrame = {
+  private[graft] def prune(edges: DataFrame, k: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select(col("src"), col("dst"), col("sim")).as[PruneEdge]
@@ -332,7 +332,8 @@ object KnnGraph {
   private[graft] def nnDescent(spark: SparkSession, emb: DataFrame, k: Int = 10,
                                lists: Int = 0, maxIters: Int = 8,
                                sampleR: Int = 0, ringJ: Int = 10,
-                               joinScoring: Boolean = false): DataFrame = {
+                               joinScoring: Boolean = false,
+                               modularRing: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxIters >= 0, s"maxIters must be >= 0: $maxIters")
     // reverse ρ-sample defaults to 2k: the binding recall lever on
@@ -364,13 +365,20 @@ object KnnGraph {
     val idx = spark.createDataFrame(
       e.select("vec_id").orderBy("vec_id").rdd.zipWithIndex()
         .map { case (r, i) => Row(r.getLong(0), i) }, idxSchema)
+    // modularRing (r20, q93b's build): neighbor index = (idx + j) mod n
+    // — an ORACLE-REPLAYABLE stand-in for the hashed pseudo-random
+    // ring (DuckDB has no xxhash64), used by the walk-recall entry's
+    // zero-iteration graph so the whole build replays in SQL. Same
+    // inter-cell connectivity role; never the descent default.
     val ringCand =
       if (ringJ <= 0 || n < 2) spark.emptyDataFrame
         .select(lit(0L).as("src"), lit(0L).as("dst")).limit(0)
       else idx
         .withColumn("j", explode(array((1 to ringJ).map(lit(_)): _*)))
         .withColumn("nb_idx",
-          pmod(col("idx") + 1 + pmod(xxhash64(col("vec_id"), col("j")), lit(n - 1)), lit(n)))
+          if (modularRing) pmod(col("idx") + col("j"), lit(n))
+          else pmod(col("idx") + 1 + pmod(xxhash64(col("vec_id"), col("j")), lit(n - 1)), lit(n)))
+        .where(col("nb_idx") =!= col("idx"))
         .join(idx.select(col("idx").as("nb_idx"), col("vec_id").as("dst")), "nb_idx")
         .select(col("vec_id").as("src"), col("dst"))
     val initEdges =
@@ -574,25 +582,41 @@ object KnnGraph {
   // ------------------------------------------------------------------
 
   /** Graph-index root for a corpus dir (VectorIndex's layout family):
-    *   <path>/edges/     — the converged descent graph (src, dst, sim)
+    *   <path>/edges/pblk=N/ — the converged descent graph
+    *                       (src, dst, sim), BUCKETED on src (r20:
+    *                       pblk = pmod(xxhash64(src), nBuckets), the
+    *                       Curation shingle-index pblk pattern) so
+    *                       walk expansions and increment merges read
+    *                       only the buckets their bounded frontier /
+    *                       affected-node set actually touches —
+    *                       partition pruning, plan-asserted in
+    *                       PlanShapeSpec
     *   <path>/cells/     — top-1 init assignments (vec_id, cell): the
     *                       ENTRY-POINT structure; a query/delta replays
     *                       the same pure-function assignment to find
     *                       where it lands
     *   <path>/centroids/ — (c_cell, cvec) so that replay never touches
     *                       the corpus
-    * Same watermark freshness contract as the IVF indexes. At cluster
-    * scale the edges write gets a bucketing on src so walk expansions
-    * and increment merges co-locate per node.
+    * Same watermark freshness contract as the IVF indexes.
     */
   def graphPath(spark: SparkSession, dir: String): String =
     VectorIndex.defaultPath(spark, dir) + "_knn"
 
-  def graphParams(k: Int, lists: Int, maxIters: Int): String =
-    s"knngraph:k=$k,lists=$lists,iters=$maxIters,arith=d2"
+  /** The graph's identity params, recorded in its watermark. The
+    * `arith=d2` token doubles as the SCORING-KERNEL version (ADVICE
+    * r19): stored sims must have been produced by the same fold
+    * order/rounding the increment path scores with — a kernel change
+    * bumps the token and invalidates old indexes instead of merging
+    * disagreeing sims.
+    */
+  def graphParams(k: Int, lists: Int, maxIters: Int, ringJ: Int = 10,
+                  modularRing: Boolean = false, nBuckets: Int = 16): String =
+    s"knngraph:k=$k,lists=$lists,iters=$maxIters," +
+      s"ring=${if (modularRing) "m" else "h"}$ringJ,blk=$nBuckets,arith=d2"
 
   def buildGraph(spark: SparkSession, dir: String, path: String, k: Int = 10,
-                 lists: Int = 0, maxIters: Int = 2): Unit = {
+                 lists: Int = 0, maxIters: Int = 2, ringJ: Int = 10,
+                 modularRing: Boolean = false, nBuckets: Int = 16): Unit = {
     GraftFunctions.register(spark)
     // snapshot BEFORE reading (VectorIndex.build's rule): a source
     // overwritten mid-build leaves a stale watermark, never a fresh lie
@@ -609,10 +633,15 @@ object KnnGraph {
       nCoarse = Vectors.autoCoarse(nl)).select("vec_id", "cell")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     cells.write.mode("overwrite").parquet(s"$path/cells")
-    nnDescent(spark, e, k = k, lists = lists, maxIters = maxIters)
-      .write.mode("overwrite").parquet(s"$path/edges")
+    nnDescent(spark, e, k = k, lists = lists, maxIters = maxIters,
+        ringJ = ringJ, modularRing = modularRing)
+      .withColumn("pblk", pmod(xxhash64(col("src")), lit(nBuckets)).cast("int"))
+      // one task per bucket's file set, not nTasks files per dir
+      // (buildDedup's repartition rule)
+      .repartition(col("pblk"))
+      .write.mode("overwrite").partitionBy("pblk").parquet(s"$path/edges")
     VectorIndex.writeWatermark(spark, path,
-      snapshot + "\nparams|" + graphParams(k, lists, maxIters))
+      snapshot + "\nparams|" + graphParams(k, lists, maxIters, ringJ, modularRing, nBuckets))
   }
 
   /** Present + watermark-fresh + the edges component landed (the
@@ -621,15 +650,45 @@ object KnnGraph {
     * component).
     */
   def graphFresh(spark: SparkSession, dir: String, path: String,
-                 k: Int = 10, lists: Int = 0, maxIters: Int = 2): Boolean =
-    VectorIndex.fresh(spark, dir, path, graphParams(k, lists, maxIters)) &&
+                 k: Int = 10, lists: Int = 0, maxIters: Int = 2,
+                 ringJ: Int = 10, modularRing: Boolean = false,
+                 nBuckets: Int = 16): Boolean =
+    VectorIndex.fresh(spark, dir, path,
+        graphParams(k, lists, maxIters, ringJ, modularRing, nBuckets)) &&
       VectorIndex.fsFor(spark, path)
         .exists(new org.apache.hadoop.fs.Path(s"$path/edges/_SUCCESS"))
 
   private def ensureGraph(spark: SparkSession, dir: String, path: String,
-                          k: Int = 10, lists: Int = 0, maxIters: Int = 2): Unit =
-    if (!graphFresh(spark, dir, path, k, lists, maxIters))
-      buildGraph(spark, dir, path, k, lists, maxIters)
+                          k: Int = 10, lists: Int = 0, maxIters: Int = 2,
+                          ringJ: Int = 10, modularRing: Boolean = false,
+                          nBuckets: Int = 16): Unit =
+    if (!graphFresh(spark, dir, path, k, lists, maxIters, ringJ, modularRing, nBuckets))
+      buildGraph(spark, dir, path, k, lists, maxIters, ringJ, modularRing, nBuckets)
+
+  /** The bucket count the graph at `path` was written with (parsed
+    * from the watermark's params line; pre-bucketing indexes read as
+    * stale via graphParams, so the fallback never actually serves).
+    */
+  private def bucketsOf(spark: SparkSession, path: String): Int =
+    VectorIndex.readWatermark(spark, path)
+      .flatMap("blk=(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toInt)
+      .getOrElse(16)
+
+  /** Prune-read the stored edge lists of a bounded node set: collect
+    * the nodes' pblk values (≤ nBuckets ints — knowing which buckets
+    * to open IS the index-read contract, VectorIndex.probe's rule)
+    * and filter the scan on the partition column, so only the touched
+    * buckets' files are ever opened.
+    */
+  private[graft] def edgesForNodes(spark: SparkSession, path: String,
+                                   nodes: DataFrame, nodeCol: String): DataFrame = {
+    val nb = bucketsOf(spark, path)
+    val blks = nodes.select(pmod(xxhash64(col(nodeCol)), lit(nb)).cast("int").as("pblk"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(s"$path/edges")
+      .filter(col("pblk").isin(blks: _*))
+      .select("src", "dst", "sim")
+  }
 
   /** Greedy best-first BEAM walk over a persisted graph for a bounded
     * batch of queries — the query-time half of the reference's HNSW
@@ -660,8 +719,6 @@ object KnnGraph {
     val cents = spark.read.parquet(s"$path/centroids")
     val lists = cents.count().toInt
     val cellsDf = spark.read.parquet(s"$path/cells")
-    val edges = spark.read.parquet(s"$path/edges")
-      .select(col("src"), col("dst")).persist(lvl)
     val q = queries.select(col("q_id"), col("q_emb")).persist(lvl)
     val qCells = Vectors.assignCells(
         q.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
@@ -698,7 +755,13 @@ object KnnGraph {
       val wb = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
       val frontier = latest.withColumn("rk", row_number().over(wb))
         .filter(col("rk") <= beam).select("q_id", "node")
-      val expand = frontier.join(edges, frontier("node") === edges("src"))
+      // prune-read only the frontier's edge buckets (r20): the
+      // frontier is ≤ |Q|·beam nodes, so the bucket set is bounded
+      // and the hop join opens only those partitions' files instead
+      // of scanning the whole edge store per hop
+      val hopEdges = edgesForNodes(spark, path, frontier, "node")
+        .select(col("src"), col("dst"))
+      val expand = frontier.join(hopEdges, frontier("node") === hopEdges("src"))
         .select(col("q_id"), col("dst").as("node")).distinct()
         .join(visited.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
       val fresh = score(expand).persist(lvl)
@@ -713,7 +776,6 @@ object KnnGraph {
     // the returned plan scans the hop caches, so they hand off
     // through the registry: the NEXT walk on this session releases
     // them (back-to-back walks never accumulate)
-    edges.unpersist(false)
     q.unpersist(false)
     lastWalk.keySet.removeIf(_.sparkContext.isStopped)
     Option(lastWalk.put(spark, hops.toSeq)).foreach { prev =>
@@ -788,7 +850,7 @@ object KnnGraph {
     val cents = spark.read.parquet(s"$path/centroids")
     val lists = cents.count().toInt
     val cellsDf = spark.read.parquet(s"$path/cells")
-    val edges = spark.read.parquet(s"$path/edges")
+    val edges = spark.read.parquet(s"$path/edges").select("src", "dst", "sim")
     val d = delta.select(col("vec_id"), col("embedding"))
     val dCells = Vectors.assignCells(d, cents, nProbe = 1,
       nCoarse = Vectors.autoCoarse(lists)).select("vec_id", "cell")
@@ -816,7 +878,12 @@ object KnnGraph {
     val affBase = newDirected
       .join(dIds.select(col("vec_id").as("src")), Seq("src"), "left_anti")
     val affSrcs = affBase.select("src").distinct()
-    val merged = prune(edges.join(affSrcs, "src").union(affBase), k)
+    // the merge READ is bucket-pruned (r20): affected srcs are bounded
+    // by delta·cell-size, so only their pblk buckets' stored lists are
+    // opened for the re-prune — the untouched pass-through below is a
+    // straight scan-minus-antijoin, never read per-row
+    val edgesAff = edgesForNodes(spark, path, affSrcs, "src")
+    val merged = prune(edgesAff.join(affSrcs, "src").union(affBase), k)
     val untouchedEdges = edges.join(affSrcs, Seq("src"), "left_anti")
     untouchedEdges.union(merged).union(deltaLists)
   }
@@ -847,6 +914,118 @@ object KnnGraph {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select((col("src") - idOffset).as("query_id"), col("dst").as("hit_id"))
+      .orderBy("query_id")
+  }
+
+  /** q92g: semantic clustering over the PERSISTED graph — the nightly
+    * composition a deployment actually schedules (q92e certifies
+    * clusters over a FRESH descent, which its gate needs because the
+    * planted corpus differs from the indexed base; this entry
+    * certifies the same mutual-kNN + connected-components pipeline
+    * reading the stored `graphPath` edges, extended by the day's
+    * arrivals through [[knnGraphIncrementOn]] — no descent, no knnOn,
+    * no corpus-broadcast shape anywhere; PlanShapeSpec pins the plan).
+    * Gate (q92f's argument, CC-composed): the delta is a verbatim copy
+    * of every vec_id < nPlanted; the copy lands in its original's cell
+    * (pure-function assignment), they score 6dp cosine 1.0 — the
+    * unique per-node maximum (GateInvariants' vector check) — the copy
+    * keeps the original in its forward list, the original (an affected
+    * base node) admits the copy through its merge re-prune, and the
+    * resulting mutual rank-1 edge at 1.0 ≥ minSim makes the two
+    * co-cluster by construction. Output (query_id, co_clustered);
+    * oracle = the planted SELECT with co_clustered TRUE.
+    */
+  def semanticClustersIndexedGate(spark: SparkSession, dir: String, k: Int = 10,
+                                  minSim: Double = 0.4,
+                                  nPlanted: Int = graft.GateInvariants.plantedGateN,
+                                  idOffset: Long = 1000000L): DataFrame = {
+    GraftFunctions.register(spark)
+    val path = graphPath(spark, dir)
+    ensureGraph(spark, dir, path, k = k)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val delta = e.filter(col("vec_id") < nPlanted)
+      .select((col("vec_id") + idOffset).as("vec_id"), col("embedding"))
+    // one live copy feeds BOTH sides of the mutuality self-join
+    // (q92c's registerPersist discipline)
+    val edges = Curation.registerPersist(spark, "q92g_edges",
+      knnGraphIncrementOn(spark, path, e, delta, k))
+    val mutual = edges.as("x").join(edges.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .where(col("x.src") < col("x.dst") && col("x.sim") >= minSim)
+      .select(col("x.src").as("a"), col("x.dst").as("b"))
+    val comp = DupGraph.connectedComponents(mutual)
+    val copies = comp.filter(col("id") >= idOffset)
+      .select((col("id") - idOffset).as("query_id"), col("rep").as("crep"))
+    val origs = comp.select(col("id").as("query_id"), col("rep").as("orep"))
+    copies.join(origs, "query_id")
+      .select(col("query_id"), (col("crep") === col("orep")).as("co_clustered"))
+      .orderBy("query_id")
+  }
+
+  /** Root for the walk-recall entry's REPLAYABLE graph variant —
+    * kept beside the descent graph, never shared with it (different
+    * params ⇒ different watermark identity anyway).
+    */
+  def replayGraphPath(spark: SparkSession, dir: String): String =
+    VectorIndex.defaultPath(spark, dir) + "_knnrp"
+
+  /** q93b: walk recall@k against q16's certified brute-force top-k on
+    * REAL (non-planted) queries — the q78 pattern for the graph-walk
+    * path. q93's oracle certifies the walk's machinery through a
+    * planted gate (the answer is in the entry set by construction);
+    * this entry puts the walk's APPROXIMATION QUALITY on arbitrary
+    * corpus queries under the hard gate: both sides run the certified
+    * operators, and the DuckDB oracle replays graph build + walk +
+    * brute + recall end-to-end (reference vector_store.py:105-168
+    * serves arbitrary queries, not planted ones).
+    *
+    * Replayability: the walk's every step is already engine-portable
+    * arithmetic (6dp-rounded cosine ranking, beam/visited set algebra
+    * — deterministic joins and windows), but the DESCENT graph is not
+    * (xxhash64 ring + sampled iterations), so this entry walks a graph
+    * built at maxIters = 0 with the MODULAR ring: per-node top-k over
+    * {IVF-cell co-members} ∪ {(idx+j) mod n ring neighbors, j ≤ 10} —
+    * a pure SQL-expressible function of the corpus, built/persisted/
+    * walked through the exact same buildGraph/graphWalkOn machinery as
+    * q93 (entry cells, bucket-pruned hop joins, beam, visited-set
+    * anti-joins). Valid for the flat assignment path (lists ≤ 64 ⇔
+    * corpus ≤ 8000 vectors — all gate SFs; q29b's boundary note).
+    * Walk quality over the DESCENT graph stays spec-pinned
+    * (KnnGraphSpec's recall floor); the recall MEASURED here gates
+    * beam/maxHops with an oracle instead of a floor assert.
+    *
+    * Output (query_id, k, n_hit, recall) — q78's shape. The walk runs
+    * at k+1 then drops the query itself (a corpus member always visits
+    * itself at sim 1.0 through its own entry cell) and re-ranks, which
+    * equals the top-k over non-self visited nodes.
+    */
+  def graphWalkRecall(spark: SparkSession, dir: String, k: Int = 10,
+                      beam: Int = 8, maxHops: Int = 3,
+                      nQueries: Int = 5): DataFrame = {
+    GraftFunctions.register(spark)
+    val path = replayGraphPath(spark, dir)
+    if (!graphFresh(spark, dir, path, k = k, maxIters = 0, modularRing = true))
+      buildGraph(spark, dir, path, k = k, maxIters = 0, modularRing = true)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
+    val walked = graphWalkOn(spark, path, e, queries,
+        k = k + 1, beam = beam, maxHops = maxHops)
+      .filter(col("node") =!= col("q_id"))
+      .withColumn("rk2", row_number().over(wq))
+      .filter(col("rk2") <= k)
+      .select("q_id", "node")
+    val brute = knnOn(e, k).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("nb_id").as("node"))
+    val hits = brute.join(walked, Seq("q_id", "node"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    // denominator = the per-query BRUTE set size (annRecall's rule)
+    brute.groupBy("q_id").agg(count(lit(1)).as("n_brute"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id").as("query_id"), lit(k).as("k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_brute")).as("recall"))
       .orderBy("query_id")
   }
 }

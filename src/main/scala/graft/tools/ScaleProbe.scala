@@ -76,7 +76,13 @@ object ScaleProbe {
     // in-group scoring rewrite + adaptive lists.
     val only19 = args.contains("r19")
     val only19c = args.contains("r19c")
-    if (!only15 && !only16 && !only17 && !only18 && !only19 && !only19c) Seq(src, dst).foreach { d =>
+    // `r20` arg: run only the r20 additions — the q92 family re-measured
+    // on the new-flag descent, the three 100x cells r19 left open
+    // (walk / increment steady state over the 2M persisted graph, then
+    // the descent BUILD row itself), and the new q92g indexed-clusters
+    // steady state.
+    val only20 = args.contains("r20")
+    if (!only15 && !only16 && !only17 && !only18 && !only19 && !only19c && !only20) Seq(src, dst).foreach { d =>
       time("q01 sessionize ", d)(Sessions.temporalSessions(spark, _))
       time("q01b chunked   ", d)(Sessions.sessionizedChunked(spark, _))
       time("q26 ngram dedup", d)(Dedup.dedupNgram(spark, _))
@@ -132,7 +138,7 @@ object ScaleProbe {
     // the bands (same total nBits budget family) restores bounded
     // buckets, exactly like growing nLists for IVF cells. Measure
     // the cliff and the remedy at 10x.
-    if (!only15 && !only16 && !only17 && !only18 && !only19 && !only19c) {
+    if (!only15 && !only16 && !only17 && !only18 && !only19 && !only19c && !only20) {
       time("q44 4x8bit     ", src)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x8bit     ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x12bit    ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _, nBits = 48, bands = 4))
@@ -152,7 +158,7 @@ object ScaleProbe {
     // q19's IVF ANN (the r14 replay-graduated Spark side): probe cost
     // is bounded by nQueries·nProbe cells, so 10× corpus with
     // nLists ∝ N must stay ~flat after the assignment pass.
-    if (!only16 && !only17 && !only18 && !only19 && !only19c) Seq(src, dst).foreach { d =>
+    if (!only16 && !only17 && !only18 && !only19 && !only19c && !only20) Seq(src, dst).foreach { d =>
       time("q34b grid decode", d)(Multimodal.mediaDecodeFeatures(spark, _))
       time("q34d media joinQ", d)(Multimodal.mediaQualityJoin(spark, _))
       time("q19 ivf ann     ", d)(Vectors.annIvf(spark, _))
@@ -171,7 +177,7 @@ object ScaleProbe {
           w => concat(w, col("copy").cast("string"))), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$dst100/documents.parquet")
-    if (!only16 && !only17 && !only18 && !only19 && !only19c) Seq(src, dst, dst100).foreach { d =>
+    if (!only16 && !only17 && !only18 && !only19 && !only19c && !only20) Seq(src, dst, dst100).foreach { d =>
       time("q25 exact dedup", d)(Dedup.dedupExact(spark, _))
       time("q27b minhash pl", d)(Dedup.dedupMinHashPlanted(spark, _))
       time("q40 allpairs   ", d)(Dedup.dedupAllPairs(spark, _))
@@ -295,7 +301,7 @@ object ScaleProbe {
     }
 
     // ---- r16 additions (VERDICT r15 items 1 & 4) ----
-    if (!only15 && !only18 && !only19 && !only19c) {
+    if (!only15 && !only18 && !only19 && !only19c && !only20) {
       // (1) Two-decade slope for the graph/funnel spine: CC round
       // count grows with component DIAMETER, which copy-scaling holds
       // constant while component COUNT grows 100x -- the claim these
@@ -361,6 +367,45 @@ object ScaleProbe {
       // raw listing would be 2e8 pairs in one block
       time("q26 mega2k RAW  ", mega2k)(Dedup.dedupNgram(spark, _))
       time("q26 mega20k CAP ", mega20k)(Dedup.dedupNgram(spark, _, maxBlock = 1000))
+    }
+    // ---- r20 additions (VERDICT r19 items 1 & 6) ----
+    // The descent's new-flag optimization (score only pairs with a
+    // new endpoint — the WWW'11 algorithm's own incremental step)
+    // lands this round: re-measure the family's 1x/10x slopes on the
+    // new algorithm and fill the 100x cells r19 left open. Ordering
+    // is deliberate: the steady-state rows run FIRST (their warm pass
+    // builds the shared persisted graph once per corpus), so a
+    // disk/deadline kill on the expensive final build row cannot lose
+    // them. q92e's 100x cell stays open by design — it re-runs a full
+    // descent BY GATE DESIGN (planted corpus differs from the indexed
+    // base), so its 100x cost is the q92b row plus the CC marginal
+    // already priced linear by the r16 q53 100x rows.
+    if (only20) {
+      import graft.operators.KnnGraph
+      emb.crossJoin(copies100)
+        .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x + col("copy").cast("float") * lit(0.01f)).cast("array<float>").as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$dst100/embeddings.parquet")
+      def once20(name: String, d: String)(f: String => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        f(d).write.format("noop").mode("overwrite").save()
+        println(f"$name @ $d: ${(System.nanoTime() - t0) / 1e9}%.2fs (one pass)")
+      }
+      val off = 1000000000L
+      Seq(src, dst, dst100).foreach { d =>
+        time("q93 walk       ", d)(KnnGraph.graphWalkGate(spark, _, idOffset = off))
+        time("q92f increment ", d)(KnnGraph.knnIncrementGate(spark, _, idOffset = off))
+        time("q92g idx clust ", d)(KnnGraph.semanticClustersIndexedGate(spark, _, idOffset = off))
+      }
+      Seq(src, dst).foreach { d =>
+        once20("q92b descent   ", d)(KnnGraph.nnDescentGate(spark, _, idOffset = off))
+        once20("q92e clusters  ", d)(KnnGraph.semanticClustersDescentGate(spark, _, idOffset = off))
+      }
+      // the round's headline cell: the 100x descent BUILD at operator
+      // defaults (r19's three-attempt DNF)
+      once20("q92b descent   ", dst100)(KnnGraph.nnDescentGate(spark, _, idOffset = off))
     }
     spark.stop()
   }

@@ -190,6 +190,46 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"walk recall@10 $recall%.4f < 0.5 floor")
   }
 
+  test("prune keeps one slot per dst even when duplicate rows disagree on sim (ADVICE r19)") {
+    import spark.implicits._
+    // within one build duplicate (src,dst) rows carry identical sims;
+    // disagreement models a stored edge scored by an OLDER kernel
+    // meeting its fresh twin in an increment — the better sim must win
+    // and the dst must occupy exactly one top-k slot
+    val edges = Seq((1L, 2L, 0.5), (1L, 2L, 0.9), (1L, 3L, 0.8),
+      (1L, 4L, 0.7), (1L, 3L, 0.8)).toDF("src", "dst", "sim")
+    val got = operators.KnnGraph.prune(edges, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.9), (1L, 3L, 0.8)), s"got $got")
+  }
+
+  test("walk: a query whose entry cell lost its members still appears (fallback entry)") {
+    // ADVICE r19: an empty entry set must degrade to a best-effort
+    // walk from a deterministic fallback node, never a silently
+    // missing q_id
+    val fake = "/fake/knn_orphan_walk"
+    val all = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val base = all.filter(col("vec_id") < 200)
+    Tables.registerOverride(spark, fake, "embeddings", base)
+    val path = java.nio.file.Files.createTempDirectory("graft_knn_orphan_")
+      .toAbsolutePath.toString
+    operators.KnnGraph.buildGraph(spark, fake, path, k = k, lists = 8, maxIters = 1)
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/cells").select("vec_id", "cell")
+      .as[(Long, Int)].collect()
+    val cellX = rows.find(_._1 == 0L).get._2
+    val survivor = rows.find(_._2 != cellX).get._1
+    // hollow out vec 0's entry cell in the stored index
+    rows.filter(_._2 != cellX).toSeq.toDF("vec_id", "cell")
+      .write.mode("overwrite").parquet(s"$path/cells")
+    val queries = base.filter(col("vec_id") === 0L || col("vec_id") === survivor)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val got = operators.KnnGraph.graphWalkOn(spark, path, base, queries)
+      .select("q_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, survivor),
+      s"both queries must appear (0 via the fallback entry): $got")
+  }
+
   test("q92c: clusters have >=2 members, exactly one rep per cluster, rep = min id") {
     val c = operators.KnnGraph.semanticClusters(spark, dir).cache()
     assert(c.filter(col("cluster_size") < 2).count() == 0, "singletons are omitted")

@@ -257,6 +257,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-broadcast non-equi join in the descent clustering plan:\n${badLines.mkString("\n")}")
   }
 
+  test("q92g never runs a descent or corpus-broadcast join: index-read composition") {
+    // the nightly clustering reads the persisted graph + the delta's
+    // touched cells; like q92e, an Inner-typed BNLJ (knnOn's non-equi
+    // corpus join) must not appear — the only nested-loop broadcasts
+    // allowed are the bounded-centroid CROSS joins of cell assignment
+    val df = operators.KnnGraph.semanticClustersIndexedGate(spark, dir)
+    val p = plan(df)
+    val badLines = p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && l.contains("Inner")).toSeq
+    assert(badLines.isEmpty,
+      s"corpus-broadcast non-equi join in the indexed clustering plan:\n${badLines.mkString("\n")}")
+  }
+
+  test("graph edge store: bounded node sets read via partition-pruned pblk buckets (r20)") {
+    // the scaladoc's bucketing promise, structurally: walk hop joins
+    // and increment merge reads go through edgesForNodes, whose scan
+    // must carry a PartitionFilter on the pblk layout column — the
+    // pruned read opens only the frontier's buckets
+    val path = operators.KnnGraph.graphPath(spark, dir)
+    if (!operators.KnnGraph.graphFresh(spark, dir, path))
+      operators.KnnGraph.buildGraph(spark, dir, path)
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    val p = operators.KnnGraph.edgesForNodes(spark, path, nodes, "node")
+      .queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.exists(l => l.contains("pblk") && l.contains(" IN ")),
+      s"edge scan must prune on the pblk partition column:\n$p")
+  }
+
   test("q92 exact graph: broadcast corpus side, one per-node window shuffle + output sort") {
     // the exact graph is the correctness twin (the scale path is
     // nnDescent) — but even the twin should scan the corpus ONCE
