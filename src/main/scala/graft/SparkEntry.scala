@@ -256,8 +256,12 @@ object SparkEntry {
       nBatches = 3)),
     // the streaming ANN gate (PqStream.nearDupGate over the persisted
     // planted IVF-PQ index) — q67g's ADC-floor certainty in stream
-    // form; pairs only, no floats at the compared surface
-    "q91_stream_ann"      -> ((s, d) => streaming.StreamHarness.streamAnnGate(s, d)),
+    // form; pairs only, no floats at the compared surface. nBatches=3
+    // (r20, VERDICT r19 item 8): the gate is deliberately zero-state,
+    // so the slices certify the stream-static probe re-planning per
+    // micro-batch rather than state restore
+    "q91_stream_ann"      -> ((s, d) => streaming.StreamHarness.streamAnnGate(s, d,
+      nBatches = 3)),
     "q86_source_roundtrip" -> ((s, d) => sources.SourceHarness.jsonRoundTrip(s, d)),
     "q86b_source_html"    -> ((s, d) => sources.SourceHarness.htmlRoundTrip(s, d)),
     "q86c_source_pipeline" -> ((s, d) => sources.SourceHarness.pipelineRoundTrip(s, d)),

@@ -333,7 +333,8 @@ object KnnGraph {
                                lists: Int = 0, maxIters: Int = 8,
                                sampleR: Int = 0, ringJ: Int = 10,
                                joinScoring: Boolean = false,
-                               modularRing: Boolean = false): DataFrame = {
+                               modularRing: Boolean = false,
+                               slices: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxIters >= 0, s"maxIters must be >= 0: $maxIters")
     // reverse ρ-sample defaults to 2k: the binding recall lever on
@@ -350,6 +351,22 @@ object KnnGraph {
     // would make init pairing quadratic at 100×). Identical to the
     // old fixed 16 at every certified SF (N ≤ 2000 there).
     val nl = if (lists > 0) lists else math.max(16, (n / 125L).toInt)
+    // ROUND SLICING (r20): one descent round's membership + pair
+    // exchanges at 2M nodes are ~100 GB of concurrent shuffle files —
+    // more scratch than one host owns (the r19/r20 100× probe kills),
+    // and even on a cluster an unbounded single-job footprint is the
+    // wrong shape. prune is ASSOCIATIVE (top-k-per-src of a union =
+    // top-k of the parts' top-ks: a row beaten by k distinct-dst
+    // better rows within its part is beaten in the union too, and the
+    // per-dst dedupe keeps cross-slice duplicates collapsing), so the
+    // round processes B(v) groups in `slices` hash-slices of v, each
+    // scored and pruned to ≤ k rows/node then MATERIALIZED — one
+    // slice's shuffle files retire before the next slice runs, so
+    // per-round scratch is bounded by ~1/slices of the pair volume.
+    // Value-identical at any slice count (KnnGraphSpec pins sliced ≡
+    // unsliced); auto-sizing keeps every certified SF at 1 slice
+    // (identical plan) and engages only on 100×-scale corpora.
+    val ns = if (slices > 0) slices else math.max(1, (n / 600000L).toInt)
     // ---- init candidates: cell co-members ∪ hashed ring
     val cents = Vectors.refinedCentroids(e, nl, iters = 0)
     val cells = Vectors.assignCells(e, cents, nProbe = 1,
@@ -423,9 +440,9 @@ object KnnGraph {
       // the array join, so dead groups never ship embeddings at all
       val liveV = b.filter(col("nw")).select("v").distinct()
       val bLive = b.join(liveV, "v")
-      val scored =
+      def scoreSlice(bS: DataFrame): DataFrame =
         if (joinScoring) {
-          val cand = bLive.as("x").join(bLive.as("y"), "v")
+          val cand = bS.as("x").join(bS.as("y"), "v")
             .where(col("x.u") < col("y.u") && (col("x.nw") || col("y.nw")))
             .select(col("x.u").as("a"), col("y.u").as("b"))
             .distinct()
@@ -440,16 +457,32 @@ object KnnGraph {
           // SHUFFLE is O(N·(k+sampleR)) membership rows — the array
           // moves once per membership, not once per candidate pair
           scoreWithinGroupsFlagged(spark,
-            bLive.join(e.select(col("vec_id").as("u"), col("embedding").as("emb")), "u")
+            bS.join(e.select(col("vec_id").as("u"), col("embedding").as("emb")), "u")
               .select(col("v").as("g"), col("u"), col("emb"), col("nw")))
-      val merged = scored.select(col("a").as("src"), col("b").as("dst"), col("sim"))
-        .union(scored.select(col("b").as("src"), col("a").as("dst"), col("sim")))
+      def directed(scored: DataFrame): DataFrame =
+        scored.select(col("a").as("src"), col("b").as("dst"), col("sim"))
+          .union(scored.select(col("b").as("src"), col("a").as("dst"), col("sim")))
+      val partialRdds = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[Row]]()
+      val newScores =
+        if (ns == 1) directed(scoreSlice(bLive))
+        else (0 until ns).map { s =>
+          // each slice prunes to ≤ k rows/node and MATERIALIZES, so
+          // its shuffle files retire before the next slice runs (the
+          // per-round scratch bound; see the `ns` derivation above)
+          val (p, pRdd) = DupGraph.cutLineage(
+            prune(directed(scoreSlice(
+              bLive.filter(pmod(col("v"), lit(ns)) === s))), k), lvl)
+          partialRdds += pRdd
+          p
+        }.reduce(_ union _)
+      val merged = newScores
         .union(edges)
         // reverse edges are FREE candidates (sim already computed);
         // without them a node never learns it is someone's neighbor —
         // the paper's both-sides update (measured +0.09 recall@10 here)
         .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
       val (next, nextRdd) = DupGraph.cutLineage(prune(merged, k), lvl)
+      partialRdds.foreach(_.unpersist(false))
       val (nf, nfRdd) = DupGraph.cutLineage(
         next.select("src", "dst")
           .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti"), lvl)

@@ -60,6 +60,19 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("round slicing is value-identical: slices=3 equals the unsliced descent (r20)") {
+    // prune's associativity claim, pinned: processing each round's
+    // B(v) groups in hash-slices of v (score → per-slice top-k →
+    // merge → final top-k) returns the identical edge frame — the
+    // per-round scratch bound engages only at 100×-scale corpora, so
+    // the equivalence is forced here at slices=3
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val one = operators.KnnGraph.nnDescent(spark, e, k = k, maxIters = 3)
+    val three = operators.KnnGraph.nnDescent(spark, e, k = k, maxIters = 3, slices = 3)
+    assert(one.exceptAll(three).count() == 0 && three.exceptAll(one).count() == 0,
+      "sliced rounds must return the identical edge frame")
+  }
+
   test("in-group scoring is bit-identical to the join-spelling twin (r19 rewrite)") {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val grouped = operators.KnnGraph.nnDescent(spark, e, k = k, maxIters = 3)
