@@ -367,6 +367,41 @@ object KnnGraph {
     // unsliced); auto-sizing keeps every certified SF at 1 slice
     // (identical plan) and engages only on 100×-scale corpora.
     val ns = if (slices > 0) slices else math.max(1, (n / 600000L).toInt)
+    // LEAF-MATERIALIZED rounds (r20, coupled to slicing): cutLineage
+    // keeps the RDD lineage intact BY DESIGN (recompute-on-loss), but
+    // intact lineage also keeps every prior round's ShuffleDependency
+    // reachable — their shuffle files can never be GC'd, so a multi-
+    // round build's scratch footprint is the SUM of all rounds'
+    // exchanges (~100 GB at 2M nodes; both r20 100× probe attempts
+    // filled the host's disk exactly this way, and on a cluster the
+    // same unbounded retention lands on the shuffle service). Above
+    // the slicing threshold each round's slim state (edges, new-edge
+    // set, slice partials) is therefore written to scratch parquet
+    // and read back — a TRUE leaf: recomputable from storage, and the
+    // upstream exchanges become unreachable the moment the write
+    // lands, so the cleaner retires them within its period. Scratch
+    // lives under the warehouse; a round's files are deleted as soon
+    // as the next round's state is on disk, and the final round's
+    // (the returned frame's backing) hands off through the same
+    // registry the in-memory path uses.
+    val leafRounds = ns > 1
+    val scratchRoot =
+      if (!leafRounds) null
+      else spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        "/knn_scratch/" + java.util.UUID.randomUUID().toString
+    var leafSeq = 0
+    def leaf(df: DataFrame): DataFrame = {
+      leafSeq += 1
+      val p = s"$scratchRoot/$leafSeq"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    def dropLeaf(i: Int): Unit =
+      if (leafRounds) {
+        val p = new org.apache.hadoop.fs.Path(s"$scratchRoot/$i")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) { fs.delete(p, true); () }
+      }
     // ---- init candidates: cell co-members ∪ hashed ring
     val cents = Vectors.refinedCentroids(e, nl, iters = 0)
     val cells = Vectors.assignCells(e, cents, nProbe = 1,
@@ -415,10 +450,24 @@ object KnnGraph {
           .union(cellScored.select(col("b").as("src"), col("a").as("dst"), col("sim")))
         prune(cellBoth.union(scoreDirected(spark, e, ringCand)), k)
       }
-    var (edges, edgesRdd) = DupGraph.cutLineage(initEdges, lvl)
-    // new-edge set (r20): every init edge is new; after each prune,
-    // new = (src, dst) pairs absent from the previous round's lists
-    var (freshF, freshRdd) = DupGraph.cutLineage(edges.select("src", "dst"), lvl)
+    // iteration state: edges + the new-edge set (r20 — every init
+    // edge is new; after each prune, new = (src, dst) pairs absent
+    // from the previous round's lists)
+    var edges: DataFrame = null
+    var edgesRdd: org.apache.spark.rdd.RDD[Row] = null
+    var freshF: DataFrame = null
+    var freshRdd: org.apache.spark.rdd.RDD[Row] = null
+    var edgesLeafId = 0
+    var freshLeafId = 0
+    if (leafRounds) {
+      edges = leaf(initEdges); edgesLeafId = leafSeq
+      freshF = edges.select("src", "dst") // init: a projection of the same leaf
+    } else {
+      val (e0, er0) = DupGraph.cutLineage(initEdges, lvl)
+      edges = e0; edgesRdd = er0
+      val (f0, fr0) = DupGraph.cutLineage(edges.select("src", "dst"), lvl)
+      freshF = f0; freshRdd = fr0
+    }
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -462,17 +511,16 @@ object KnnGraph {
       def directed(scored: DataFrame): DataFrame =
         scored.select(col("a").as("src"), col("b").as("dst"), col("sim"))
           .union(scored.select(col("b").as("src"), col("a").as("dst"), col("sim")))
-      val partialRdds = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[Row]]()
+      val partialIds = scala.collection.mutable.ArrayBuffer[Int]()
       val newScores =
         if (ns == 1) directed(scoreSlice(bLive))
         else (0 until ns).map { s =>
-          // each slice prunes to ≤ k rows/node and MATERIALIZES, so
-          // its shuffle files retire before the next slice runs (the
-          // per-round scratch bound; see the `ns` derivation above)
-          val (p, pRdd) = DupGraph.cutLineage(
-            prune(directed(scoreSlice(
-              bLive.filter(pmod(col("v"), lit(ns)) === s))), k), lvl)
-          partialRdds += pRdd
+          // each slice prunes to ≤ k rows/node and lands as a LEAF,
+          // so its exchanges' shuffle files retire before the next
+          // slice runs (the per-round scratch bound; `ns` above)
+          val p = leaf(prune(directed(scoreSlice(
+            bLive.filter(pmod(col("v"), lit(ns)) === s))), k))
+          partialIds += leafSeq
           p
         }.reduce(_ union _)
       val merged = newScores
@@ -481,29 +529,61 @@ object KnnGraph {
         // without them a node never learns it is someone's neighbor —
         // the paper's both-sides update (measured +0.09 recall@10 here)
         .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
-      val (next, nextRdd) = DupGraph.cutLineage(prune(merged, k), lvl)
-      partialRdds.foreach(_.unpersist(false))
-      val (nf, nfRdd) = DupGraph.cutLineage(
-        next.select("src", "dst")
-          .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti"), lvl)
-      val freshCnt = nf.count()
-      edgesRdd.unpersist(false)
-      freshRdd.unpersist(false)
-      edges = next
-      edgesRdd = nextRdd
-      freshF = nf
-      freshRdd = nfRdd
-      converged = freshCnt == 0
+      if (leafRounds) {
+        val next = leaf(prune(merged, k))
+        val nextId = leafSeq
+        val nf = leaf(next.select("src", "dst")
+          .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti"))
+        val nfId = leafSeq
+        val freshCnt = nf.count()
+        // the previous round's files are dead the moment this round's
+        // state is on disk
+        partialIds.foreach(dropLeaf)
+        dropLeaf(edgesLeafId)
+        if (freshLeafId != 0) dropLeaf(freshLeafId)
+        edges = next; edgesLeafId = nextId
+        freshF = nf; freshLeafId = nfId
+        converged = freshCnt == 0
+      } else {
+        val (next, nextRdd) = DupGraph.cutLineage(prune(merged, k), lvl)
+        val (nf, nfRdd) = DupGraph.cutLineage(
+          next.select("src", "dst")
+            .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti"), lvl)
+        val freshCnt = nf.count()
+        edgesRdd.unpersist(false)
+        freshRdd.unpersist(false)
+        edges = next; edgesRdd = nextRdd
+        freshF = nf; freshRdd = nfRdd
+        converged = freshCnt == 0
+      }
       iter += 1
     }
-    freshRdd.unpersist(false)
+    if (freshRdd != null) freshRdd.unpersist(false)
+    if (freshLeafId != 0) dropLeaf(freshLeafId) // the edges leaf alone backs the result
     e.unpersist(false)
     lastEdges.keySet.removeIf(_.sparkContext.isStopped)
-    Option(lastEdges.put(spark, edgesRdd)).foreach { prev =>
-      if (prev ne edgesRdd) prev.unpersist(false)
+    lastScratch.keySet.removeIf(_.sparkContext.isStopped)
+    if (edgesRdd != null)
+      Option(lastEdges.put(spark, edgesRdd)).foreach { prev =>
+        if (prev ne edgesRdd) prev.unpersist(false)
+      }
+    // leaf-round scratch hands off like the RDD registry: the NEXT
+    // descent on this session deletes the previous call's root (which
+    // by now holds only the final edges leaf the returned frame reads)
+    val prevRoot =
+      if (scratchRoot != null) lastScratch.put(spark, scratchRoot)
+      else lastScratch.remove(spark)
+    if (prevRoot != null && prevRoot != scratchRoot) {
+      val p = new org.apache.hadoop.fs.Path(prevRoot)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
     }
     edges
   }
+
+  /** Leaf-round scratch roots per session (lastEdges' pattern). */
+  private val lastScratch =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   private[operators] case class GroupVec(g: Long, u: Long, emb: Array[Float])
   private[operators] case class GroupVecN(g: Long, u: Long, emb: Array[Float], nw: Boolean)
@@ -752,6 +832,17 @@ object KnnGraph {
     val cents = spark.read.parquet(s"$path/centroids")
     val lists = cents.count().toInt
     val cellsDf = spark.read.parquet(s"$path/cells")
+    // size-routed edge source (r20, DupGraph's smallGraphThreshold
+    // discipline): below the bound the whole store persists once —
+    // the per-hop bucket-collect job's scheduling floor dominates a
+    // toy-scale pruned read; above it each hop prune-reads only the
+    // frontier's pblk buckets (the cluster-scale shape, and the one
+    // the 100× probe rows measure)
+    val wholeEdges =
+      if (cellsDf.count() <= wholeEdgeThreshold)
+        Some(spark.read.parquet(s"$path/edges")
+          .select(col("src"), col("dst")).persist(lvl))
+      else None
     val q = queries.select(col("q_id"), col("q_emb")).persist(lvl)
     val qCells = Vectors.assignCells(
         q.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
@@ -792,8 +883,9 @@ object KnnGraph {
       // frontier is ≤ |Q|·beam nodes, so the bucket set is bounded
       // and the hop join opens only those partitions' files instead
       // of scanning the whole edge store per hop
-      val hopEdges = edgesForNodes(spark, path, frontier, "node")
-        .select(col("src"), col("dst"))
+      val hopEdges = wholeEdges.getOrElse(
+        edgesForNodes(spark, path, frontier, "node")
+          .select(col("src"), col("dst")))
       val expand = frontier.join(hopEdges, frontier("node") === hopEdges("src"))
         .select(col("q_id"), col("dst").as("node")).distinct()
         .join(visited.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
@@ -809,6 +901,7 @@ object KnnGraph {
     // the returned plan scans the hop caches, so they hand off
     // through the registry: the NEXT walk on this session releases
     // them (back-to-back walks never accumulate)
+    wholeEdges.foreach(_.unpersist(false))
     q.unpersist(false)
     lastWalk.keySet.removeIf(_.sparkContext.isStopped)
     Option(lastWalk.put(spark, hops.toSeq)).foreach { prev =>
@@ -817,6 +910,11 @@ object KnnGraph {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
     visited.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Below this stored-corpus size the walk persists the whole edge
+    * store instead of prune-reading buckets per hop (see graphWalkOn).
+    */
+  private val wholeEdgeThreshold = 100000L
 
   /** Last walk's hop caches per session (lastEdges' pattern). */
   private val lastWalk =
@@ -891,10 +989,15 @@ object KnnGraph {
     val members = cellsDf.join(touched, "cell").select("vec_id", "cell")
       .union(dCells.select("vec_id", "cell"))
     val all = e.select("vec_id", "embedding").union(d)
-    val scored = scoreWithinGroups(spark,
-      members.join(all, "vec_id")
-        .select(col("cell").cast("long").as("g"), col("vec_id").as("u"),
-          col("embedding").as("emb")))
+    // ONE live copy of the touched-cell scoring (r20): the frame feeds
+    // deltaLists, affBase, affSrcs AND the merge read's bucket collect
+    // — without the registry persist the in-group kernel re-ran once
+    // per consumer (measured 2× on the 10× increment probe)
+    val scored = Curation.registerPersist(spark, "knn_incr_scored",
+      scoreWithinGroups(spark,
+        members.join(all, "vec_id")
+          .select(col("cell").cast("long").as("g"), col("vec_id").as("u"),
+            col("embedding").as("emb"))))
     // keep only pairs with a delta endpoint: base-base pairs in a
     // touched cell are NOT new information (the stored graph already
     // chose among them)
