@@ -417,6 +417,9 @@ object KnnGraph {
     val idx = spark.createDataFrame(
       e.select("vec_id").orderBy("vec_id").rdd.zipWithIndex()
         .map { case (r, i) => Row(r.getLong(0), i) }, idxSchema)
+    // sliced init re-reads the ring per slice — keep the global index
+    // (slim: two longs per node) cached instead of re-sorting per slice
+    if (ns > 1) { idx.persist(lvl); () }
     // modularRing (r20, q93b's build): neighbor index = (idx + j) mod n
     // — an ORACLE-REPLAYABLE stand-in for the hashed pseudo-random
     // ring (DuckDB has no xxhash64), used by the walk-recall entry's
@@ -435,7 +438,7 @@ object KnnGraph {
         .select(col("vec_id").as("src"), col("dst"))
     val initEdges =
       if (joinScoring) scorePruneJoin(e, cellCandJoin.union(ringCand).distinct(), k)
-      else {
+      else if (ns == 1) {
         // in-cell pairs score in-group (arrays move once per (vec_id,
         // cell) membership, never per pair); hash-ring pairs are
         // genuinely directed so they take the one-array-per-pair
@@ -449,6 +452,26 @@ object KnnGraph {
           .select(col("a").as("src"), col("b").as("dst"), col("sim"))
           .union(cellScored.select(col("b").as("src"), col("a").as("dst"), col("sim")))
         prune(cellBoth.union(scoreDirected(spark, e, ringCand)), k)
+      } else {
+        // INIT is sliced + leafed too (r20): its one prune's input is
+        // ~N·cellSize pair rows — the same unbounded-footprint shape
+        // as a descent round (the third 100× attempt died HERE, with
+        // the rounds already bounded). Cells slice by pmod(cell, ns),
+        // ring pairs by pmod(src, ns); prune's associativity makes
+        // the partial-then-final composition value-identical (the
+        // slices=3 spec pin covers init through the same law).
+        val parts = (0 until ns).map { s =>
+          val cellMembS = cells.filter(pmod(col("cell"), lit(ns)) === s)
+            .join(e, "vec_id")
+            .select(col("cell").cast("long").as("g"), col("vec_id").as("u"),
+              col("embedding").as("emb"))
+          val cs = scoreWithinGroups(spark, cellMembS)
+          val both = cs.select(col("a").as("src"), col("b").as("dst"), col("sim"))
+            .union(cs.select(col("b").as("src"), col("a").as("dst"), col("sim")))
+          val ringS = ringCand.filter(pmod(col("src"), lit(ns)) === s)
+          leaf(prune(both.union(scoreDirected(spark, e, ringS)), k))
+        }
+        prune(parts.reduce(_ union _), k)
       }
     // iteration state: edges + the new-edge set (r20 — every init
     // edge is new; after each prune, new = (src, dst) pairs absent
@@ -461,6 +484,8 @@ object KnnGraph {
     var freshLeafId = 0
     if (leafRounds) {
       edges = leaf(initEdges); edgesLeafId = leafSeq
+      (1 until edgesLeafId).foreach(dropLeaf) // init's slice partials are dead
+      idx.unpersist(false)
       freshF = edges.select("src", "dst") // init: a projection of the same leaf
     } else {
       val (e0, er0) = DupGraph.cutLineage(initEdges, lvl)

@@ -81,7 +81,11 @@ object ScaleProbe {
     // (walk / increment steady state over the 2M persisted graph, then
     // the descent BUILD row itself), and the new q92g indexed-clusters
     // steady state.
-    val only20 = args.contains("r20")
+    val only20 = args.contains("r20") || args.contains("r20b")
+    // `r20b`: only the 100x section of r20 (the 1x/10x rows of an
+    // earlier same-binary invocation stand; re-running them costs
+    // ~15 min of an idle window)
+    val only20b = args.contains("r20b")
     if (!only15 && !only16 && !only17 && !only18 && !only19 && !only19c && !only20) Seq(src, dst).foreach { d =>
       time("q01 sessionize ", d)(Sessions.temporalSessions(spark, _))
       time("q01b chunked   ", d)(Sessions.sessionizedChunked(spark, _))
@@ -394,12 +398,12 @@ object ScaleProbe {
         println(f"$name @ $d: ${(System.nanoTime() - t0) / 1e9}%.2fs (one pass)")
       }
       val off = 1000000000L
-      Seq(src, dst, dst100).foreach { d =>
+      (if (only20b) Seq(dst100) else Seq(src, dst, dst100)).foreach { d =>
         time("q93 walk       ", d)(KnnGraph.graphWalkGate(spark, _, idOffset = off))
         time("q92f increment ", d)(KnnGraph.knnIncrementGate(spark, _, idOffset = off))
         time("q92g idx clust ", d)(KnnGraph.semanticClustersIndexedGate(spark, _, idOffset = off))
       }
-      Seq(src, dst).foreach { d =>
+      (if (only20b) Seq.empty[String] else Seq(src, dst)).foreach { d =>
         once20("q92b descent   ", d)(KnnGraph.nnDescentGate(spark, _, idOffset = off))
         once20("q92e clusters  ", d)(KnnGraph.semanticClustersDescentGate(spark, _, idOffset = off))
       }
