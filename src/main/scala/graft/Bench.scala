@@ -36,6 +36,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", warehouse)
+      // Post-shuffle partition count follows DATA SIZE, not core count
+      // (r21, guide §2.2): parallelismFirst=true (the default) tells
+      // AQE to keep ≥ defaultParallelism partitions even when the
+      // shuffle is a few KB, so every tiny exchange at local[32] ran
+      // 32 near-empty tasks — measured 6.9s → 0.5s on q93's hop
+      // expansion (tools/WalkPhaseProbe). false is also the
+      // scale-correct production setting: partitions target
+      // advisoryPartitionSizeInBytes (64 MB default), which a 100 TB
+      // shuffle would exceed anyway — this is not a local-only tune.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // interleaved passes revisit each query's generated classes
       // minutes apart; the default 100-entry codegen cache evicts
       // them in between (58 queries x several stages), so every pass

@@ -17,6 +17,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // post-shuffle partition count follows DATA SIZE
+      // (advisoryPartitionSizeInBytes), not core count — see
+      // Bench.scala's justification (r21, guide §2.2)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
 
   def getOrCreate(master: String = "local[*]"): SparkSession = {
     val spark = builder(master).getOrCreate()

@@ -90,6 +90,59 @@ object KnnGraph {
   private val lastEdges =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, org.apache.spark.rdd.RDD[Row]]()
 
+  /** One live, MATERIALIZED copy of an expensive gate frame per
+    * (context, key) — the q77/q92c registerPersist discipline extended
+    * to computations that are EAGER (the descent loop, the increment's
+    * bucket collect) and therefore can't rely on CacheManager's
+    * plan-probe alone: by the time registerPersist could notice the
+    * plan matches a cached copy, the loop has already re-run. VERDICT
+    * r20 item 3 measured the cost: q92b/q92e ran the IDENTICAL
+    * `nnDescent(corpus, k=10, maxIters=2)` twice per bench pass, and
+    * q92f/q92g the identical `knnGraphIncrementOn` — ~6-8s/pass of
+    * duplicated work for bit-identical frames.
+    *
+    * Freshness is validated on EVERY reuse, never assumed:
+    *   - each dependency frame's analyzed plan must be `sameResult`
+    *     with the one the copy was computed from (a different sf dir,
+    *     a registerOverride source swap, or changed params all produce
+    *     a different plan and fall through to a fresh compute);
+    *   - `token` must match (callers pass the persisted-index
+    *     watermark here, so an index rebuild invalidates the copy);
+    *   - the CacheManager entry must still exist (external eviction —
+    *     clearCache in a test — falls through, registerPersist's own
+    *     probe rule).
+    * The copy is materialized via count() before it is ever shared:
+    * the frame nnDescent returns is backed by the lastEdges/
+    * lastScratch handoff registries, which the NEXT descent on the
+    * session invalidates (ADVICE r20) — a lazily-cached copy could
+    * lose partitions and recompute against deleted scratch; a fully
+    * materialized MEMORY_AND_DISK copy never re-reads its backing.
+    */
+  private val sharedFrames =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.SparkContext, String),
+      (Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan], String, DataFrame)]()
+
+  private def sharedGateFrame(spark: SparkSession, key: String,
+                              deps: Seq[DataFrame], token: String = "")
+                             (compute: => DataFrame): DataFrame = {
+    sharedFrames.keySet.removeIf(_._1.isStopped)
+    val ck = (spark.sparkContext, key)
+    val depPlans = deps.map(_.queryExecution.analyzed)
+    Option(sharedFrames.get(ck)) match {
+      case Some((plans, tok, f)) if tok == token &&
+          plans.length == depPlans.length &&
+          plans.zip(depPlans).forall { case (a, b) => a.sameResult(b) } &&
+          spark.sharedState.cacheManager.lookupCachedData(
+            f.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isDefined => f
+      case _ =>
+        val f = Curation.registerPersist(spark, key, compute)
+        f.count() // materialize before the backing handoff can invalidate
+        sharedFrames.put(ck, (depPlans, token, f))
+        f
+    }
+  }
+
   /** Exact per-node top-k over an (vec_id, embedding) frame:
     * (vec_id, nb_id, sim, rk), rank by (6dp cosine DESC, nb_id ASC) —
     * deterministic under any partitioning, q16's ranking rule.
@@ -323,6 +376,15 @@ object KnnGraph {
     * lists via (sim DESC, dst ASC) top-k. Lists only improve:
     * merge-then-prune means a node's kept neighbor is displaced only
     * by a strictly better one (the monotonicity KnnGraphSpec pins).
+    *
+    * LIFECYCLE (ADVICE r20): the returned frame is backed by the
+    * lastEdges/lastScratch handoff registries, which the NEXT descent
+    * on the same session invalidates — in leaf mode by DELETING the
+    * backing parquet (a later read then fails, it does not recompute
+    * like the RDD path). Callers that hold the result across a
+    * subsequent descent must materialize it first (persist + count, or
+    * write it out) — the gate entries do exactly that through
+    * sharedGateFrame.
     * Convergence = an empty new-edge set after the prune — with
     * merged ⊇ edges, a list can only change by admitting a new edge,
     * so zero new edges ⇔ the (src, dst) set (and, sim being a pure
@@ -402,213 +464,247 @@ object KnnGraph {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) { fs.delete(p, true); () }
       }
-    // ---- init candidates: cell co-members ∪ hashed ring
-    val cents = Vectors.refinedCentroids(e, nl, iters = 0)
-    val cells = Vectors.assignCells(e, cents, nProbe = 1,
-        nCoarse = Vectors.autoCoarse(nl))
-      .select("vec_id", "cell")
-    def cellCandJoin = cells.as("ca").join(cells.as("cb"), "cell")
-      .where(col("ca.vec_id") =!= col("cb.vec_id"))
-      .select(col("ca.vec_id").as("src"), col("cb.vec_id").as("dst"))
-    // deterministic global index by id order (sort + zip — no
-    // single-partition window; survives any partitioning)
-    val idxSchema = StructType(Seq(
-      StructField("vec_id", LongType), StructField("idx", LongType)))
-    val idx = spark.createDataFrame(
-      e.select("vec_id").orderBy("vec_id").rdd.zipWithIndex()
-        .map { case (r, i) => Row(r.getLong(0), i) }, idxSchema)
-    // sliced init re-reads the ring per slice — keep the global index
-    // (slim: two longs per node) cached instead of re-sorting per slice
-    if (ns > 1) { idx.persist(lvl); () }
-    // modularRing (r20, q93b's build): neighbor index = (idx + j) mod n
-    // — an ORACLE-REPLAYABLE stand-in for the hashed pseudo-random
-    // ring (DuckDB has no xxhash64), used by the walk-recall entry's
-    // zero-iteration graph so the whole build replays in SQL. Same
-    // inter-cell connectivity role; never the descent default.
-    val ringCand =
-      if (ringJ <= 0 || n < 2) spark.emptyDataFrame
-        .select(lit(0L).as("src"), lit(0L).as("dst")).limit(0)
-      else idx
-        .withColumn("j", explode(array((1 to ringJ).map(lit(_)): _*)))
-        .withColumn("nb_idx",
-          if (modularRing) pmod(col("idx") + col("j"), lit(n))
-          else pmod(col("idx") + 1 + pmod(xxhash64(col("vec_id"), col("j")), lit(n - 1)), lit(n)))
-        .where(col("nb_idx") =!= col("idx"))
-        .join(idx.select(col("idx").as("nb_idx"), col("vec_id").as("dst")), "nb_idx")
-        .select(col("vec_id").as("src"), col("dst"))
-    val initEdges =
-      if (joinScoring) scorePruneJoin(e, cellCandJoin.union(ringCand).distinct(), k)
-      else if (ns == 1) {
-        // in-cell pairs score in-group (arrays move once per (vec_id,
-        // cell) membership, never per pair); hash-ring pairs are
-        // genuinely directed so they take the one-array-per-pair
-        // directed scorer. Both directions of a cell pair reach the
-        // prune, matching the join twin's candidate set exactly.
-        val cellMemb = cells.join(e, "vec_id")
-          .select(col("cell").cast("long").as("g"), col("vec_id").as("u"),
-            col("embedding").as("emb"))
-        val cellScored = scoreWithinGroups(spark, cellMemb)
-        val cellBoth = cellScored
-          .select(col("a").as("src"), col("b").as("dst"), col("sim"))
-          .union(cellScored.select(col("b").as("src"), col("a").as("dst"), col("sim")))
-        prune(cellBoth.union(scoreDirected(spark, e, ringCand)), k)
-      } else {
-        // INIT is sliced + leafed too (r20): its one prune's input is
-        // ~N·cellSize pair rows — the same unbounded-footprint shape
-        // as a descent round (the third 100× attempt died HERE, with
-        // the rounds already bounded). Cells slice by pmod(cell, ns),
-        // ring pairs by pmod(src, ns); prune's associativity makes
-        // the partial-then-final composition value-identical (the
-        // slices=3 spec pin covers init through the same law).
-        val parts = (0 until ns).map { s =>
-          val cellMembS = cells.filter(pmod(col("cell"), lit(ns)) === s)
-            .join(e, "vec_id")
+    try {
+      // ---- init candidates: cell co-members ∪ hashed ring
+      val cents = Vectors.refinedCentroids(e, nl, iters = 0)
+      val cells = Vectors.assignCells(e, cents, nProbe = 1,
+          nCoarse = Vectors.autoCoarse(nl))
+        .select("vec_id", "cell")
+      def cellCandJoin = cells.as("ca").join(cells.as("cb"), "cell")
+        .where(col("ca.vec_id") =!= col("cb.vec_id"))
+        .select(col("ca.vec_id").as("src"), col("cb.vec_id").as("dst"))
+      // deterministic global index by id order (sort + zip — no
+      // single-partition window; survives any partitioning)
+      val idxSchema = StructType(Seq(
+        StructField("vec_id", LongType), StructField("idx", LongType)))
+      val idx = spark.createDataFrame(
+        e.select("vec_id").orderBy("vec_id").rdd.zipWithIndex()
+          .map { case (r, i) => Row(r.getLong(0), i) }, idxSchema)
+      // sliced init re-reads the ring per slice — keep the global index
+      // (slim: two longs per node) cached instead of re-sorting per slice
+      if (ns > 1) { idx.persist(lvl); () }
+      // modularRing (r20, q93b's build): neighbor index = (idx + j) mod n
+      // — an ORACLE-REPLAYABLE stand-in for the hashed pseudo-random
+      // ring (DuckDB has no xxhash64), used by the walk-recall entry's
+      // zero-iteration graph so the whole build replays in SQL. Same
+      // inter-cell connectivity role; never the descent default.
+      val ringCand =
+        if (ringJ <= 0 || n < 2) spark.emptyDataFrame
+          .select(lit(0L).as("src"), lit(0L).as("dst")).limit(0)
+        else idx
+          .withColumn("j", explode(array((1 to ringJ).map(lit(_)): _*)))
+          .withColumn("nb_idx",
+            if (modularRing) pmod(col("idx") + col("j"), lit(n))
+            else pmod(col("idx") + 1 + pmod(xxhash64(col("vec_id"), col("j")), lit(n - 1)), lit(n)))
+          .where(col("nb_idx") =!= col("idx"))
+          .join(idx.select(col("idx").as("nb_idx"), col("vec_id").as("dst")), "nb_idx")
+          .select(col("vec_id").as("src"), col("dst"))
+      val initEdges =
+        if (joinScoring) scorePruneJoin(e, cellCandJoin.union(ringCand).distinct(), k)
+        else if (ns == 1) {
+          // in-cell pairs score in-group (arrays move once per (vec_id,
+          // cell) membership, never per pair); hash-ring pairs are
+          // genuinely directed so they take the one-array-per-pair
+          // directed scorer. Both directions of a cell pair reach the
+          // prune, matching the join twin's candidate set exactly.
+          val cellMemb = cells.join(e, "vec_id")
             .select(col("cell").cast("long").as("g"), col("vec_id").as("u"),
               col("embedding").as("emb"))
-          val cs = scoreWithinGroups(spark, cellMembS)
-          val both = cs.select(col("a").as("src"), col("b").as("dst"), col("sim"))
-            .union(cs.select(col("b").as("src"), col("a").as("dst"), col("sim")))
-          val ringS = ringCand.filter(pmod(col("src"), lit(ns)) === s)
-          leaf(prune(both.union(scoreDirected(spark, e, ringS)), k))
+          val cellScored = scoreWithinGroups(spark, cellMemb)
+          val cellBoth = cellScored
+            .select(col("a").as("src"), col("b").as("dst"), col("sim"))
+            .union(cellScored.select(col("b").as("src"), col("a").as("dst"), col("sim")))
+          prune(cellBoth.union(scoreDirected(spark, e, ringCand)), k)
+        } else {
+          // INIT is sliced + leafed too (r20): its one prune's input is
+          // ~N·cellSize pair rows — the same unbounded-footprint shape
+          // as a descent round (the third 100× attempt died HERE, with
+          // the rounds already bounded). Cells slice by pmod(cell, ns),
+          // ring pairs by pmod(src, ns); prune's associativity makes
+          // the partial-then-final composition value-identical (the
+          // slices=3 spec pin covers init through the same law).
+          val parts = (0 until ns).map { s =>
+            val cellMembS = cells.filter(pmod(col("cell"), lit(ns)) === s)
+              .join(e, "vec_id")
+              .select(col("cell").cast("long").as("g"), col("vec_id").as("u"),
+                col("embedding").as("emb"))
+            val cs = scoreWithinGroups(spark, cellMembS)
+            val both = cs.select(col("a").as("src"), col("b").as("dst"), col("sim"))
+              .union(cs.select(col("b").as("src"), col("a").as("dst"), col("sim")))
+            val ringS = ringCand.filter(pmod(col("src"), lit(ns)) === s)
+            leaf(prune(both.union(scoreDirected(spark, e, ringS)), k))
+          }
+          prune(parts.reduce(_ union _), k)
         }
-        prune(parts.reduce(_ union _), k)
-      }
-    // iteration state: edges + the new-edge set (r20 — every init
-    // edge is new; after each prune, new = (src, dst) pairs absent
-    // from the previous round's lists)
-    var edges: DataFrame = null
-    var edgesRdd: org.apache.spark.rdd.RDD[Row] = null
-    var freshF: DataFrame = null
-    var freshRdd: org.apache.spark.rdd.RDD[Row] = null
-    var edgesLeafId = 0
-    var freshLeafId = 0
-    if (leafRounds) {
-      edges = leaf(initEdges); edgesLeafId = leafSeq
-      (1 until edgesLeafId).foreach(dropLeaf) // init's slice partials are dead
-      idx.unpersist(false)
-      freshF = edges.select("src", "dst") // init: a projection of the same leaf
-    } else {
-      val (e0, er0) = DupGraph.cutLineage(initEdges, lvl)
-      edges = e0; edgesRdd = er0
-      val (f0, fr0) = DupGraph.cutLineage(edges.select("src", "dst"), lvl)
-      freshF = f0; freshRdd = fr0
-    }
-    var iter = 0
-    var converged = false
-    while (iter < maxIters && !converged) {
-      val flagged = edges
-        .join(freshF.withColumn("nwm", lit(true)), Seq("src", "dst"), "left")
-        .select(col("src"), col("dst"), coalesce(col("nwm"), lit(false)).as("nw"))
-      val fwd = flagged.select(col("src").as("v"), col("dst").as("u"), col("nw"))
-      val rev = flagged.select(col("dst").as("v"), col("src").as("u"), col("nw"))
-      val wr = Window.partitionBy("v").orderBy(col("h"), col("u"))
-      val revS = rev.withColumn("h", xxhash64(col("u"), lit(iter)))
-        .withColumn("r", row_number().over(wr))
-        .filter(col("r") <= sr)
-        .select("v", "u", "nw")
-      // same (v, u) set as the unflagged union+distinct; a member
-      // reached both ways (forward AND sampled reverse) is new if
-      // EITHER edge is — the safe over-approximation
-      val b = fwd.union(revS).groupBy("v", "u").agg(max("nw").as("nw"))
-      // groups with no new member generate no pairs — drop them BEFORE
-      // the array join, so dead groups never ship embeddings at all
-      val liveV = b.filter(col("nw")).select("v").distinct()
-      val bLive = b.join(liveV, "v")
-      def scoreSlice(bS: DataFrame): DataFrame =
-        if (joinScoring) {
-          val cand = bS.as("x").join(bS.as("y"), "v")
-            .where(col("x.u") < col("y.u") && (col("x.nw") || col("y.nw")))
-            .select(col("x.u").as("a"), col("y.u").as("b"))
-            .distinct()
-          cand
-            .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
-            .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
-            .withColumn("sim", round(expr("cosine_sim(va, vb)"), 6))
-            .select("a", "b", "sim")
-        } else
-          // B(v) is bounded at k+sampleR members by construction, so
-          // the group pair loop is O((k+sampleR)²) per node while the
-          // SHUFFLE is O(N·(k+sampleR)) membership rows — the array
-          // moves once per membership, not once per candidate pair
-          scoreWithinGroupsFlagged(spark,
-            bS.join(e.select(col("vec_id").as("u"), col("embedding").as("emb")), "u")
-              .select(col("v").as("g"), col("u"), col("emb"), col("nw")))
-      def directed(scored: DataFrame): DataFrame =
-        scored.select(col("a").as("src"), col("b").as("dst"), col("sim"))
-          .union(scored.select(col("b").as("src"), col("a").as("dst"), col("sim")))
-      val partialIds = scala.collection.mutable.ArrayBuffer[Int]()
-      val newScores =
-        if (ns == 1) directed(scoreSlice(bLive))
-        else (0 until ns).map { s =>
-          // each slice prunes to ≤ k rows/node and lands as a LEAF,
-          // so its exchanges' shuffle files retire before the next
-          // slice runs (the per-round scratch bound; `ns` above)
-          val p = leaf(prune(directed(scoreSlice(
-            bLive.filter(pmod(col("v"), lit(ns)) === s))), k))
-          partialIds += leafSeq
-          p
-        }.reduce(_ union _)
-      val merged = newScores
-        .union(edges)
-        // reverse edges are FREE candidates (sim already computed);
-        // without them a node never learns it is someone's neighbor —
-        // the paper's both-sides update (measured +0.09 recall@10 here)
-        .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+      // iteration state: edges + the new-edge set (r20 — every init
+      // edge is new; after each prune, new = (src, dst) pairs absent
+      // from the previous round's lists)
+      var edges: DataFrame = null
+      var edgesRdd: org.apache.spark.rdd.RDD[Row] = null
+      var freshF: DataFrame = null
+      var freshRdd: org.apache.spark.rdd.RDD[Row] = null
+      var edgesLeafId = 0
+      var freshLeafId = 0
       if (leafRounds) {
-        val next = leaf(prune(merged, k))
-        val nextId = leafSeq
-        val nf = leaf(next.select("src", "dst")
-          .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti"))
-        val nfId = leafSeq
-        val freshCnt = nf.count()
-        // the previous round's files are dead the moment this round's
-        // state is on disk
-        partialIds.foreach(dropLeaf)
-        dropLeaf(edgesLeafId)
-        if (freshLeafId != 0) dropLeaf(freshLeafId)
-        edges = next; edgesLeafId = nextId
-        freshF = nf; freshLeafId = nfId
-        converged = freshCnt == 0
+        edges = leaf(initEdges); edgesLeafId = leafSeq
+        (1 until edgesLeafId).foreach(dropLeaf) // init's slice partials are dead
+        idx.unpersist(false)
+        // ADVICE r20: with edgesRdd null the end-of-loop handoff skips
+        // lastEdges — a previous NON-leaf descent's cached RDD would
+        // otherwise stay persisted across this (large) leaf-mode build
+        Option(lastEdges.remove(spark)).foreach(_.unpersist(false))
+        freshF = edges.select("src", "dst") // init: a projection of the same leaf
       } else {
-        val (next, nextRdd) = DupGraph.cutLineage(prune(merged, k), lvl)
-        val (nf, nfRdd) = DupGraph.cutLineage(
-          next.select("src", "dst")
-            .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti"), lvl)
-        val freshCnt = nf.count()
-        edgesRdd.unpersist(false)
-        freshRdd.unpersist(false)
-        edges = next; edgesRdd = nextRdd
-        freshF = nf; freshRdd = nfRdd
-        converged = freshCnt == 0
+        val (e0, er0) = DupGraph.cutLineage(initEdges, lvl)
+        edges = e0; edgesRdd = er0
+        val (f0, fr0) = DupGraph.cutLineage(edges.select("src", "dst"), lvl)
+        freshF = f0; freshRdd = fr0
       }
-      iter += 1
-    }
-    if (freshRdd != null) freshRdd.unpersist(false)
-    if (freshLeafId != 0) dropLeaf(freshLeafId) // the edges leaf alone backs the result
-    e.unpersist(false)
-    lastEdges.keySet.removeIf(_.sparkContext.isStopped)
-    lastScratch.keySet.removeIf(_.sparkContext.isStopped)
-    if (edgesRdd != null)
-      Option(lastEdges.put(spark, edgesRdd)).foreach { prev =>
-        if (prev ne edgesRdd) prev.unpersist(false)
+      var iter = 0
+      var converged = false
+      while (iter < maxIters && !converged) {
+        val flagged = edges
+          .join(freshF.withColumn("nwm", lit(true)), Seq("src", "dst"), "left")
+          .select(col("src"), col("dst"), coalesce(col("nwm"), lit(false)).as("nw"))
+        val fwd = flagged.select(col("src").as("v"), col("dst").as("u"), col("nw"))
+        val rev = flagged.select(col("dst").as("v"), col("src").as("u"), col("nw"))
+        val wr = Window.partitionBy("v").orderBy(col("h"), col("u"))
+        val revS = rev.withColumn("h", xxhash64(col("u"), lit(iter)))
+          .withColumn("r", row_number().over(wr))
+          .filter(col("r") <= sr)
+          .select("v", "u", "nw")
+        // same (v, u) set as the unflagged union+distinct; a member
+        // reached both ways (forward AND sampled reverse) is new if
+        // EITHER edge is — the safe over-approximation
+        val b = fwd.union(revS).groupBy("v", "u").agg(max("nw").as("nw"))
+        // groups with no new member generate no pairs — drop them BEFORE
+        // the array join, so dead groups never ship embeddings at all
+        val liveV = b.filter(col("nw")).select("v").distinct()
+        val bLive = b.join(liveV, "v")
+        def scoreSlice(bS: DataFrame): DataFrame =
+          if (joinScoring) {
+            val cand = bS.as("x").join(bS.as("y"), "v")
+              .where(col("x.u") < col("y.u") && (col("x.nw") || col("y.nw")))
+              .select(col("x.u").as("a"), col("y.u").as("b"))
+              .distinct()
+            cand
+              .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+              .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
+              .withColumn("sim", round(expr("cosine_sim(va, vb)"), 6))
+              .select("a", "b", "sim")
+          } else
+            // B(v) is bounded at k+sampleR members by construction, so
+            // the group pair loop is O((k+sampleR)²) per node while the
+            // SHUFFLE is O(N·(k+sampleR)) membership rows — the array
+            // moves once per membership, not once per candidate pair
+            scoreWithinGroupsFlagged(spark,
+              bS.join(e.select(col("vec_id").as("u"), col("embedding").as("emb")), "u")
+                .select(col("v").as("g"), col("u"), col("emb"), col("nw")))
+        def directed(scored: DataFrame): DataFrame =
+          scored.select(col("a").as("src"), col("b").as("dst"), col("sim"))
+            .union(scored.select(col("b").as("src"), col("a").as("dst"), col("sim")))
+        val partialIds = scala.collection.mutable.ArrayBuffer[Int]()
+        val newScores =
+          if (ns == 1) directed(scoreSlice(bLive))
+          else (0 until ns).map { s =>
+            // each slice prunes to ≤ k rows/node and lands as a LEAF,
+            // so its exchanges' shuffle files retire before the next
+            // slice runs (the per-round scratch bound; `ns` above)
+            val p = leaf(prune(directed(scoreSlice(
+              bLive.filter(pmod(col("v"), lit(ns)) === s))), k))
+            partialIds += leafSeq
+            p
+          }.reduce(_ union _)
+        val merged = newScores
+          .union(edges)
+          // reverse edges are FREE candidates (sim already computed);
+          // without them a node never learns it is someone's neighbor —
+          // the paper's both-sides update (measured +0.09 recall@10 here)
+          .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+        if (leafRounds) {
+          val next = leaf(prune(merged, k))
+          val nextId = leafSeq
+          val nf = leaf(next.select("src", "dst")
+            .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti"))
+          val nfId = leafSeq
+          val freshCnt = nf.count()
+          // the previous round's files are dead the moment this round's
+          // state is on disk
+          partialIds.foreach(dropLeaf)
+          dropLeaf(edgesLeafId)
+          if (freshLeafId != 0) dropLeaf(freshLeafId)
+          edges = next; edgesLeafId = nextId
+          freshF = nf; freshLeafId = nfId
+          converged = freshCnt == 0
+        } else {
+          val (next, nextRdd) = DupGraph.cutLineage(prune(merged, k), lvl)
+          val (nf, nfRdd) = DupGraph.cutLineage(
+            next.select("src", "dst")
+              .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti"), lvl)
+          val freshCnt = nf.count()
+          edgesRdd.unpersist(false)
+          freshRdd.unpersist(false)
+          edges = next; edgesRdd = nextRdd
+          freshF = nf; freshRdd = nfRdd
+          converged = freshCnt == 0
+        }
+        iter += 1
       }
-    // leaf-round scratch hands off like the RDD registry: the NEXT
-    // descent on this session deletes the previous call's root (which
-    // by now holds only the final edges leaf the returned frame reads)
-    val prevRoot =
-      if (scratchRoot != null) lastScratch.put(spark, scratchRoot)
-      else lastScratch.remove(spark)
-    if (prevRoot != null && prevRoot != scratchRoot) {
-      val p = new org.apache.hadoop.fs.Path(prevRoot)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) { fs.delete(p, true); () }
+      if (freshRdd != null) freshRdd.unpersist(false)
+      if (freshLeafId != 0) dropLeaf(freshLeafId) // the edges leaf alone backs the result
+      e.unpersist(false)
+      lastEdges.keySet.removeIf(_.sparkContext.isStopped)
+      // ADVICE r20: evicting a stopped session's entry must also
+      // delete its on-disk root, or abandoned scratch compounds disk
+      // pressure at exactly the scale where leaf mode engages
+      val scIt = lastScratch.entrySet().iterator()
+      while (scIt.hasNext) {
+        val en = scIt.next()
+        if (en.getKey.sparkContext.isStopped) {
+          deleteRootQuietly(spark, en.getValue)
+          scIt.remove()
+        }
+      }
+      if (edgesRdd != null)
+        Option(lastEdges.put(spark, edgesRdd)).foreach { prev =>
+          if (prev ne edgesRdd) prev.unpersist(false)
+        }
+      // leaf-round scratch hands off like the RDD registry: the NEXT
+      // descent on this session deletes the previous call's root (which
+      // by now holds only the final edges leaf the returned frame reads)
+      val prevRoot =
+        if (scratchRoot != null) lastScratch.put(spark, scratchRoot)
+        else lastScratch.remove(spark)
+      if (prevRoot != null && prevRoot != scratchRoot) {
+        val p = new org.apache.hadoop.fs.Path(prevRoot)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) { fs.delete(p, true); () }
+      }
+      edges
+    } catch {
+      case t: Throwable =>
+        // ADVICE r20: a failure mid-build must not leak the scratch
+        // root — leaf rounds exist to BOUND disk, and an abandoned
+        // root compounds pressure at exactly the scale they engage.
+        // (The success path hands the root to lastScratch instead.)
+        if (scratchRoot != null) deleteRootQuietly(spark, scratchRoot)
+        throw t
     }
-    edges
   }
 
   /** Leaf-round scratch roots per session (lastEdges' pattern). */
   private val lastScratch =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Best-effort recursive delete of a scratch root (failure cleanup +
+    * stopped-session eviction — never fatal to the caller).
+    */
+  private def deleteRootQuietly(spark: SparkSession, root: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    } catch { case _: Throwable => () }
 
   private[operators] case class GroupVec(g: Long, u: Long, emb: Array[Float])
   private[operators] case class GroupVecN(g: Long, u: Long, emb: Array[Float], nw: Boolean)
@@ -635,7 +731,11 @@ object KnnGraph {
       base.filter(col("vec_id") < nPlanted)
         .select((col("vec_id") + idOffset).as("vec_id"), col("embedding")))
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
-    nnDescent(spark, corpus, k = k, maxIters = maxIters, sampleR = sampleR)
+    // one live descent per (corpus, params) — q92e runs the IDENTICAL
+    // call on the identical corpus (VERDICT r20 item 3); the shared
+    // frame is bit-identical, so both entries' results are unchanged
+    sharedGateFrame(spark, s"knn_descent:k=$k,it=$maxIters,sr=$sampleR", Seq(corpus))(
+        nnDescent(spark, corpus, k = k, maxIters = maxIters, sampleR = sampleR))
       .filter(col("src") >= idOffset)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
@@ -669,7 +769,11 @@ object KnnGraph {
     val corpus = base.union(
       base.filter(col("vec_id") < nPlanted)
         .select((col("vec_id") + idOffset).as("vec_id"), col("embedding")))
-    val edges = nnDescent(spark, corpus, k = k, maxIters = maxIters)
+    // shares q92b's descent frame — identical call, identical corpus,
+    // identical key (sampleR defaults to 0 there too); see
+    // sharedGateFrame for the freshness rules
+    val edges = sharedGateFrame(spark, s"knn_descent:k=$k,it=$maxIters,sr=0", Seq(corpus))(
+      nnDescent(spark, corpus, k = k, maxIters = maxIters))
     val mutual = edges.as("x").join(edges.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
       .where(col("x.src") < col("x.dst") && col("x.sim") >= minSim)
@@ -888,13 +992,24 @@ object KnnGraph {
       .join(cellEntries.select("q_id").distinct(), Seq("q_id"), "left_anti")
       .crossJoin(broadcast(cellsDf.agg(min("vec_id").as("node"))))
     val entries = score(cellEntries.union(orphaned)).persist(lvl)
-    // ONE job per hop (r19 tuning): each hop's new scores cache fully
-    // via count() — the count IS the growth check — and `visited`
-    // stays a lazy union over the ≤ maxHops+1 cached hop frames
-    // instead of a re-persisted frame per hop (the earlier limit(1)
-    // probe materialized the cache only partially, so the expand
-    // chain ran twice per hop, and each hop serialized two jobs —
-    // measured 24s for a 20-query walk; this shape is ~4 jobs total).
+    // Hop materialization is SIZE-ROUTED (r21, guide §1.2 — fewer
+    // passes/actions):
+    //   - pruned path (big corpora): ONE job per hop — the per-hop
+    //     count IS the growth check, and edgesForNodes' bucket collect
+    //     needs the frontier materialized anyway (r19 tuning: the
+    //     earlier limit(1) probe shape serialized two jobs per hop,
+    //     measured 24s for a 20-query walk).
+    //   - wholeEdges path (below wholeEdgeThreshold): NO per-hop
+    //     action at all — every hop frame persists LAZILY and the
+    //     caller's single action materializes the whole walk (caches
+    //     fill on first use and later references within the same
+    //     action read them). The early-stop check is dropped there:
+    //     maxHops is a small bound, a converged walk's extra hop is an
+    //     empty frontier joining empty expansions (zero rows, zero
+    //     cost), and the final top-k over visited is IDENTICAL. The
+    //     per-hop count jobs were the walk's dominant cost at toy
+    //     scale — ~37 scheduled jobs per q93 invocation
+    //     (tools/WalkPhaseProbe, r21), all over sub-MB frames.
     val hops = scala.collection.mutable.ArrayBuffer[DataFrame](entries)
     var visited = entries
     var latest = entries
@@ -915,7 +1030,7 @@ object KnnGraph {
         .select(col("q_id"), col("dst").as("node")).distinct()
         .join(visited.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
       val fresh = score(expand).persist(lvl)
-      grew = fresh.count() > 0
+      if (wholeEdges.isEmpty) grew = fresh.count() > 0
       if (grew) {
         hops += fresh
         visited = visited.union(fresh)
@@ -1049,6 +1164,18 @@ object KnnGraph {
     untouchedEdges.union(merged).union(deltaLists)
   }
 
+  /** One live increment frame per (stored graph, delta, k) — q92f and
+    * q92g run the IDENTICAL `knnGraphIncrementOn` (VERDICT r20 item
+    * 3). The watermark rides the token so an index rebuild between
+    * calls invalidates the copy even though the read PATH is
+    * unchanged.
+    */
+  private def incrementShared(spark: SparkSession, path: String,
+                              e: DataFrame, delta: DataFrame, k: Int): DataFrame =
+    sharedGateFrame(spark, s"knn_increment:k=$k", Seq(e, delta),
+        token = path + "@" + VectorIndex.readWatermark(spark, path).getOrElse(""))(
+      knnGraphIncrementOn(spark, path, e, delta, k))
+
   /** q92f: incremental maintenance under the planted gate — the delta
     * is a verbatim copy of every vec_id < nPlanted; each copy lands
     * in its original's cell (pure-function assignment), scores
@@ -1070,7 +1197,7 @@ object KnnGraph {
     val delta = e.filter(col("vec_id") < nPlanted)
       .select((col("vec_id") + idOffset).as("vec_id"), col("embedding"))
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
-    knnGraphIncrementOn(spark, path, e, delta, k)
+    incrementShared(spark, path, e, delta, k)
       .filter(col("src") >= idOffset)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
@@ -1106,10 +1233,10 @@ object KnnGraph {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val delta = e.filter(col("vec_id") < nPlanted)
       .select((col("vec_id") + idOffset).as("vec_id"), col("embedding"))
-    // one live copy feeds BOTH sides of the mutuality self-join
-    // (q92c's registerPersist discipline)
-    val edges = Curation.registerPersist(spark, "q92g_edges",
-      knnGraphIncrementOn(spark, path, e, delta, k))
+    // one live copy feeds BOTH sides of the mutuality self-join AND
+    // is the same frame q92f reads (VERDICT r20 item 3 — the pair ran
+    // the identical increment twice)
+    val edges = incrementShared(spark, path, e, delta, k)
     val mutual = edges.as("x").join(edges.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
       .where(col("x.src") < col("x.dst") && col("x.sim") >= minSim)
