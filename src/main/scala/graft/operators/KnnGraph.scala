@@ -991,25 +991,34 @@ object KnnGraph {
     val orphaned = q.select("q_id")
       .join(cellEntries.select("q_id").distinct(), Seq("q_id"), "left_anti")
       .crossJoin(broadcast(cellsDf.agg(min("vec_id").as("node"))))
-    val entries = score(cellEntries.union(orphaned)).persist(lvl)
     // Hop materialization is SIZE-ROUTED (r21, guide §1.2 — fewer
     // passes/actions):
     //   - pruned path (big corpora): ONE job per hop — the per-hop
     //     count IS the growth check, and edgesForNodes' bucket collect
     //     needs the frontier materialized anyway (r19 tuning: the
     //     earlier limit(1) probe shape serialized two jobs per hop,
-    //     measured 24s for a 20-query walk).
+    //     measured 24s for a 20-query walk). Hop frames persist.
     //   - wholeEdges path (below wholeEdgeThreshold): NO per-hop
-    //     action at all — every hop frame persists LAZILY and the
-    //     caller's single action materializes the whole walk (caches
-    //     fill on first use and later references within the same
-    //     action read them). The early-stop check is dropped there:
-    //     maxHops is a small bound, a converged walk's extra hop is an
-    //     empty frontier joining empty expansions (zero rows, zero
-    //     cost), and the final top-k over visited is IDENTICAL. The
-    //     per-hop count jobs were the walk's dominant cost at toy
-    //     scale — ~37 scheduled jobs per q93 invocation
-    //     (tools/WalkPhaseProbe, r21), all over sub-MB frames.
+    //     action at all — each hop frame is cut to a lazily-persisted
+    //     RDD leaf (DupGraph.cutLineage, the CC discipline) and the
+    //     caller's single action materializes the whole walk. The leaf
+    //     cut matters as much as the action count: left as a lazy
+    //     cached DataFrame chain, every AQE stage of the final action
+    //     re-traversed and re-serialized the whole walk's plan/lineage
+    //     (SparkPlanInfo + task closures dominated the driver profile
+    //     — 4.6s driver gap vs 1.1s of job time, tools/JobProbe r21).
+    //     The early-stop check is dropped here: maxHops is a small
+    //     bound, a converged walk's extra hop is an empty frontier
+    //     joining empty expansions (zero rows, zero cost), and the
+    //     final top-k over visited is IDENTICAL.
+    val walkRdds = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[Row]]()
+    def stage(df: DataFrame): DataFrame =
+      if (wholeEdges.isDefined) {
+        val (leafDf, rdd) = DupGraph.cutLineage(df, lvl)
+        walkRdds += rdd
+        leafDf
+      } else df.persist(lvl)
+    val entries = stage(score(cellEntries.union(orphaned)))
     val hops = scala.collection.mutable.ArrayBuffer[DataFrame](entries)
     var visited = entries
     var latest = entries
@@ -1029,7 +1038,7 @@ object KnnGraph {
       val expand = frontier.join(hopEdges, frontier("node") === hopEdges("src"))
         .select(col("q_id"), col("dst").as("node")).distinct()
         .join(visited.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
-      val fresh = score(expand).persist(lvl)
+      val fresh = stage(score(expand))
       if (wholeEdges.isEmpty) grew = fresh.count() > 0
       if (grew) {
         hops += fresh
@@ -1044,8 +1053,10 @@ object KnnGraph {
     wholeEdges.foreach(_.unpersist(false))
     q.unpersist(false)
     lastWalk.keySet.removeIf(_.sparkContext.isStopped)
-    Option(lastWalk.put(spark, hops.toSeq)).foreach { prev =>
-      prev.foreach(p => if (!hops.exists(_ eq p)) p.unpersist(false))
+    Option(lastWalk.put(spark, (hops.toSeq, walkRdds.toSeq))).foreach {
+      case (prevHops, prevRdds) =>
+        prevHops.foreach(p => if (!hops.exists(_ eq p)) p.unpersist(false))
+        prevRdds.foreach(r => if (!walkRdds.exists(_ eq r)) r.unpersist(false))
     }
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
     visited.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -1056,9 +1067,13 @@ object KnnGraph {
     */
   private val wholeEdgeThreshold = 100000L
 
-  /** Last walk's hop caches per session (lastEdges' pattern). */
+  /** Last walk's hop caches per session (lastEdges' pattern): the
+    * pruned path's persisted frames and/or the wholeEdges path's leaf
+    * RDDs, both released when the next walk on the session lands.
+    */
   private val lastWalk =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Seq[DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      (Seq[DataFrame], Seq[org.apache.spark.rdd.RDD[Row]])]()
 
   /** q93: graph-walk search under the planted gate — queries are
     * verbatim copies of vec_id < nPlanted; each walks the PERSISTED

@@ -24,13 +24,14 @@ object TimeQuery {
     val outDir = if (args.length > 3) Some(args(3)) else None
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       // mirrors Bench (r21); env-overridable for conf A/Bs
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("GRAFT_PFIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("GRAFT_ADVISORY", "64m"))
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
