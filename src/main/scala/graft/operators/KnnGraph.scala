@@ -111,17 +111,25 @@ object KnnGraph {
     *   - the CacheManager entry must still exist (external eviction —
     *     clearCache in a test — falls through, registerPersist's own
     *     probe rule).
-    * The copy is materialized via count() before it is ever shared:
-    * the frame nnDescent returns is backed by the lastEdges/
-    * lastScratch handoff registries, which the NEXT descent on the
-    * session invalidates (ADVICE r20) — a lazily-cached copy could
-    * lose partitions and recompute against deleted scratch; a fully
-    * materialized MEMORY_AND_DISK copy never re-reads its backing.
+    * The copy is cut to an RDD LEAF (DupGraph.cutLineage) and
+    * materialized before it is ever shared, for two reasons:
+    *   - lifecycle: the frame nnDescent returns is backed by the
+    *     lastEdges/lastScratch handoff registries, which the NEXT
+    *     descent on the session invalidates (ADVICE r20) — a
+    *     lazily-cached copy could lose partitions and recompute
+    *     against deleted scratch; a materialized leaf never re-reads
+    *     its backing.
+    *   - plan size: a CacheManager copy carries the producer's FULL
+    *     physical plan inside its InMemoryRelation, and every
+    *     consumer query re-traverses/re-serializes it per AQE stage
+    *     (the q93 walk's measured driver-gap pathology, JobProbe
+    *     r21); a leaf is O(1) plan nodes in every consumer.
     */
   private val sharedFrames =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.SparkContext, String),
-      (Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan], String, DataFrame)]()
+      (Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan], String,
+       DataFrame, org.apache.spark.rdd.RDD[Row])]()
 
   private def sharedGateFrame(spark: SparkSession, key: String,
                               deps: Seq[DataFrame], token: String = "")
@@ -130,15 +138,16 @@ object KnnGraph {
     val ck = (spark.sparkContext, key)
     val depPlans = deps.map(_.queryExecution.analyzed)
     Option(sharedFrames.get(ck)) match {
-      case Some((plans, tok, f)) if tok == token &&
+      case Some((plans, tok, f, rdd)) if tok == token &&
           plans.length == depPlans.length &&
           plans.zip(depPlans).forall { case (a, b) => a.sameResult(b) } &&
-          spark.sharedState.cacheManager.lookupCachedData(
-            f.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isDefined => f
+          rdd.getStorageLevel != StorageLevel.NONE => f
       case _ =>
-        val f = Curation.registerPersist(spark, key, compute)
-        f.count() // materialize before the backing handoff can invalidate
-        sharedFrames.put(ck, (depPlans, token, f))
+        val (f, rdd) = DupGraph.cutLineage(compute, StorageLevel.MEMORY_AND_DISK)
+        rdd.count() // materialize before the backing handoff can invalidate
+        Option(sharedFrames.put(ck, (depPlans, token, f, rdd))).foreach {
+          case (_, _, _, old) => if (old ne rdd) old.unpersist(false)
+        }
         f
     }
   }
