@@ -89,6 +89,57 @@ object Curation {
     }
   }
 
+  /** One live, LEAF-MATERIALIZED copy of an expensive shared frame per
+    * (context, key, dependency-plan hash) — registerPersist's
+    * discipline extended to computations that are EAGER (descent
+    * loops, Lloyd rounds, bucket collects) and whose consumers should
+    * see an O(1)-size plan (r21): a CacheManager copy carries the
+    * producer's full physical plan inside its InMemoryRelation, which
+    * every consumer re-traverses and re-serializes per AQE stage — the
+    * measured driver-gap pathology on q93/q92g (tools/JobProbe).
+    * DupGraph.cutLineage + an eager materialize make the copy a
+    * LogicalRDD leaf whose RDD lineage stays intact for
+    * recompute-on-loss.
+    *
+    * Freshness is validated on EVERY reuse, never assumed:
+    *   - the map key carries each dependency plan's semanticHash, and
+    *     reuse additionally requires plan-for-plan sameResult — a
+    *     different sf dir, a registerOverride source swap, or changed
+    *     params fall through to a fresh compute (and distinct corpora
+    *     under one logical key coexist instead of evicting each other);
+    *   - `token` must match (callers pass persisted-index watermarks,
+    *     so an index rebuild invalidates the copy);
+    *   - the leaf RDD must still be persisted (external unpersist
+    *     falls through — the registerPersist probe rule).
+    */
+  private val sharedLeafFrames =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.SparkContext, String),
+      (Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan], String,
+       DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]()
+
+  private[graft] def sharedLeafFrame(spark: SparkSession, key: String,
+                                     deps: Seq[DataFrame], token: String = "")
+                                    (compute: => DataFrame): DataFrame = {
+    sharedLeafFrames.keySet.removeIf(_._1.isStopped)
+    val depPlans = deps.map(_.queryExecution.analyzed)
+    val ck = (spark.sparkContext, key + ":" + depPlans.map(_.semanticHash()).mkString(","))
+    Option(sharedLeafFrames.get(ck)) match {
+      case Some((plans, tok, f, rdd)) if tok == token &&
+          plans.length == depPlans.length &&
+          plans.zip(depPlans).forall { case (a, b) => a.sameResult(b) } &&
+          rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE => f
+      case _ =>
+        val (f, rdd) = DupGraph.cutLineage(compute,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.count() // materialize before any backing handoff can invalidate
+        Option(sharedLeafFrames.put(ck, (depPlans, token, f, rdd))).foreach {
+          case (_, _, _, old) => if (old ne rdd) old.unpersist(false)
+        }
+        f
+    }
+  }
+
   /** Registry lookup WITHOUT constructing a candidate plan: returns
     * the live cached frame for `key`, or None if absent or externally
     * evicted. The cheap path for per-micro-batch consumers — a map

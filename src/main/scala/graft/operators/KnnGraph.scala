@@ -90,67 +90,20 @@ object KnnGraph {
   private val lastEdges =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, org.apache.spark.rdd.RDD[Row]]()
 
-  /** One live, MATERIALIZED copy of an expensive gate frame per
-    * (context, key) — the q77/q92c registerPersist discipline extended
-    * to computations that are EAGER (the descent loop, the increment's
-    * bucket collect) and therefore can't rely on CacheManager's
-    * plan-probe alone: by the time registerPersist could notice the
-    * plan matches a cached copy, the loop has already re-run. VERDICT
-    * r20 item 3 measured the cost: q92b/q92e ran the IDENTICAL
+  /** One live, leaf-materialized copy of an expensive gate frame —
+    * VERDICT r20 item 3: q92b/q92e ran the IDENTICAL
     * `nnDescent(corpus, k=10, maxIters=2)` twice per bench pass, and
     * q92f/q92g the identical `knnGraphIncrementOn` — ~6-8s/pass of
-    * duplicated work for bit-identical frames.
-    *
-    * Freshness is validated on EVERY reuse, never assumed:
-    *   - each dependency frame's analyzed plan must be `sameResult`
-    *     with the one the copy was computed from (a different sf dir,
-    *     a registerOverride source swap, or changed params all produce
-    *     a different plan and fall through to a fresh compute);
-    *   - `token` must match (callers pass the persisted-index
-    *     watermark here, so an index rebuild invalidates the copy);
-    *   - the CacheManager entry must still exist (external eviction —
-    *     clearCache in a test — falls through, registerPersist's own
-    *     probe rule).
-    * The copy is cut to an RDD LEAF (DupGraph.cutLineage) and
-    * materialized before it is ever shared, for two reasons:
-    *   - lifecycle: the frame nnDescent returns is backed by the
-    *     lastEdges/lastScratch handoff registries, which the NEXT
-    *     descent on the session invalidates (ADVICE r20) — a
-    *     lazily-cached copy could lose partitions and recompute
-    *     against deleted scratch; a materialized leaf never re-reads
-    *     its backing.
-    *   - plan size: a CacheManager copy carries the producer's FULL
-    *     physical plan inside its InMemoryRelation, and every
-    *     consumer query re-traverses/re-serializes it per AQE stage
-    *     (the q93 walk's measured driver-gap pathology, JobProbe
-    *     r21); a leaf is O(1) plan nodes in every consumer.
+    * duplicated work for bit-identical frames. The registry semantics
+    * (dependency-plan sameResult, watermark token, leaf-RDD probe,
+    * eager materialization before the lastEdges/lastScratch handoff
+    * can invalidate the backing — ADVICE r20) live in
+    * [[Curation.sharedLeafFrame]], which the PQ family shares.
     */
-  private val sharedFrames =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.SparkContext, String),
-      (Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan], String,
-       DataFrame, org.apache.spark.rdd.RDD[Row])]()
-
   private def sharedGateFrame(spark: SparkSession, key: String,
                               deps: Seq[DataFrame], token: String = "")
-                             (compute: => DataFrame): DataFrame = {
-    sharedFrames.keySet.removeIf(_._1.isStopped)
-    val ck = (spark.sparkContext, key)
-    val depPlans = deps.map(_.queryExecution.analyzed)
-    Option(sharedFrames.get(ck)) match {
-      case Some((plans, tok, f, rdd)) if tok == token &&
-          plans.length == depPlans.length &&
-          plans.zip(depPlans).forall { case (a, b) => a.sameResult(b) } &&
-          rdd.getStorageLevel != StorageLevel.NONE => f
-      case _ =>
-        val (f, rdd) = DupGraph.cutLineage(compute, StorageLevel.MEMORY_AND_DISK)
-        rdd.count() // materialize before the backing handoff can invalidate
-        Option(sharedFrames.put(ck, (depPlans, token, f, rdd))).foreach {
-          case (_, _, _, old) => if (old ne rdd) old.unpersist(false)
-        }
-        f
-    }
-  }
+                             (compute: => DataFrame): DataFrame =
+    Curation.sharedLeafFrame(spark, key, deps, token)(compute)
 
   /** Exact per-node top-k over an (vec_id, embedding) frame:
     * (vec_id, nb_id, sim, rk), rank by (6dp cosine DESC, nb_id ASC) —

@@ -169,8 +169,13 @@ object PQ {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val dims = e.select(size(col("embedding"))).head.getInt(0)
     require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
-    val books = codebooks(spark, e, m, kCodes, dims, iters)
-    val codes = encode(spark, e, books, m, dims)
+    // books/codes are pure functions of (corpus, params) and identical
+    // across q67 and q67b's builds — one live leaf copy per corpus
+    // (r21, Curation.sharedLeafFrame; the q92b/q92e discipline)
+    val books = Curation.sharedLeafFrame(spark, s"pq_books:m=$m,k=$kCodes,it=$iters", Seq(e))(
+      codebooks(spark, e, m, kCodes, dims, iters))
+    val codes = Curation.sharedLeafFrame(spark, s"pq_codes:m=$m,k=$kCodes,it=$iters", Seq(e))(
+      encode(spark, e, books, m, dims))
     val q = e.filter(col("vec_id") < nQueries)
     val luts = lutsFor(q, books, m, dims)
     adcTopK(codes.crossJoin(broadcast(luts)), k, kCodes)
@@ -276,10 +281,16 @@ object PQ {
     val n = e.count()
     val lists = if (nLists > 0) nLists else math.max(16, (n / 125L).toInt)
     val cents = Vectors.refinedCentroids(e, lists, iters = 0)
-    val cells = Vectors.assignCells(e, cents, nProbe = 1, nCoarse = Vectors.autoCoarse(lists))
-      .select("vec_id", "cell")
-    val books = codebooks(spark, e, m, kCodes, dims, iters)
-    val coded = encode(spark, e, books, m, dims).join(cells, "vec_id")
+    // cells/books/codes are pure functions of (corpus, params): one
+    // live leaf copy per corpus — q67 shares books/codes (same keys),
+    // q67g's planted corpus hashes to its own entries (r21)
+    val cells = Curation.sharedLeafFrame(spark, s"ivfpq_cells:l=$lists", Seq(e))(
+      Vectors.assignCells(e, cents, nProbe = 1, nCoarse = Vectors.autoCoarse(lists))
+        .select("vec_id", "cell"))
+    val books = Curation.sharedLeafFrame(spark, s"pq_books:m=$m,k=$kCodes,it=$iters", Seq(e))(
+      codebooks(spark, e, m, kCodes, dims, iters))
+    val coded = Curation.sharedLeafFrame(spark, s"pq_codes:m=$m,k=$kCodes,it=$iters", Seq(e))(
+      encode(spark, e, books, m, dims)).join(cells, "vec_id")
     val q = e.filter(col("vec_id") < nQueries)
     val probes = Vectors.assignCells(q, cents, nProbe = nProbe,
         nCoarse = Vectors.autoCoarse(lists))
