@@ -178,7 +178,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // broadcasts (candidates no longer exist as rows); what remains
       // broadcast is the centroid catalog + the probed-assignment join
       ("q29b_dedup_emb_ivf",   0, 1,  5, 2),
-      ("q67b_ivfpq_topk",      2, 2, 10, 4),
+      // r21: cells/books/codes come from shared leaf frames
+      // (Curation.sharedLeafFrame) — the build's broadcasts live in
+      // the one-time leaf computation, so the benched probe plan
+      // keeps 3 (probe assignment + LUT + books)
+      ("q67b_ivfpq_topk",      2, 2, 10, 3),
       ("q40_dedup_allpairs",   0, 0,  3, 0),
       ("q26_dedup_ngram",      0, 0,  2, 0),
       ("q86c_source_pipeline", 0, 0,  1, 0))
