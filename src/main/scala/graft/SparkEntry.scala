@@ -177,12 +177,12 @@ object SparkEntry {
     // checkpoints) instead of the default heap maps — the backend
     // swap itself is what this row certifies
     "q80c_sessions_rocks" -> ((s, d) => streaming.StreamHarness.streamSessions(s, d,
-      provider = Some(streaming.StateBackend.RocksDBProvider))),
+      provider = Some(streaming.StateBackend.RocksDBProvider), reuse = true)),
     // Spark's NATIVE session_window operator (a different physical
     // path: SessionWindowStateStore exec nodes, merging-session
     // state) under the identical oracle
     "q80d_sessions_native" -> ((s, d) => streaming.StreamHarness.streamSessions(s, d,
-      native = true)),
+      native = true, reuse = true)),
     "q80b_stream_funnel"  -> ((s, d) => streaming.StreamHarness.streamFunnel(s, d)),
     // MCP serving surface under the oracle (below the encoder seam:
     // the query is corpus vector 3, which DuckDB can name too)
@@ -226,10 +226,11 @@ object SparkEntry {
     // the dedup-signature state on the PRODUCTION backend (q80c's
     // pattern): same plan, feed and oracle, state in RocksDB
     "q83b_dedup_rocks"    -> ((s, d) => streaming.StreamHarness.streamDedup(s, d,
-      provider = Some(streaming.StateBackend.RocksDBProvider))),
+      provider = Some(streaming.StateBackend.RocksDBProvider), reuse = true)),
     // the PRODUCTION-STATE screen (constant-bytes signature state) +
     // downstream exact verify, under q27b's brute-force oracle
-    "q83c_dedup_signature" -> ((s, d) => streaming.StreamHarness.streamDedupSignature(s, d)),
+    "q83c_dedup_signature" -> ((s, d) => streaming.StreamHarness.streamDedupSignature(s, d,
+      reuse = true)),
     // the streaming corpus gate (quality filter + first-writer-wins
     // exact-dup state), multi-slice by default
     "q83d_stream_gate"    -> ((s, d) => streaming.StreamHarness.streamCorpusGate(s, d)),
@@ -238,22 +239,22 @@ object SparkEntry {
     // contaminating grams arrived in an earlier slice's build must
     // still gate identically
     "q84_stream_decontam" -> ((s, d) => streaming.StreamHarness.streamDecontam(s, d,
-      nBatches = 3)),
+      nBatches = 3, reuse = true)),
     // nBatches=3 (r18): the thread-root state map must RESOLVE
     // replies whose root arrived in an EARLIER slice — cross-slice
     // state reads under the hard gate, completing the multi-slice
     // set (q80 sessions, q83 dedup, q83d gate, q85 threads)
     "q85_stream_threads"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d,
-      nBatches = 3)),
+      nBatches = 3, reuse = true)),
     // the thread-root map on RocksDB, under q56's oracle verbatim
     "q85b_threads_rocks"  -> ((s, d) => streaming.StreamHarness.streamThreads(s, d,
-      provider = Some(streaming.StateBackend.RocksDBProvider))),
+      provider = Some(streaming.StateBackend.RocksDBProvider), reuse = true)),
     // nBatches=3 (r19, VERDICT r18 item 6): tumbling windows stay
     // OPEN across slice boundaries — counts for a window fed by two
     // slices must merge in state, not double-emit (append mode only
     // emits on watermark close)
     "q89_stream_windowed" -> ((s, d) => streaming.StreamHarness.streamWindowed(s, d,
-      nBatches = 3)),
+      nBatches = 3, reuse = true)),
     // the streaming ANN gate (PqStream.nearDupGate over the persisted
     // planted IVF-PQ index) — q67g's ADC-floor certainty in stream
     // form; pairs only, no floats at the compared surface. nBatches=3
@@ -261,7 +262,7 @@ object SparkEntry {
     // so the slices certify the stream-static probe re-planning per
     // micro-batch rather than state restore
     "q91_stream_ann"      -> ((s, d) => streaming.StreamHarness.streamAnnGate(s, d,
-      nBatches = 3)),
+      nBatches = 3, reuse = true)),
     "q86_source_roundtrip" -> ((s, d) => sources.SourceHarness.jsonRoundTrip(s, d)),
     "q86b_source_html"    -> ((s, d) => sources.SourceHarness.htmlRoundTrip(s, d)),
     "q86c_source_pipeline" -> ((s, d) => sources.SourceHarness.pipelineRoundTrip(s, d)),

@@ -98,8 +98,18 @@ object Curation {
     * every consumer re-traverses and re-serializes per AQE stage — the
     * measured driver-gap pathology on q93/q92g (tools/JobProbe).
     * DupGraph.cutLineage + an eager materialize make the copy a
-    * LogicalRDD leaf whose RDD lineage stays intact for
-    * recompute-on-loss.
+    * LogicalRDD leaf. The leaf keeps its RDD lineage, but
+    * recompute-on-loss is NOT a general guarantee (ADVICE r21):
+    * producers whose lineage reads handoff-owned scratch (the
+    * leaf-mode descent's round parquet, deleted by the NEXT descent
+    * on the session) cannot replay after the scratch is gone — a
+    * cache-block loss there surfaces as a missing-file error, not a
+    * silent recompute. MEMORY_AND_DISK makes loss an executor-death
+    * event only, which the single-JVM bench/serve processes this
+    * registry targets do not survive anyway; a cluster deployment
+    * must either write shared frames to durable storage or accept
+    * fail-and-recompute-at-caller semantics. The storage-level probe
+    * below detects full external unpersist, not partial block loss.
     *
     * Freshness is validated on EVERY reuse, never assumed:
     *   - the map key carries each dependency plan's semanticHash, and
@@ -124,21 +134,43 @@ object Curation {
     sharedLeafFrames.keySet.removeIf(_._1.isStopped)
     val depPlans = deps.map(_.queryExecution.analyzed)
     val ck = (spark.sparkContext, key + ":" + depPlans.map(_.semanticHash()).mkString(","))
-    Option(sharedLeafFrames.get(ck)) match {
-      case Some((plans, tok, f, rdd)) if tok == token &&
+    def live: Option[DataFrame] = Option(sharedLeafFrames.get(ck)) collect {
+      case (plans, tok, f, rdd) if tok == token &&
           plans.length == depPlans.length &&
           plans.zip(depPlans).forall { case (a, b) => a.sameResult(b) } &&
           rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE => f
-      case _ =>
-        val (f, rdd) = DupGraph.cutLineage(compute,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rdd.count() // materialize before any backing handoff can invalidate
-        Option(sharedLeafFrames.put(ck, (depPlans, token, f, rdd))).foreach {
-          case (_, _, _, old) => if (old ne rdd) old.unpersist(false)
+    }
+    live.getOrElse {
+      // ONE compute wins per key (ADVICE r21): without the per-key
+      // lock two concurrent callers (e.g. streaming per-query session
+      // clones, which share the SparkContext key) both computed, and
+      // the second put unpersisted the first caller's RDD out from
+      // under it — forcing an eager recompute at its action, or a
+      // missing-file failure for scratch-backed producers (above).
+      val lock = sharedLeafLocks.computeIfAbsent(ck, _ => new Object)
+      lock.synchronized {
+        live.getOrElse {
+          val (f, rdd) = graft.BuildLedger.timed(s"sharedLeaf:$key") {
+            val pair = DupGraph.cutLineage(compute,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            pair._2.count() // materialize before any backing handoff can invalidate
+            pair
+          }
+          Option(sharedLeafFrames.put(ck, (depPlans, token, f, rdd))).foreach {
+            case (_, _, _, old) => if (old ne rdd) old.unpersist(false)
+          }
+          f
         }
-        f
+      }
     }
   }
+
+  /** Per-key compute locks for sharedLeafFrame (never removed — the
+    * key space is a handful of operator-family strings per corpus).
+    */
+  private val sharedLeafLocks =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.SparkContext, String), Object]()
 
   /** Registry lookup WITHOUT constructing a candidate plan: returns
     * the live cached frame for `key`, or None if absent or externally
@@ -806,7 +838,7 @@ object Curation {
     }
 
     def build(spark: SparkSession, dir: String, path: String,
-              deltaMod: Int, benchMod: Int, nBuckets: Int): Unit = {
+              deltaMod: Int, benchMod: Int, nBuckets: Int): Unit = graft.BuildLedger.timed(s"funnel:$path") {
       graft.functions.GraftFunctions.register(spark)
       invalidateCached(spark, dir)
       // snapshot BEFORE reading (VectorIndex.build's ordering: a

@@ -962,7 +962,7 @@ object Dedup {
         VectorIndex.readWatermark(spark, path).contains(watermark(spark, dir, k, deltaMod))
     }
 
-    def build(spark: SparkSession, dir: String, path: String, k: Int, deltaMod: Int): Unit = {
+    def build(spark: SparkSession, dir: String, path: String, k: Int, deltaMod: Int): Unit = graft.BuildLedger.timed(s"gram:$path") {
       GraftFunctions.register(spark)
       val token = watermark(spark, dir, k, deltaMod) // BEFORE reading, like VectorIndex.build
       Tables.documents(spark, dir)

@@ -162,9 +162,16 @@ object KnnGraph {
           array(col("doc_id"), col("doc_id") + idOffset))
         .otherwise(array(col("doc_id")))).as("doc_id"),
         col("text"))
-    val enc = TextEncoder.encodeHashed(spark,
-        planted.select("doc_id", "text").as[TextEncoder.TextRow])
-      .toDF("doc_id", "embedding")
+    // the hash-encode of the planted corpus is a pure function of
+    // (documents, every, idOffset) and was re-run per invocation
+    // (~1.3s at sf0.1, r21's candidate 3) — one live leaf copy per
+    // corpus under the q92b/q67 sharing discipline (VERDICT r21
+    // item 6); a different dir / source swap / params recomputes
+    val enc = sharedGateFrame(spark,
+        s"q92d_enc:every=$every,off=$idOffset", Seq(planted))(
+      TextEncoder.encodeHashed(spark,
+          planted.select("doc_id", "text").as[TextEncoder.TextRow])
+        .toDF("doc_id", "embedding"))
     val queries = enc.filter(col("doc_id") >= idOffset)
       .select(col("doc_id").as("q_id"), col("embedding").as("q_emb"))
     enc.join(broadcast(queries), col("doc_id") =!= col("q_id"))
@@ -814,13 +821,29 @@ object KnnGraph {
     * disagreeing sims.
     */
   def graphParams(k: Int, lists: Int, maxIters: Int, ringJ: Int = 10,
-                  modularRing: Boolean = false, nBuckets: Int = 16): String =
+                  modularRing: Boolean = false, nBuckets: Int = 0): String =
     s"knngraph:k=$k,lists=$lists,iters=$maxIters," +
       s"ring=${if (modularRing) "m" else "h"}$ringJ,blk=$nBuckets,arith=d2"
 
+  /** Edge-store bucket-count LAW (r22, VERDICT r20 item 5 / r21
+    * item 1): `nBuckets = 0` (now the default everywhere) means
+    * ~`bucketNodes` nodes' adjacency lists per pblk bucket. The fixed
+    * 16 defeated pruning at scale: a walk frontier is ≤ |Q|·beam
+    * (~160) distinct nodes, so with 16 buckets every hop opened the
+    * WHOLE store — with N/1250 buckets (1,600 at the 2M-node probe
+    * corpus) the same frontier opens ≤ ~160/1600 = 10% of it, and the
+    * fraction keeps FALLING as the corpus grows while per-bucket file
+    * size (~1250·k edge rows ≈ 250 KB at k=10) stays write-friendly.
+    * At every certified SF (≤ 20.2k nodes) the law resolves to the
+    * old 16 — identical layout, identical plans.
+    */
+  private val bucketNodes = 1250L
+  private[graft] def autoBuckets(n: Long): Int =
+    math.max(16L, n / bucketNodes).toInt
+
   def buildGraph(spark: SparkSession, dir: String, path: String, k: Int = 10,
                  lists: Int = 0, maxIters: Int = 2, ringJ: Int = 10,
-                 modularRing: Boolean = false, nBuckets: Int = 16): Unit = {
+                 modularRing: Boolean = false, nBuckets: Int = 0): Unit = graft.BuildLedger.timed(s"knngraph:$path") {
     GraftFunctions.register(spark)
     // snapshot BEFORE reading (VectorIndex.build's rule): a source
     // overwritten mid-build leaves a stale watermark, never a fresh lie
@@ -829,9 +852,11 @@ object KnnGraph {
     // the SAME derivations nnDescent's init runs — both are pure
     // functions of (corpus, lists), so the persisted entry structure
     // matches the graph's init cells exactly (incl. the adaptive
-    // lists sizing: lists = 0 means N/125, the family's scaling law)
-    val nl = if (lists > 0) lists
-      else math.max(16, (e.count() / 125L).toInt)
+    // lists sizing: lists = 0 means N/125, the family's scaling law;
+    // nBuckets = 0 means N/1250 — autoBuckets above)
+    val n = e.count()
+    val nl = if (lists > 0) lists else math.max(16, (n / 125L).toInt)
+    val nb = if (nBuckets > 0) nBuckets else autoBuckets(n)
     val cents = Vectors.refinedCentroids(e, nl, iters = 0)
     val cells = Vectors.assignCells(e, cents, nProbe = 1,
       nCoarse = Vectors.autoCoarse(nl)).select("vec_id", "cell")
@@ -839,13 +864,19 @@ object KnnGraph {
     cells.write.mode("overwrite").parquet(s"$path/cells")
     nnDescent(spark, e, k = k, lists = lists, maxIters = maxIters,
         ringJ = ringJ, modularRing = modularRing)
-      .withColumn("pblk", pmod(xxhash64(col("src")), lit(nBuckets)).cast("int"))
+      .withColumn("pblk", pmod(xxhash64(col("src")), lit(nb)).cast("int"))
       // one task per bucket's file set, not nTasks files per dir
       // (buildDedup's repartition rule)
       .repartition(col("pblk"))
       .write.mode("overwrite").partitionBy("pblk").parquet(s"$path/edges")
+    // the RESOLVED bucket count rides the watermark as its own line
+    // (the raw param in graphParams is the LAW's identity — lists=0's
+    // precedent); bucketsOf must read the resolved value, and a dir
+    // listing can undercount when a tiny test corpus leaves buckets
+    // empty, which would silently mis-map pblk on the read side
     VectorIndex.writeWatermark(spark, path,
-      snapshot + "\nparams|" + graphParams(k, lists, maxIters, ringJ, modularRing, nBuckets))
+      snapshot + "\nparams|" + graphParams(k, lists, maxIters, ringJ, modularRing, nBuckets) +
+        "\nrblk|" + nb)
   }
 
   /** Present + watermark-fresh + the edges component landed (the
@@ -856,27 +887,37 @@ object KnnGraph {
   def graphFresh(spark: SparkSession, dir: String, path: String,
                  k: Int = 10, lists: Int = 0, maxIters: Int = 2,
                  ringJ: Int = 10, modularRing: Boolean = false,
-                 nBuckets: Int = 16): Boolean =
-    VectorIndex.fresh(spark, dir, path,
-        graphParams(k, lists, maxIters, ringJ, modularRing, nBuckets)) &&
+                 nBuckets: Int = 0): Boolean =
+    // the watermark's head (snapshot + params) must match EXACTLY;
+    // the trailing rblk| line is the build's resolved bucket count,
+    // not identity (VectorIndex.fresh's whole-string equality would
+    // reject it, so the split is spelled here)
+    VectorIndex.readWatermark(spark, path).map(_.split("\nrblk\\|")(0)).contains(
+        VectorIndex.sourceSnapshot(spark, dir) + "\nparams|" +
+          graphParams(k, lists, maxIters, ringJ, modularRing, nBuckets)) &&
       VectorIndex.fsFor(spark, path)
         .exists(new org.apache.hadoop.fs.Path(s"$path/edges/_SUCCESS"))
 
   private def ensureGraph(spark: SparkSession, dir: String, path: String,
                           k: Int = 10, lists: Int = 0, maxIters: Int = 2,
                           ringJ: Int = 10, modularRing: Boolean = false,
-                          nBuckets: Int = 16): Unit =
+                          nBuckets: Int = 0): Unit =
     if (!graphFresh(spark, dir, path, k, lists, maxIters, ringJ, modularRing, nBuckets))
       buildGraph(spark, dir, path, k, lists, maxIters, ringJ, modularRing, nBuckets)
 
-  /** The bucket count the graph at `path` was written with (parsed
-    * from the watermark's params line; pre-bucketing indexes read as
-    * stale via graphParams, so the fallback never actually serves).
+  /** The bucket count the graph at `path` was written with: the
+    * watermark's `rblk|` line (the build's RESOLVED count under the
+    * autoBuckets law); the `blk=` param is read as a fallback for an
+    * explicit-count index written by a pre-r22 binary (those are
+    * stale via graphParams anyway, so the fallback never serves).
     */
-  private def bucketsOf(spark: SparkSession, path: String): Int =
-    VectorIndex.readWatermark(spark, path)
-      .flatMap("blk=(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toInt)
+  private def bucketsOf(spark: SparkSession, path: String): Int = {
+    val wm = VectorIndex.readWatermark(spark, path)
+    wm.flatMap("rblk\\|(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toInt)
+      .orElse(wm.flatMap("blk=(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toInt)
+        .filter(_ > 0))
       .getOrElse(16)
+  }
 
   /** Prune-read the stored edge lists of a bounded node set: collect
     * the nodes' pblk values (≤ nBuckets ints — knowing which buckets
@@ -1149,7 +1190,11 @@ object KnnGraph {
     */
   private def incrementShared(spark: SparkSession, path: String,
                               e: DataFrame, delta: DataFrame, k: Int): DataFrame =
-    sharedGateFrame(spark, s"knn_increment:k=$k", Seq(e, delta),
+    // the index PATH is part of the key string (ADVICE r21): two
+    // stored graphs with the same k and corpus plans must coexist as
+    // separate entries instead of evicting each other on alternation
+    // (the watermark stays in the token — a rebuild still invalidates)
+    sharedGateFrame(spark, s"knn_increment:$path:k=$k", Seq(e, delta),
         token = path + "@" + VectorIndex.readWatermark(spark, path).getOrElse(""))(
       knnGraphIncrementOn(spark, path, e, delta, k))
 

@@ -208,7 +208,7 @@ object PQ {
       "\nparams|" + indexParams(m, kCodes, iters)
 
   def buildIndex(spark: SparkSession, dir: String, path: String,
-                 m: Int = 8, kCodes: Int = 16, iters: Int = 1): Unit = {
+                 m: Int = 8, kCodes: Int = 16, iters: Int = 1): Unit = graft.BuildLedger.timed(s"pq:$path") {
     GraftFunctions.register(spark)
     val token = indexToken(spark, dir, m, kCodes, iters) // BEFORE reading
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
@@ -405,7 +405,7 @@ object PQ {
     */
   def buildIvfPqIndex(spark: SparkSession, dir: String, path: String,
                       m: Int = 8, kCodes: Int = 16, iters: Int = 1,
-                      nLists: Int = 0): Unit = {
+                      nLists: Int = 0): Unit = graft.BuildLedger.timed(s"ivfpq:$path") {
     GraftFunctions.register(spark)
     val token = ivfPqToken(spark, dir, m, kCodes, iters, nLists)
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
@@ -551,7 +551,7 @@ object PQ {
     */
   def buildIncrBase(spark: SparkSession, dir: String, path: String,
                     m: Int = 8, kCodes: Int = 16, iters: Int = 1,
-                    deltaMod: Int = 16): Unit = {
+                    deltaMod: Int = 16): Unit = graft.BuildLedger.timed(s"pq_incr_base:$path") {
     GraftFunctions.register(spark)
     val token = incrToken(spark, dir, m, kCodes, iters, deltaMod)
     val eOld = Tables.embeddings(spark, dir).select("vec_id", "embedding")
@@ -722,7 +722,7 @@ object PQ {
     */
   def buildIvfPqIncrBase(spark: SparkSession, dir: String, path: String,
                          m: Int = 8, kCodes: Int = 16, iters: Int = 1,
-                         nLists: Int = 0, deltaMod: Int = 16): Unit = {
+                         nLists: Int = 0, deltaMod: Int = 16): Unit = graft.BuildLedger.timed(s"ivfpq_incr_base:$path") {
     GraftFunctions.register(spark)
     val token = ivfPqIncrToken(spark, dir, m, kCodes, iters, nLists, deltaMod)
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")

@@ -213,7 +213,7 @@ object VectorIndex {
     * overwritten mid-build leaves a non-matching watermark (the index
     * reads as stale, never as wrongly fresh).
     */
-  def build(spark: SparkSession, dir: String, path: String): Unit = {
+  def build(spark: SparkSession, dir: String, path: String): Unit = graft.BuildLedger.timed(s"ivf:$path") {
     val snapshot = sourceSnapshot(spark, dir)
     val e = Tables.embeddings(spark, dir)
     val seedW = Window.partitionBy("label").orderBy("vec_id")
@@ -237,7 +237,7 @@ object VectorIndex {
     * freshness contract as the search index.
     */
   def buildDedup(spark: SparkSession, dir: String, path: String,
-                 nLists: Int = 0, nProbe: Int = 2): Unit = {
+                 nLists: Int = 0, nProbe: Int = 2): Unit = graft.BuildLedger.timed(s"ivf_dedup:$path") {
     graft.functions.GraftFunctions.register(spark)
     val snapshot = sourceSnapshot(spark, dir) + paramSuffix(dedupParams(nLists, nProbe))
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
@@ -271,7 +271,7 @@ object VectorIndex {
     * partitioning; same watermark freshness contract as the others.
     */
   def buildMining(spark: SparkSession, dir: String, path: String, nLists: Int = 0,
-                  refineIters: Int = 0): Unit = {
+                  refineIters: Int = 0): Unit = graft.BuildLedger.timed(s"ivf_mining:$path") {
     graft.functions.GraftFunctions.register(spark)
     val snapshot = sourceSnapshot(spark, dir) + paramSuffix(miningParams(nLists, refineIters))
     val e = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")

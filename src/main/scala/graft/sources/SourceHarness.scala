@@ -107,10 +107,22 @@ object SourceHarness {
     if (cur != null && cur._1 == token && new java.io.File(cur._2).exists()) cur._2
     else {
       val f = writeExport(eventRows(spark, dir), prefix, authorOf)
-      exportMemo.put(key, (token, f))
+      replaceMemo(key, token, f)
       f
     }
   }
+
+  /** Install a new export artifact under `key`, DELETING the
+    * superseded file/shard-dir immediately (ADVICE r21: deleteOnExit
+    * only fires at JVM exit, so a long-lived session regenerating
+    * sources accumulated one temp artifact per token change).
+    */
+  private def replaceMemo(key: (SparkSession, String, String),
+                          token: String, path: String): Unit =
+    Option(exportMemo.put(key, (token, path))).foreach { case (_, old) =>
+      if (old != path)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+    }
 
   /** q86: serialize events → Telegram JSON export → readExport →
     * project (chat identity, message id, stripped from_id, text,
@@ -235,7 +247,7 @@ object SourceHarness {
           f.toFile.deleteOnExit()
           java.nio.file.Files.writeString(f, sb.toString)
         }
-      exportMemo.put(key, (token, d.toString))
+      replaceMemo(key, token, d.toString)
       d.toString
     }
     TelegramHtml.readExport(spark, shardDir)

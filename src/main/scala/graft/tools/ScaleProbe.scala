@@ -62,6 +62,7 @@ object ScaleProbe {
     // 10×, plus the 100× dedup-core spot check below).
     // `r16` arg: run only the r16 additions (two-decade CC/funnel
     // spine + mega-duplication stress).
+    val only22 = args.contains("r22")
     val only15 = args.contains("r15")
     val only16 = args.contains("r16")
     // `r17` arg: run only the r17 addition (the dedupNgram maxBlock
@@ -86,7 +87,7 @@ object ScaleProbe {
     // earlier same-binary invocation stand; re-running them costs
     // ~15 min of an idle window)
     val only20b = args.contains("r20b")
-    if (!only15 && !only16 && !only17 && !only18 && !only19 && !only19c && !only20) Seq(src, dst).foreach { d =>
+    if (!only15 && !only16 && !only17 && !only18 && !only19 && !only19c && !only20 && !only22) Seq(src, dst).foreach { d =>
       time("q01 sessionize ", d)(Sessions.temporalSessions(spark, _))
       time("q01b chunked   ", d)(Sessions.sessionizedChunked(spark, _))
       time("q26 ngram dedup", d)(Dedup.dedupNgram(spark, _))
@@ -142,7 +143,7 @@ object ScaleProbe {
     // the bands (same total nBits budget family) restores bounded
     // buckets, exactly like growing nLists for IVF cells. Measure
     // the cliff and the remedy at 10x.
-    if (!only15 && !only16 && !only17 && !only18 && !only19 && !only19c && !only20) {
+    if (!only15 && !only16 && !only17 && !only18 && !only19 && !only19c && !only20 && !only22) {
       time("q44 4x8bit     ", src)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x8bit     ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _))
       time("q44 4x12bit    ", dst)(Dedup.dedupEmbeddingLshPlanted(spark, _, nBits = 48, bands = 4))
@@ -162,7 +163,7 @@ object ScaleProbe {
     // q19's IVF ANN (the r14 replay-graduated Spark side): probe cost
     // is bounded by nQueries·nProbe cells, so 10× corpus with
     // nLists ∝ N must stay ~flat after the assignment pass.
-    if (!only16 && !only17 && !only18 && !only19 && !only19c && !only20) Seq(src, dst).foreach { d =>
+    if (!only16 && !only17 && !only18 && !only19 && !only19c && !only20 && !only22) Seq(src, dst).foreach { d =>
       time("q34b grid decode", d)(Multimodal.mediaDecodeFeatures(spark, _))
       time("q34d media joinQ", d)(Multimodal.mediaQualityJoin(spark, _))
       time("q19 ivf ann     ", d)(Vectors.annIvf(spark, _))
@@ -372,6 +373,68 @@ object ScaleProbe {
       time("q26 mega2k RAW  ", mega2k)(Dedup.dedupNgram(spark, _))
       time("q26 mega20k CAP ", mega20k)(Dedup.dedupNgram(spark, _, maxBlock = 1000))
     }
+    // ---- r22 additions (VERDICT r21 item 1) ----
+    // The r20 row set re-run on the r22 binary (new-flag descent +
+    // the autoBuckets edge-store law: blk = N/1250, i.e. 16 at the
+    // certified SFs and 1,600 at the 2M-node corpus), PLUS the
+    // pruned-read evidence the verdict asks for: a task-metrics
+    // listener sums INPUT BYTES over the timed steady-state walk and
+    // increment passes, printed next to the edge store's on-disk
+    // size — "hop-join read bytes ≪ full edge store at 100×" becomes
+    // a measured number instead of a plan claim. Ordering mirrors
+    // r20: steady-state rows first (their warm pass builds the
+    // shared graph), the expensive 100× descent BUILD row last so a
+    // disk/deadline kill cannot lose the steady rows.
+    if (args.contains("r22")) {
+      import graft.operators.KnnGraph
+      emb.crossJoin(copies100)
+        .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x + col("copy").cast("float") * lit(0.01f)).cast("array<float>").as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$dst100/embeddings.parquet")
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      })
+      def timeBytes(name: String, d: String)(f: String => org.apache.spark.sql.DataFrame): Unit = {
+        f(d).write.format("noop").mode("overwrite").save() // warm (builds the shared graph)
+        Thread.sleep(1500); bytes.set(0)
+        val t0 = System.nanoTime()
+        f(d).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500) // let straggling task-end events drain
+        val path = KnnGraph.graphPath(spark, d)
+        val edgesSz = try org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(new org.apache.hadoop.fs.Path(s"$path/edges")).getLength
+        catch { case _: Throwable => -1L }
+        println(f"$name @ $d: $dt%.2fs, input bytes read ${bytes.get / 1e6}%.1f MB " +
+          f"(edge store on disk ${edgesSz / 1e6}%.1f MB)")
+      }
+      def once22(name: String, d: String)(f: String => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        f(d).write.format("noop").mode("overwrite").save()
+        println(f"$name @ $d: ${(System.nanoTime() - t0) / 1e9}%.2fs (one pass)")
+      }
+      val off = 1000000000L
+      Seq(src, dst, dst100).foreach { d =>
+        timeBytes("q93 walk       ", d)(KnnGraph.graphWalkGate(spark, _, idOffset = off))
+        timeBytes("q92f increment ", d)(KnnGraph.knnIncrementGate(spark, _, idOffset = off))
+        timeBytes("q92g idx clust ", d)(KnnGraph.semanticClustersIndexedGate(spark, _, idOffset = off))
+      }
+      Seq(src, dst).foreach { d =>
+        once22("q92b descent   ", d)(KnnGraph.nnDescentGate(spark, _, idOffset = off))
+        once22("q92e clusters  ", d)(KnnGraph.semanticClustersDescentGate(spark, _, idOffset = off))
+      }
+      // the headline cell: the 100x descent BUILD at operator
+      // defaults on the new-flag algorithm (r19's three-attempt DNF,
+      // r20's deadline cut)
+      once22("q92b descent   ", dst100)(KnnGraph.nnDescentGate(spark, _, idOffset = off))
+      spark.stop()
+      return
+    }
+
     // ---- r20 additions (VERDICT r19 items 1 & 6) ----
     // The descent's new-flag optimization (score only pairs with a
     // new endpoint — the WWW'11 algorithm's own incremental step)

@@ -26,11 +26,15 @@ object TimeQuery {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
-      // mirrors Bench (r21); env-overridable for conf A/Bs
+      // mirrors Bench VERBATIM (ADVICE r21: the old 64m default here
+      // silently A/B'd a different conf than the bench under test —
+      // same env var, same 1m default as Bench/Verify now; GRAFT_*
+      // overrides remain for deliberate cross-conf probes)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("GRAFT_PFIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("GRAFT_ADVISORY", "64m"))
+        sys.env.getOrElse("GRAFT_ADVISORY",
+          sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "1m")))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
