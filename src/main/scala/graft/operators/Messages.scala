@@ -97,6 +97,16 @@ object Messages {
     // capping after the fact would still build it once. The
     // sizes join, the members groupBy, and the truncation count all
     // hash on (day, k), so the exchange is reused across branches.
+    // ONE live copy of the sized-participants frame (r22, guide §1.2):
+    // the co-array branch and the truncation branch below both read
+    // it, and without the registry persist the whole subtree — events
+    // scan, JSON k-extraction, distinct, bucket-size aggregation +
+    // join — planned TWICE per invocation (two `Scan parquet` legs in
+    // the formatted plan; the dominant 1.1s job in JobProbe's q12
+    // profile). The q77/q83c registerPersist discipline: plan-keyed,
+    // CacheManager-revalidated, a registerOverride source swap
+    // recomputes. The frame is slim — distinct (user, day, k) rows
+    // plus a long — bounded by active users × days × keys.
     val participants = withTsMs(spark, dir)
       .select(col("user_id"),
         expr("ts_ms DIV 86400000").as("day"),
@@ -106,9 +116,10 @@ object Messages {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .filter(col("k").isNotNull && col("user_id").isNotNull)
       .distinct()
-    val sized = participants
-      .join(participants.groupBy("day", "k").agg(count(lit(1)).as("bsz")),
-        Seq("day", "k"))
+    val sized = Curation.registerPersist(spark, s"q12_sized:cap=$maxBucket",
+      participants
+        .join(participants.groupBy("day", "k").agg(count(lit(1)).as("bsz")),
+          Seq("day", "k")))
     val buckets = sized
       .filter(col("bsz").between(2, maxBucket))
       .groupBy("day", "k")

@@ -81,13 +81,27 @@ object PqStream {
       .sortBy(_._1)
     val dsub = books.head._2.length
     val flat = books.flatMap(_._2)
-    val booksLit = array(flat.map(lit(_)): _*).cast("array<float>")
+    // ONE Literal node per structure, not one per element (r22, guide
+    // §7.3): the element-wise array(lit(x), ...) spelling built an
+    // expression tree with a node per float/cell, and STREAMING
+    // re-plans the whole tree per micro-batch (IncrementalExecution)
+    // — q91's driver gap (1.25s vs 0.37s of job time, JobProbe) was
+    // mostly Catalyst walking literal trees. typedlit embeds the
+    // whole collection as a single Literal(ArrayData) node; the cast
+    // renames the positional tuple fields to the schema the gate's
+    // expressions address. At scale this is load-bearing: adaptive
+    // lists = N/125 would put ~1M expression nodes in the plan at the
+    // 2M-node corpus.
+    val booksLit = typedlit(flat.toSeq)
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.get(0).toString.toInt, r.getSeq[Float](1)))
       .sortBy(_._1)
-    def cellStruct(grp: Int, cell: Int, cvec: Seq[Float]) =
-      struct(lit(grp).as("grp"), lit(cell).as("cell"),
-        array(cvec.map(lit(_)): _*).cast("array<float>").as("cvec"))
+    // single-Literal struct arrays (see booksLit): typedlit converts
+    // the tuple seq in one shot; the cast renames positional fields
+    // (_1,_2,_3) to the names the gate's exprs address — a positional
+    // struct cast, value-preserving by construction
+    def cellsLiteral(rows: Seq[(Int, Int, Seq[Float])]) =
+      typedlit(rows).cast("array<struct<grp:int,cell:int,cvec:array<float>>>")
     // group structure must mirror the BUILD's assignment rule, which
     // keyed autoCoarse on the RESOLVED list count — not on however
     // many centroid rows survived (sparse vec_id residues or n <
@@ -107,7 +121,7 @@ object PqStream {
     val nCoarse = Vectors.autoCoarse(lists)
     val (cellsLit, gcentsLit) =
       if (nCoarse == 1)
-        (array(cents.map { case (cell, cvec) => cellStruct(0, cell, cvec) }: _*), None)
+        (cellsLiteral(cents.map { case (cell, cvec) => (0, cell, cvec) }.toSeq), None)
       else {
         val centsDf = spark.read.parquet(s"$path/centroids")
           .select(col("cell").cast("int").as("c_cell"), col("cvec"))
@@ -117,11 +131,9 @@ object PqStream {
         val fineRows = fine.collect()
           .map(r => (r.get(0).toString.toInt, r.get(1).toString.toInt, r.getSeq[Float](2)))
           .sortBy(x => (x._1, x._2))
-        (array(fineRows.map { case (grp, cell, cvec) => cellStruct(grp, cell, cvec) }: _*),
-          Some(array(gcRows.map { case (grp, gvec) =>
-            struct(lit(grp).as("grp"),
-              array(gvec.map(lit(_)): _*).cast("array<float>").as("gvec"))
-          }: _*)))
+        (cellsLiteral(fineRows.toSeq),
+          Some(typedlit(gcRows.toSeq)
+            .cast("array<struct<grp:int,gvec:array<float>>>")))
       }
     GateIndex(cellsLit, gcentsLit, coarseProbe = 4, booksLit,
       spark.read.parquet(s"$path/cells"), m, kCodes, dsub)

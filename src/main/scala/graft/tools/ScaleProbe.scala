@@ -182,7 +182,7 @@ object ScaleProbe {
           w => concat(w, col("copy").cast("string"))), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$dst100/documents.parquet")
-    if (!only16 && !only17 && !only18 && !only19 && !only19c && !only20) Seq(src, dst, dst100).foreach { d =>
+    if (!only16 && !only17 && !only18 && !only19 && !only19c && !only20 && !only22) Seq(src, dst, dst100).foreach { d =>
       time("q25 exact dedup", d)(Dedup.dedupExact(spark, _))
       time("q27b minhash pl", d)(Dedup.dedupMinHashPlanted(spark, _))
       time("q40 allpairs   ", d)(Dedup.dedupAllPairs(spark, _))
@@ -306,7 +306,7 @@ object ScaleProbe {
     }
 
     // ---- r16 additions (VERDICT r15 items 1 & 4) ----
-    if (!only15 && !only18 && !only19 && !only19c && !only20) {
+    if (!only15 && !only18 && !only19 && !only19c && !only20 && !only22) {
       // (1) Two-decade slope for the graph/funnel spine: CC round
       // count grows with component DIAMETER, which copy-scaling holds
       // constant while component COUNT grows 100x -- the claim these
@@ -399,7 +399,14 @@ object ScaleProbe {
           if (t.taskMetrics != null) bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
       })
       def timeBytes(name: String, d: String)(f: String => org.apache.spark.sql.DataFrame): Unit = {
+        val ledgerBefore = graft.BuildLedger.snapshot().toMap
         f(d).write.format("noop").mode("overwrite").save() // warm (builds the shared graph)
+        // one-time builds the warm pass paid (ensureGraph at this
+        // corpus — the "descent build time at 2M nodes" cell)
+        graft.BuildLedger.snapshot().foreach { case (k, v) =>
+          if (math.abs(ledgerBefore.getOrElse(k, 0.0) - v) > 0.01)
+            println(f"  build during warm: $k ${v - ledgerBefore.getOrElse(k, 0.0)}%.1fs")
+        }
         Thread.sleep(1500); bytes.set(0)
         val t0 = System.nanoTime()
         f(d).write.format("noop").mode("overwrite").save()
