@@ -425,12 +425,17 @@ object ScaleProbe {
         println(f"$name @ $d: ${(System.nanoTime() - t0) / 1e9}%.2fs (one pass)")
       }
       val off = 1000000000L
-      Seq(src, dst, dst100).foreach { d =>
+      // `r22b`: only the 100× cells (an earlier same-binary run's
+      // 1×/10× rows stand; the probe host killed two full attempts on
+      // memory pressure mid-100×, so the expensive leg is resumable
+      // on its own)
+      val only100 = args.contains("r22b")
+      ((if (only100) Seq(dst100) else Seq(src, dst, dst100))).foreach { d =>
         timeBytes("q93 walk       ", d)(KnnGraph.graphWalkGate(spark, _, idOffset = off))
         timeBytes("q92f increment ", d)(KnnGraph.knnIncrementGate(spark, _, idOffset = off))
         timeBytes("q92g idx clust ", d)(KnnGraph.semanticClustersIndexedGate(spark, _, idOffset = off))
       }
-      Seq(src, dst).foreach { d =>
+      (if (only100) Seq.empty[String] else Seq(src, dst)).foreach { d =>
         once22("q92b descent   ", d)(KnnGraph.nnDescentGate(spark, _, idOffset = off))
         once22("q92e clusters  ", d)(KnnGraph.semanticClustersDescentGate(spark, _, idOffset = off))
       }
